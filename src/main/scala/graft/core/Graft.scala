@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + testdata table loader.
+  *
+  * Defaults follow the driver environment: `local[32]` (single JVM, 32
+  * executor threads) with `spark.sql.shuffle.partitions` matched to the
+  * core count rather than the 200 default — on a real cluster these are
+  * set by the submitter, the library never hard-codes cluster topology.
+  */
+object Graft {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(appName: String = "graft"): SparkSession =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** One TPC-H-ish testdata table (TESTDATA.md). Plain parquet scan so
+    * Catalyst pushes filters/projections into the file source.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
+    // as a timestamp; read it as long nanoseconds and convert at use
+    // sites (tsCol below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events.ts (long nanos under nanosAsLong) → TimestampType. The
+    * testdata carries microsecond resolution, so ns/1000 is lossless.
+    */
+  def tsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(c / 1000L cast "long")
+}

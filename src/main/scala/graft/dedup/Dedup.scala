@@ -1,0 +1,214 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash. All are pure DataFrame
+  * transforms; candidate generation always goes through a bucketing
+  * key so the pairwise work is bounded by bucket size, never O(n²)
+  * over the corpus — the property that keeps these viable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest, keep the smallest id.
+    * One shuffle on the digest; digest computed map-side so only
+    * (digest, id) shuffles, never the payload.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_key"))
+      .groupBy("content_key")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). The
+    * exploded relation is the common substrate for Jaccard and MinHash.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // only full n-grams: doc with fewer than n tokens yields none
+    val sh = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    ).otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similar pairs (a<b, J ≥ minJaccard) via
+    * shingle-inverted-index self-join: common = |A∩B| from the join,
+    * |A|,|B| from per-doc counts, J = common/(|A|+|B|−common). The join
+    * key is the shingle → co-partitioned, no cross product. Skew guard:
+    * shingles shared by more than `maxDf` docs are dropped (stopword
+    * shingles explode quadratically and carry no dedup signal).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val a = rare.select(col(idCol).as("a"), col("shingle"))
+    val b = rare.select(col(idCol).as("b"), col("shingle"))
+    val common = a
+      .join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns: h_i(doc) = min over shingles of
+    * ((a_i·x + b_i) mod p) where x = xxhash64(shingle). Permutation
+    * seeds are fixed → fully deterministic across runs and executors.
+    */
+  val MinHashP: Long = 2147483647L // 2^31-1, prime
+
+  /** Permutation coefficients stay < 2^27 and x < 2^31 so a·x+b < 2^60:
+    * no ANSI long overflow on any executor.
+    */
+  private def perm(i: Int): (Long, Long) =
+    (104729L * i + 12345L, 15485863L * (i + 1))
+
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MinHashP)))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("x") * a + b, lit(MinHashP))).as(s"mh_$i")
+    }
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: a pair agreeing on any band
+    * becomes a candidate; candidates are then verified with exact
+    * Jaccard. bands*rowsPerBand hash functions total. Returns verified
+    * pairs (a<b, jaccard ≥ minJaccard).
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { bIdx =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("h"))
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.h").as("h"))
+    val l = buckets.select(col(idCol).as("a"), col("band"), col("h"))
+    val r = buckets.select(col(idCol).as("b"), col("band"), col("h"))
+    val cand = l
+      .join(r, Seq("band", "h"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    // verify candidates with exact Jaccard on their shingle sets
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val withA = cand.join(
+      sh.select(col(idCol).as("a"), col("shingle")),
+      Seq("a")
+    )
+    val inter = withA
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token h = xxhash64(tok);
+    * each bit contributes ±1; fingerprint bit j = sign of the sum.
+    * Computed relationally (explode → groupBy id) so it scales with
+    * a single shuffle of (id, token-hash) pairs.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"s_$j")
+    }
+    val sums = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * pigeonhole banding: split the 64-bit fingerprint into maxHamming+1
+    * chunks — any pair within distance k must agree on ≥1 chunk. Join
+    * per chunk, verify with popcount.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val fp = simHash(df, idCol, textCol)
+    val bandCols = (0 until chunks).map { cIdx =>
+      struct(
+        lit(cIdx).as("band"),
+        shiftright(col("simhash"), cIdx * width)
+          .bitwiseAND((1L << width) - 1)
+          .as("key")
+      )
+    }
+    val banded = fp
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("a"), col("simhash").as("fa"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("b"), col("simhash").as("fb"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star training-data
+  * ops). Exact and n-gram-Jaccard are DuckDB-checkable; MinHash-LSH and
+  * SimHash use engine hash functions (xxhash64) with no portable SQL
+  * equivalent → rows-only checks, with the Jaccard query validating the
+  * shared shingle/verify machinery exactly.
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_exact",
+      covers = "dedup-exact,D1",
+      fn = (s, dir) =>
+        Dedup
+          .exact(table(s, dir, "documents"), "doc_id", "text")
+          .select("content_key", "doc_id", "n_copies")
+          .orderBy("content_key"),
+      oracle = Some(
+        """SELECT md5(text) AS content_key, min(doc_id) AS doc_id,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY content_key""".stripMargin
+      ),
+      doc = "exact dedup: content-digest hash-groupBy, only (digest,id) " +
+        "shuffles"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      covers = "dedup-jaccard",
+      fn = (s, dir) =>
+        Dedup
+          .ngramJaccardPairs(
+            table(s, dir, "documents"),
+            "doc_id", "text",
+            n = 3, minJaccard = 0.12, maxDf = Long.MaxValue
+          )
+          .orderBy("a", "b"),
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id)
+          |SELECT p.a, p.b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+          |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+          |FROM pairs p
+          |JOIN sizes sa ON sa.doc_id = p.a
+          |JOIN sizes sb ON sb.doc_id = p.b
+          |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.12
+          |ORDER BY a, b""".stripMargin
+      ),
+      doc = "exact word-3-gram Jaccard near-dup pairs via shingle " +
+        "inverted-index self-join"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      covers = "dedup-minhash",
+      fn = (s, dir) =>
+        Dedup
+          .minHashLshPairs(
+            table(s, dir, "documents"),
+            "doc_id", "text",
+            n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.12
+          )
+          .orderBy("a", "b"),
+      oracle = None, // xxhash64 permutations are engine-specific
+      doc = "MinHash(32 perms) + 8-band LSH candidates, exact-Jaccard " +
+        "verified (Broder '97 / MMDS ch.3)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_simhash",
+      covers = "dedup-simhash",
+      fn = (s, dir) =>
+        Dedup
+          .simHashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+          .orderBy("a", "b"),
+      oracle = None,
+      doc = "64-bit SimHash (Charikar '02) with pigeonhole band blocking"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_mm_binary_meta",
+      covers = "multimodal-binary",
+      fn = (s, dir) =>
+        // multimodal plumbing: opaque binary payload column + typed
+        // metadata extracted without decoding (the decode path itself is
+        // graft.multimodal with its stubbed codec)
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+          .select(
+            col("doc_id"),
+            expr("octet_length(payload)").cast("long").as("byte_len"),
+            hex(expr("substring(payload, 1, 8)")).as("head8"),
+            md5(col("payload")).as("payload_md5")
+          )
+          .orderBy("doc_id"),
+      oracle = Some(
+        """SELECT doc_id,
+          |  octet_length(encode(text)) AS byte_len,
+          |  hex(encode(substr(text, 1, 8))) AS head8,
+          |  md5(text) AS payload_md5
+          |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "binary-column metadata: byte length, header hex, digest — " +
+        "schema plumbing for image/audio payloads"
+    )
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.signal.Signal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Signal-domain operators (SURVEY §2.8) exercised over testdata-derived
+  * synthetic waveforms: each user's event stream becomes a deterministic
+  * waveform (values ordered by event_id), then WADA SNR / energy-VAD /
+  * slice run on it. The scalar math is pure Scala (no SQL equivalent) →
+  * rows-only checks, except the array-slice query which is relational.
+  */
+object DomainQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_g2_wada_snr",
+      covers = "G2,G5,P9",
+      fn = (s, dir) => {
+        // waveform per user: a clean tone plus per-event noise whose
+        // amplitude scales with the event value — users with larger
+        // values get noisier signals → lower (but varied) WADA SNR
+        val waves = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value")))).as("evs"))
+          .withColumn(
+            "wave",
+            // peaky sin³ "speech" tone (WADA's gamma model needs heavy-
+            // tailed amplitudes) + per-event noise scaled by value
+            transform(
+              col("evs"),
+              (e, i) =>
+                pow(sin((i + 1).cast("double") * 0.19634954d), 3.0d) +
+                  (e.getField("value") / 2000.0d) * sin((i + 1).cast("double") * 78.233d)
+            )
+          )
+        waves
+          .select(
+            col("user_id"),
+            size(col("wave")).cast("long").as("n_samples"),
+            round(Signal.wada_snr(col("wave")), 6).as("snr_db")
+          )
+          .orderBy("user_id")
+      },
+      oracle = None,
+      doc = "WADA blind SNR (Kim & Stern IS'08; audio_snr.py:8-58) as a " +
+        "scalar UDF over waveform arrays"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_g1_vad_segments",
+      covers = "G1,G7,O4",
+      fn = (s, dir) => {
+        import s.implicits._
+        // per-user synthetic 16 kHz signal: each event expands to 800
+        // samples, loud when value > 50 (speech) else near-silence —
+        // then the energy VAD (Silero parameter surface) segments it.
+        val rows = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+        rows
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val evs = it.toArray.sortBy(_._2)
+            val wav = new Array[Double](evs.length * 800)
+            var i = 0
+            while (i < evs.length) {
+              val amp = if (evs(i)._3 > 50.0) 0.3 else 0.001
+              var j = 0
+              while (j < 800) {
+                wav(i * 800 + j) = amp * math.sin(2 * math.Pi * 440 * (j / 16000.0))
+                j += 1
+              }
+              i += 1
+            }
+            Signal.energyVad(wav).zipWithIndex.map { case (seg, idx) =>
+              (uid, idx.toLong, seg.start, seg.end, (seg.end - seg.start) / 16000.0)
+            }
+          }
+          .toDF("user_id", "seg_idx", "start", "end", "dur_s")
+          .orderBy("user_id", "seg_idx")
+      },
+      oracle = None,
+      doc = "1→N VAD generator (audio_vad.py:17-67) as a typed " +
+        "flatMapGroups — waveforms never leave the partition"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_g6_audio_cut",
+      covers = "G6,G7,A5",
+      fn = (s, dir) =>
+        // audio cut as a pure array slice (no file mutation): per-user
+        // sample array → elements [3, 12] → stats. Relational → oracle.
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value")))).as("evs"))
+          .withColumn("arr", transform(col("evs"), _.getField("value")))
+          .withColumn("cut", slice(col("arr"), 3, 10))
+          .select(
+            col("user_id"),
+            size(col("arr")).cast("long").as("n_total"),
+            size(col("cut")).cast("long").as("n_cut"),
+            aggregate(
+              col("cut"),
+              lit(0).cast(DecimalType(28, 6)),
+              (acc, x) => (acc + x.cast(DecimalType(28, 6))).cast(DecimalType(28, 6))
+            ).cast(DoubleType).as("cut_total")
+          )
+          .orderBy("user_id"),
+      oracle = Some(
+        """WITH a AS (SELECT user_id, list(value ORDER BY event_id, value) AS arr
+          |           FROM events GROUP BY user_id)
+          |SELECT user_id, len(arr) AS n_total,
+          |  len(arr[3:12]) AS n_cut,
+          |  CAST(list_sum(list_transform(arr[3:12],
+          |    x -> CAST(CAST(x AS DECIMAL(28,6)) AS DECIMAL(28,6)))) AS DOUBLE) AS cut_total
+          |FROM a ORDER BY user_id""".stripMargin
+      ),
+      doc = "audio cut/trim as array slice (data_pipeline.py:442-449) — " +
+        "no files, no mutation"
+    )
+  )
+}

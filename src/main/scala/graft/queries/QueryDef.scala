@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a Spark plan over the sfDir parquet
+  * tables plus, when SQL-expressible, a DuckDB oracle producing the
+  * IDENTICAL result (column names, row order, values).
+  *
+  * Determinism rules (both sides must follow them or the driver's
+  * hash compare flags a false mismatch):
+  *
+  *  1. every query ends with ORDER BY over a set of columns that is
+  *     unique per row (ties would make row order engine-dependent);
+  *  2. sums/averages of doubles accumulate in DECIMAL (exact, order
+  *     independent) and cast to double exactly once at the end —
+  *     naive double summation is shuffle-order dependent in Spark;
+  *  3. double→integer conversions go through floor()/round(): Spark
+  *     CAST(double AS BIGINT) truncates while DuckDB rounds;
+  *  4. derived integer columns are cast to long Spark-side (DuckDB
+  *     row_number/len/count all yield BIGINT);
+  *  5. per-row double arithmetic (+,*,/ of the same operands in the
+  *     same association order) is IEEE-identical across engines and
+  *     is safe without rounding.
+  */
+final case class QueryDef(
+    name: String,
+    /** SURVEY.md §2 operator ids this query exercises, e.g. "F1,J1". */
+    covers: String,
+    fn: (SparkSession, String) => DataFrame,
+    /** DuckDB SQL over the same tables; None → driver rows-only check. */
+    oracle: Option[String],
+    doc: String = ""
+)
+
+object Registry {
+  lazy val all: Seq[QueryDef] =
+    RelationalQueries.defs ++
+      AggWindowQueries.defs ++
+      TextQueries.defs ++
+      DedupQueries.defs ++
+      SimilarityQueries.defs ++
+      DomainQueries.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.functions.Scalars
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scan / projection / filter / join / set-op operators from SURVEY.md
+  * §2.1, §2.3-2.5, re-expressed over the TPC-H-ish testdata. Analog
+  * mapping: `customer` plays the channel catalog (synthetic n_subs =
+  * (c_custkey*9973) % 250000 spreads rows across every quota tier),
+  * `orders` plays the per-channel video list, `events` plays per-segment
+  * probe measurements keyed by user_id ∈ [0,150) ⊂ c_custkey range.
+  */
+object RelationalQueries {
+
+  /** Synthetic subscriber count: deterministic, integer-only, covers all
+    * P2 tiers. Same arithmetic on both engines.
+    */
+  private val nSubsSql = "(c_custkey * 9973) % 250000"
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_s1_scan_project",
+      covers = "S1,P1",
+      fn = (s, dir) =>
+        table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+          .orderBy("c_custkey"),
+      oracle = Some(
+        """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+          |FROM customer ORDER BY c_custkey""".stripMargin
+      ),
+      doc = "catalog scan + fixed projection (pandas read_csv + col select)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_f1_subscriber_threshold",
+      covers = "F1,P2",
+      fn = (s, dir) =>
+        table(s, dir, "customer")
+          .withColumn("n_subs", expr(nSubsSql))
+          .filter(col("n_subs") > 10000L)
+          .withColumn("quota", Scalars.quotaForSubs(col("n_subs")))
+          .select("c_custkey", "n_subs", "quota")
+          .orderBy("c_custkey"),
+      oracle = Some(
+        s"""SELECT c_custkey, $nSubsSql AS n_subs,
+           |  CAST(CASE WHEN $nSubsSql < 10000 THEN 10
+           |            WHEN $nSubsSql < 30000 THEN 20
+           |            WHEN $nSubsSql < 50000 THEN 30
+           |            WHEN $nSubsSql < 100000 THEN 40
+           |            WHEN $nSubsSql < 200000 THEN 50
+           |            ELSE 60 END AS BIGINT) AS quota
+           |FROM customer WHERE $nSubsSql > 10000
+           |ORDER BY c_custkey""".stripMargin
+      ),
+      doc = "n_subs>10000 admission filter + download-quota bucketing " +
+        "(yt_channel_list_result_merge c2; data_pipeline.py:520-531)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_f2_skip_reason",
+      covers = "F2,K7,P8",
+      fn = (s, dir) => {
+        val c = table(s, dir, "customer")
+          .withColumn("n_videos", expr("c_custkey % 12"))
+          .withColumn(
+            "skip_reason",
+            when(col("n_videos") < 5L, lit("NOT_ENOUGH_VIDEOS"))
+              .when(col("c_acctbal") < 0.0d, lit("NEGATIVE_BALANCE"))
+              .otherwise(lit(null).cast("string"))
+          )
+        c.select("c_custkey", "n_videos", "skip_reason")
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_custkey % 12 AS n_videos,
+          |  CASE WHEN c_custkey % 12 < 5 THEN 'NOT_ENOUGH_VIDEOS'
+          |       WHEN c_acctbal < 0 THEN 'NEGATIVE_BALANCE'
+          |       ELSE NULL END AS skip_reason
+          |FROM customer ORDER BY c_custkey""".stripMargin
+      ),
+      doc = "min-videos gate with skip reason as data, not logging " +
+        "(data_pipeline.py:553-555, 545-548)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_p3_trim_rule",
+      covers = "P3,P9",
+      fn = (s, dir) => {
+        val e = table(s, dir, "events")
+          .withColumn("dur_s", floor(col("value") * 8.0d).cast("long"))
+          .withColumn("b", Scalars.trimBounds(col("dur_s")))
+        e.select(
+          col("event_id"),
+          col("dur_s"),
+          col("b.ss").as("ss"),
+          col("b.to").as("tto"),
+          (col("b.to") - col("b.ss")).as("kept_s")
+        ).orderBy("event_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT event_id, CAST(floor(value * 8.0) AS BIGINT) AS dur_s FROM events)
+          |SELECT event_id, dur_s,
+          |  CASE WHEN dur_s < 180 THEN 0 WHEN dur_s > 2042 THEN 120 ELSE 60 END AS ss,
+          |  CASE WHEN dur_s < 180 THEN dur_s WHEN dur_s > 2042 THEN dur_s - 120 ELSE dur_s - 60 END AS tto,
+          |  CASE WHEN dur_s < 180 THEN dur_s WHEN dur_s > 2042 THEN dur_s - 240 ELSE dur_s - 120 END AS kept_s
+          |FROM d ORDER BY event_id""".stripMargin
+      ),
+      doc = "duration-trim CASE rule (data_pipeline.py:609-620)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_p4_embed_url",
+      covers = "P4,P5,P9",
+      fn = (s, dir) => {
+        val e = table(s, dir, "events")
+          .withColumn("start_samp", floor(col("value") * 16000.0d).cast("long"))
+          .withColumn("end_samp", col("start_samp") + 52345L)
+        e.select(
+          col("event_id"),
+          Scalars.embedUrl(col("user_id"), col("start_samp"), col("end_samp"))
+            .as("embed_url"),
+          Scalars.watchUrl(col("user_id")).as("watch_url")
+        ).orderBy("event_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT event_id, user_id,
+          |    CAST(floor(value * 16000.0) AS BIGINT) AS start_samp FROM events)
+          |SELECT event_id,
+          |  'https://www.youtube.com/embed/' || CAST(user_id AS VARCHAR)
+          |    || '?start=' || CAST(CAST(floor(start_samp / 16000.0) AS BIGINT) AS VARCHAR)
+          |    || '&end=' || CAST(CAST(ceil((start_samp + 52345) / 16000.0) AS BIGINT) AS VARCHAR)
+          |    AS embed_url,
+          |  'https://www.youtube.com/watch?v=' || CAST(user_id AS VARCHAR) AS watch_url
+          |FROM d ORDER BY event_id""".stripMargin
+      ),
+      doc = "embed/watch URL construction with floor/ceil second rounding " +
+        "(data_pipeline.py:660,602)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_p6_string_normalize",
+      covers = "P6,P7,P8,P10,P11",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("handle", concat(lit("@"), col("source")))
+          .withColumn("desc_text", concat(col("source"), lit("@example.com "), col("text")))
+        d.select(
+          col("doc_id"),
+          Scalars.stripHandle(col("handle")).as("stripped"),
+          Scalars.extractEmail(col("desc_text")).as("email"),
+          Scalars.flattenError(regexp_replace(col("text"), " ", "\n")).as("flat"),
+          (length(trim(col("handle"))) =!= 24).as("not_raw_id"),
+          substring_index(col("text"), " ", 1).as("first_tok")
+        ).orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  regexp_replace('@' || source, '^@', '') AS stripped,
+          |  coalesce(nullif(regexp_extract(source || '@example.com ' || text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0), ''), 'N/A') AS email,
+          |  regexp_replace(regexp_replace(text, ' ', chr(10), 'g'), '[\n\t]', ' ', 'g') AS flat,
+          |  length(trim('@' || source)) != 24 AS not_raw_id,
+          |  CASE WHEN strpos(text, ' ') = 0 THEN text
+          |       ELSE substr(text, 1, strpos(text, ' ') - 1) END AS first_tok
+          |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "id/handle normalization, email extraction, error flattening " +
+        "(starngage_crawler c4/c15; filter_channel.py:62)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_f4_anti_ingested",
+      covers = "F4,J3,T2",
+      fn = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val e = table(s, dir, "events")
+        // "already ingested" resume set = user ids seen in the event
+        // log; left_anti gives the not-yet-processed remainder.
+        c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin
+      ),
+      doc = "already-ingested anti-join resume filter (data_pipeline.py:559,575-577)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j2_semi_membership",
+      covers = "J2,F5",
+      fn = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin
+      ),
+      doc = "semi-join membership partition (yt_channel_list_quality_merge c9)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j1_catalog_join",
+      covers = "J1,P1",
+      fn = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        // catalog side is the small dimension → broadcast it; fact side
+        // streams without a shuffle.
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+          .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |ORDER BY o_orderkey""".stripMargin
+      ),
+      doc = "inner equi-join catalog⋈quality (yt_channel_list_quality_merge c5)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_u1_d1_union_distinct",
+      covers = "U1,D1",
+      fn = (s, dir) => {
+        val a = table(s, dir, "customer").select(col("c_mktsegment").as("val"))
+        val b = table(s, dir, "orders").select(col("o_orderpriority").as("val"))
+        a.unionByName(b).dropDuplicates("val").orderBy("val")
+      },
+      oracle = Some(
+        """SELECT c_mktsegment AS val FROM customer
+          |UNION
+          |SELECT o_orderpriority AS val FROM orders
+          |ORDER BY val""".stripMargin
+      ),
+      doc = "multi-source union + full-row dedup (yt_channel_list_result_merge c1/c5)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_d2_dedup_by_key",
+      covers = "D2,O4",
+      fn = (s, dir) => {
+        // first-wins dedup made deterministic: per mktsegment keep the
+        // highest-balance customer, custkey as tiebreak (SURVEY D2 note).
+        val w = Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        table(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("c_mktsegment", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some(
+        """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+          |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          |  FROM customer) WHERE rn = 1
+          |ORDER BY c_mktsegment""".stripMargin
+      ),
+      doc = "dedup-by-key with explicit order (yt_channel_list_quality_merge c9)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_d3_distinct_count",
+      covers = "D3,A6",
+      fn = (s, dir) =>
+        table(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events")
+          )
+          .orderBy("event_type"),
+      oracle = Some(
+        """SELECT event_type, count(DISTINCT user_id) AS n_users,
+          |       count(*) AS n_events
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      ),
+      doc = "distinct-count tallies (starngage_crawler c7-8)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_s2_json_props",
+      covers = "S2,P8",
+      fn = (s, dir) =>
+        table(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("missing", coalesce(get_json_object(col("props"), "$.zz"), lit("N/A")))
+          .select("event_id", "k", "missing")
+          .orderBy("event_id"),
+      oracle = Some(
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |       coalesce(json_extract_string(props, '$.zz'), 'N/A') AS missing
+          |FROM events ORDER BY event_id""".stripMargin
+      ),
+      doc = "JSON field access with N/A defaulting (filter_channel.py:49-54; " +
+        "starngage_crawler c15 statistics.get defaults)"
+    )
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Similarity search over the `embeddings` table (north-star ops).
+  * Exact variants accumulate dot products in DECIMAL → bit-identical to
+  * the DuckDB oracle; the LSH variant is the 100 TB scale path
+  * (rows-only check).
+  */
+object SimilarityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sim_cosine_const",
+      covers = "similarity-dot",
+      fn = (s, dir) =>
+        // ×2^30 integer quantization (see Ann.QuantScale) so every
+        // aggregate is an exact integer → identical doubles both sides
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xq", round(col("x").cast("double") * 1073741824.0d, 0).cast("long"))
+          .groupBy("vec_id")
+          .agg(
+            sum(col("xq").cast(DecimalType(19, 0))).cast(DoubleType).as("dot1"),
+            sum(col("xq").cast(DecimalType(19, 0)) * col("xq").cast(DecimalType(19, 0)))
+              .cast(DoubleType)
+              .as("nsq")
+          )
+          .select(
+            col("vec_id"),
+            (col("dot1") / (sqrt(col("nsq")) * 8.0d)).as("cos_ones")
+          )
+          .orderBy("vec_id"),
+      oracle = Some(
+        """WITH ex AS (SELECT vec_id,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0, 0) AS BIGINT) AS xq
+          |  FROM embeddings)
+          |SELECT vec_id,
+          |  CAST(sum(CAST(xq AS DECIMAL(19,0))) AS DOUBLE)
+          |    / (sqrt(CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0))) AS DOUBLE)) * 8.0)
+          |    AS cos_ones
+          |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      ),
+      doc = "cosine against the all-ones probe: decimal-exact dot/norm " +
+        "machinery, SQL-checked"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_ann_topk_exact",
+      covers = "ann-bruteforce",
+      fn = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 8L)
+          .withColumnRenamed("vec_id", "probe_id")
+        val cands = e.withColumnRenamed("vec_id", "cand_id")
+        Ann
+          .topKExact(probes, cands, "probe_id", "cand_id", "embedding", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      oracle = Some(
+        """WITH qe AS (SELECT vec_id,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0, 0) AS BIGINT) AS xq,
+          |    generate_subscripts(embedding, 1) AS pos
+          |  FROM embeddings),
+          |pe AS (SELECT vec_id AS probe_id, xq, pos FROM qe WHERE vec_id < 8),
+          |ce AS (SELECT vec_id AS cand_id, xq, pos FROM qe),
+          |norms AS (
+          |  SELECT vec_id, sqrt(CAST(sum(CAST(xq AS DECIMAL(19,0))
+          |    * CAST(xq AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+          |  FROM qe GROUP BY vec_id),
+          |dots AS (
+          |  SELECT p.probe_id, c.cand_id,
+          |    CAST(sum(CAST(p.xq AS DECIMAL(19,0)) * CAST(c.xq AS DECIMAL(19,0))) AS DOUBLE) AS dot
+          |  FROM pe p JOIN ce c ON p.pos = c.pos
+          |  GROUP BY p.probe_id, c.cand_id),
+          |cos AS (
+          |  SELECT d.probe_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cos
+          |  FROM dots d
+          |  JOIN norms na ON na.vec_id = d.probe_id
+          |  JOIN norms nb ON nb.vec_id = d.cand_id
+          |  WHERE d.probe_id != d.cand_id)
+          |SELECT probe_id, rank, cand_id, cos FROM (
+          |  SELECT probe_id, cand_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          |  FROM cos)
+          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      ),
+      doc = "brute-force cosine top-k baseline, decimal-exact and " +
+        "rank-stable across engines"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_ann_topk_lsh",
+      covers = "ann-lsh",
+      fn = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Ann
+          .topKLsh(e, e.filter(col("vec_id") < 8L), "vec_id", "embedding", k = 5, bits = 4)
+          .orderBy("probe_id", "rank")
+      },
+      oracle = None, // hyperplanes from engine xxhash64; recall < 1 by design
+      doc = "sign-random-projection LSH top-k: probe scans ~1/2^bits of " +
+        "the corpus — the 100 TB path"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_embedding_cosine",
+      covers = "dedup-embedding",
+      fn = (s, dir) =>
+        Ann
+          .cosineNearDupPairs(
+            table(s, dir, "embeddings"),
+            "vec_id", "embedding",
+            minCos = 0.38, bits = 4
+          )
+          .orderBy("a", "b"),
+      oracle = None,
+      doc = "embedding-cosine near-dup pairs via LSH buckets + in-bucket " +
+        "verification"
+    )
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting (north-star training-
+  * data ops; BASELINE.json). Per-row only — no shuffles, scales
+  * linearly.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_tokens_quality",
+      covers = "text-quality,token-count",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val comps = TextAnalysis.qualityComponents(col("text"))
+        val withComps = comps.foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        withComps
+          .withColumn("n_bpe", TextAnalysis.tokenCountBpeIsh(col("text")))
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+          .select(
+            "doc_id", "n_tokens", "n_bpe", "n_punct", "n_stop",
+            "punct_ratio", "stop_ratio", "mean_tok_len", "quality"
+          )
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+          |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          |    len(list_filter(string_split(text, ' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace
+          |  FROM documents)
+          |SELECT doc_id, n_tokens, n_bpe, n_punct, n_stop,
+          |  CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS punct_ratio,
+          |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+          |  n_nonspace / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+          |  (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0
+          |   + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |   + CASE WHEN n_nonspace / CAST(n_tokens AS DOUBLE) >= 3.0
+          |          AND n_nonspace / CAST(n_tokens AS DOUBLE) <= 10.0
+          |          THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+          |FROM c ORDER BY doc_id""".stripMargin
+      ),
+      doc = "token counts (whitespace + BPE-ish regex) and quality " +
+        "components/score over documents"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_langid",
+      covers = "lang-id",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val scores = TextAnalysis.langIdScores(col("text"))
+        val withScores = scores.foldLeft(d) { case (df, (l, c)) =>
+          df.withColumn(s"s_$l", c)
+        }
+        withScores
+          .withColumn("n_cjk", TextAnalysis.cjkChars(col("text")))
+          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+          .select("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "n_cjk", "lang_pred")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH sc AS (
+          |  SELECT doc_id, lang,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('der','die','das','und','ein','eine','von','zu'))) AS s_de,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('el','la','de','los','las','un','una','por'))) AS s_es,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+          |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk
+          |  FROM documents)
+          |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, n_cjk,
+          |  CASE WHEN n_cjk > 0 THEN 'zh'
+          |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'de'
+          |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'en'
+          |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'es'
+          |       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'fr'
+          |       ELSE 'und' END AS lang_pred
+          |FROM sc ORDER BY doc_id""".stripMargin
+      ),
+      doc = "stopword-profile + CJK-codepoint language-ID heuristic"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_fingerprint",
+      covers = "fingerprint",
+      fn = (s, dir) => {
+        val fpUdf = udf((t: String) => TextAnalysis.rollingHash(t))
+        val nwUdf = udf((t: String) => TextAnalysis.winnow(t).length.toLong)
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            fpUdf(col("text")).as("fp"),
+            nwUdf(col("text")).as("n_winnow")
+          )
+          .orderBy("doc_id")
+      },
+      oracle = None, // char-fold order is not portable SQL; rows-only
+      doc = "Karp-Rabin rolling-hash fingerprint + winnowing count " +
+        "(Schleimer et al. SIGMOD'03)"
+    )
+  )
+}

@@ -1,0 +1,198 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Three tiers:
+  *  - [[cosine]] / [[topKExact]]: brute-force baseline. The dot product
+  *    is accumulated in DECIMAL so results are bit-identical regardless
+  *    of partitioning or engine (needed for the DuckDB oracle).
+  *  - [[topKFast]]: the throughput path — broadcast probe matrix, one
+  *    `mapPartitions`-free relational pass using the codegen'd
+  *    decimal-explode plan is replaced by a plain double HOF dot; use
+  *    when exactness-of-last-bit doesn't matter.
+  *  - [[signLshBuckets]] + [[topKLsh]]: the 100 TB path — random
+  *    hyperplane sign bits bucket the corpus; a probe only scans its
+  *    bucket (and optional multi-probe neighbors), turning a full scan
+  *    into a 1/2^bits scan at some recall cost.
+  */
+object Ann {
+
+  /** Embedding component quantized to an exact integer grid (×2^30,
+    * rounded): float→double is exact, ×2^30 is exact scaling, and the
+    * resulting integer sums convert to double with ONE correct
+    * rounding in every engine — unlike DECIMAL(38,18)→double, whose
+    * last-bit rounding differs between Spark (BigDecimal) and DuckDB
+    * (int128/10^18 in double). This is what makes the "exact" variants
+    * bit-identical to the oracle.
+    */
+  val QuantScale: Double = 1073741824.0d // 2^30
+
+  private def explodeVecQ(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xq", round(col("x").cast("double") * QuantScale, 0).cast("long"))
+
+  /** Exact pairwise cosine between two embedding relations via
+    * position-join + integer-accumulated dot products (see QuantScale).
+    * Deterministic to the last bit — the oracle-checkable formulation.
+    */
+  def cosineExact(
+      probes: DataFrame,
+      cands: DataFrame,
+      idA: String,
+      idB: String,
+      vecCol: String
+  ): DataFrame = {
+    def isum(c: Column): Column =
+      sum(c.cast(DecimalType(19, 0)) * c.cast(DecimalType(19, 0))).cast(DoubleType)
+    def norms(df: DataFrame, id: String, out: String) =
+      explodeVecQ(df, id, vecCol)
+        .groupBy(id)
+        .agg(sqrt(isum(col("xq"))).as(out))
+    val a = explodeVecQ(probes, idA, vecCol).withColumnRenamed("xq", "xa")
+    val b = explodeVecQ(cands, idB, vecCol).withColumnRenamed("xq", "xb")
+    val dots = a
+      .join(b, Seq("pos"))
+      .groupBy(idA, idB)
+      .agg(
+        sum(col("xa").cast(DecimalType(19, 0)) * col("xb").cast(DecimalType(19, 0)))
+          .cast(DoubleType)
+          .as("dot")
+      )
+    dots
+      .join(norms(probes, idA, "na"), Seq(idA))
+      .join(norms(cands, idB, "nb"), Seq(idB))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .select(col(idA), col(idB), col("cos"))
+  }
+
+  /** Brute-force top-k neighbors for each probe (exact, oracle-safe). */
+  def topKExact(
+      probes: DataFrame,
+      cands: DataFrame,
+      idA: String,
+      idB: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val cos = cosineExact(probes, cands, idA, idB, vecCol)
+      .filter(col(idA) =!= col(idB))
+    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
+    cos
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idA), col("rank"), col(idB), col("cos"))
+  }
+
+  /** Fast double-precision cosine via zip_with/aggregate HOFs — stays in
+    * whole-stage codegen, no explode, no shuffle beyond the final top-k.
+    * Candidate × probe pairing happens through a broadcast crossJoin of
+    * the (small) probe side.
+    */
+  def cosineFast(vecA: Column, vecB: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0d),
+        (acc, v) => acc + v
+      )
+    dot(vecA, vecB) / (sqrt(dot(vecA, vecA)) * sqrt(dot(vecB, vecB)))
+  }
+
+  def topKFast(
+      probes: DataFrame,
+      cands: DataFrame,
+      idA: String,
+      idB: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val p = probes.select(col(idA), col(vecCol).as("va"))
+    val c = cands.select(col(idB), col(vecCol).as("vb"))
+    val scored = c
+      .crossJoin(broadcast(p))
+      .filter(col(idA) =!= col(idB))
+      .withColumn("cos", cosineFast(col("va"), col("vb")))
+    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idA), col("rank"), col(idB), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is
+    * a fixed integer hash mapped into [-0.5, 0.5). Same plane set on
+    * every executor without shipping state.
+    */
+  private def planeComponent(i: Int, j: Column): Column =
+    (pmod(xxhash64(lit(i), j), lit(1000003L)).cast("double") / 1000003.0d) - 0.5d
+
+  /** Sign-random-projection bucket id over `bits` hyperplanes. */
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    val proj = (0 until bits).map { i =>
+      val s = aggregate(
+        zip_with(
+          col(vecCol),
+          sequence(lit(0), size(col(vecCol)) - 1),
+          (x, j) => x.cast("double") * planeComponent(i, j)
+        ),
+        lit(0.0d),
+        (acc, v) => acc + v
+      )
+      when(s >= 0.0d, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    df.withColumn("bucket", proj.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** LSH-bucketed top-k: probes only compare against candidates in the
+    * same bucket. Recall < 1; bucket count 2^bits controls the
+    * scan-fraction / recall trade-off.
+    */
+  def topKLsh(
+      df: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8
+  ): DataFrame = {
+    val bucketed = signLshBuckets(df, idCol, vecCol, bits)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("vb"), col("bucket"))
+    val pb = signLshBuckets(probes, idCol, vecCol, bits)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("va"), col("bucket"))
+    val scored = bucketed
+      .join(broadcast(pb), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineFast(col("va"), col("vb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
+    * exact verification within bucket.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      bits: Int = 6
+  ): DataFrame = {
+    val b = signLshBuckets(df, idCol, vecCol, bits)
+    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosineFast(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+      .distinct()
+  }
+}

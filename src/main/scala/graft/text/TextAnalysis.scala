@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * per-row Column compositions (codegen'd, embarrassingly parallel —
+  * these scale linearly with data and never shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count without materializing the split array:
+    * len(text) − len(text without spaces) + 1. O(n) per row, exact for
+    * single-space-separated text.
+    */
+  def tokenCountWs(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish pre-tokenizer count: runs of letters, single digits, or
+    * single non-alphanumeric marks (the GPT-2 pre-tokenizer shape,
+    * simplified to an engine-portable regex).
+    */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeIshPattern), lit(0))).cast("long")
+
+  /** Stopword profiles for the language-ID heuristic. Tiny on purpose:
+    * they ride along as literals into codegen; a production list would
+    * broadcast a dictionary instead.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
+    "es" -> Seq("el", "la", "de", "los", "las", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "von", "zu")
+  )
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens from `words` present in the text. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+      .cast("long")
+
+  /** CJK detection: count of codepoints in the unified-ideograph block.
+    * One regex scan; no per-char loop.
+    */
+  def cjkChars(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
+
+  /** N-gram/stopword language-ID heuristic: per-language hit counts,
+    * CJK short-circuit, deterministic tie-break in declaration order.
+    */
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    stopwords.toSeq.sortBy(_._1).map { case (l, ws) => l -> stopwordHits(text, ws) }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(sc === best && best > 0L, lit(l)).otherwise(els)
+    }
+    when(cjkChars(text) > 0L, lit("zh")).otherwise(pick)
+  }
+
+  /** Quality-score components: length, punctuation ratio, stopword
+    * ratio, mean word length — the classic cheap text-quality signals
+    * (Gopher/C4-style rules, simplified). All ratios are
+    * int/int→double: deterministic across engines.
+    */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCountWs(text)
+    val nPunct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("long")
+    val nStop = stopwordHits(text, stopwords("en"))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_punct" -> nPunct,
+      "n_stop" -> nStop,
+      "punct_ratio" -> nPunct.cast("double") / nTok.cast("double"),
+      "stop_ratio" -> nStop.cast("double") / nTok.cast("double"),
+      "mean_tok_len" ->
+        (length(regexp_replace(text, " ", "")).cast("long").cast("double") /
+          nTok.cast("double"))
+    )
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. Pure arithmetic
+    * over the components — same expression on the oracle side.
+    */
+  def qualityScore(text: Column): Column = {
+    val comps = qualityComponents(text).toMap
+    val stop = comps("stop_ratio")
+    val punct = comps("punct_ratio")
+    val meanLen = comps("mean_tok_len")
+    val lenOk =
+      when(meanLen >= 3.0d && meanLen <= 10.0d, 1.0d).otherwise(0.5d)
+    (stop * 2.0d + (lit(1.0d) - punct) + lenOk) / 4.0d
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Karp-Rabin over UTF-8
+    * bytes, base 257 mod 2^61−1). Pure Scala for flatMap/Dataset use and
+    * property tests; the SQL-checkable fingerprint op uses md5 instead
+    * (see DedupQueries) because char-fold order is awkward to mirror in
+    * portable SQL.
+    */
+  val FpMod: Long = 1000000007L
+  val FpBase: Long = 257L
+
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i < bytes.length) {
+      // h < p < 2^30, so h*257 + 255 < 2^39 — no overflow.
+      h = (h * FpBase + (bytes(i) & 0xffL)) % FpMod
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprints: rolling hash over every k-gram (chars),
+    * keep the minimum hash in each window of w consecutive k-grams —
+    * the standard winnowing scheme (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03). Returns distinct selected hashes.
+    */
+  def winnow(s: String, k: Int = 8, w: Int = 4): Seq[Long] = {
+    if (s.length < k) return Seq(rollingHash(s))
+    val grams = s.sliding(k).map(rollingHash).toArray
+    if (grams.length <= w) return Seq(grams.min)
+    grams.sliding(w).map(_.min).toSeq.distinct
+  }
+}

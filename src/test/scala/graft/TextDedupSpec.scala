@@ -1,0 +1,123 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words about spark engines here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val dupRow = out.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L) // kept the min doc_id
+  }
+
+  test("shingles emits only full n-grams") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    assert(sh.filter($"doc_id" === 5L).count() == 0) // 2 tokens < n
+    assert(sh.filter($"doc_id" === 4L).count() == 5) // 7 tokens → 5 distinct
+  }
+
+  test("ngram Jaccard finds the near-dup pair and exact pair") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 3L))) // identical → J=1
+    assert(pairs.contains((1L, 2L))) // 6/8 common 3-grams
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the high-jaccard pairs with exact verification") {
+    val got = Dedup
+      .minHashLshPairs(docs, "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.contains((1L, 3L)))
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 3L) == 0)
+    assert(ham(1L, 2L) < ham(1L, 4L))
+  }
+
+  test("rollingHash/winnow deterministic and position-shift stable") {
+    val h1 = TextAnalysis.rollingHash("hello world")
+    assert(h1 == TextAnalysis.rollingHash("hello world"))
+    assert(h1 != TextAnalysis.rollingHash("hello worle"))
+    val w1 = TextAnalysis.winnow("abcdefghijklmnopqrstuvwxyz")
+    val w2 = TextAnalysis.winnow("XXXabcdefghijklmnopqrstuvwxyz")
+    // winnowing guarantees shared fingerprints for long shared substrings
+    assert(w1.toSet.intersect(w2.toSet).nonEmpty)
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et les chiens du jardin"),
+      (3L, "der hund und die katze von zu hause"),
+      (4L, "no stop words whatsoever xyzzy"),
+      (5L, "你好世界 hello")
+    ).toDF("doc_id", "text")
+    val got = d.withColumn("l", TextAnalysis.langId($"text"))
+      .orderBy("doc_id").select("l").as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "de", "und", "zh"))
+  }
+
+  test("cosineFast agrees with exact computation") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = e.as("a")
+      .crossJoin(e.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(
+        $"a.vec_id", $"b.vec_id",
+        Ann.cosineFast($"a.embedding", $"b.embedding").as("cos")
+      )
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // float32 inputs → ~1e-8 representation error is expected
+    assert(math.abs(got((1L, 2L)) - 0.6) < 1e-6)
+    assert(math.abs(got((1L, 3L))) < 1e-6)
+  }
+
+  test("topKFast ranks by cosine") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.7f, 0.3f))
+    ).toDF("id", "embedding")
+    val probes = e.filter($"id" === 1L).withColumnRenamed("id", "probe_id")
+    val cands = e.withColumnRenamed("id", "cand_id")
+    val got = Ann
+      .topKFast(probes, cands, "probe_id", "cand_id", "embedding", 2)
+      .orderBy("rank")
+      .select("cand_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(got == Seq(2L, 4L))
+  }
+}
