@@ -1,0 +1,110 @@
+package graft.io
+
+import graft.functions.Scalars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.2). Everything the reference logs or
+  * side-effects becomes data: errors are a DLQ branch, skips are a
+  * reason column, uploads are an idempotent Publisher.
+  */
+object Sinks {
+
+  /** K1 — headered CSV write of a projected table. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K2 — JSONL append sink. */
+  def appendJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("append").json(path)
+
+  /** K3 — dead-letter split: rows with a non-null error column go to
+    * the DLQ (error text flattened to one line, filter_channel.py:62),
+    * clean rows continue. Errors are data, not control flow.
+    */
+  def dlqSplit(df: DataFrame, errorCol: String = "error"): (DataFrame, DataFrame) = {
+    val ok = df.filter(col(errorCol).isNull).drop(errorCol)
+    val bad = df
+      .filter(col(errorCol).isNotNull)
+      .withColumn(errorCol, Scalars.flattenError(col(errorCol)))
+    (ok, bad)
+  }
+
+  /** K7 — skip-log: `channel_id|reason` lines (data_pipeline.py:545-548). */
+  def writeSkipLog(df: DataFrame, idCol: String, reasonCol: String, path: String): Unit =
+    df.filter(col(reasonCol).isNotNull)
+      .select(concat_ws("|", col(idCol), col(reasonCol)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** K4 — nested channel-meta JSON document write (one JSON text per
+    * channel row; pretty-printing is a display concern, not a data one).
+    */
+  def writeMetaJson(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** K5 — WAV segment sink: parquet with the encoded payload and
+    * metadata columns; filenames become a column, selection is a
+    * filter before the sink (audio_vad.py:59-62 + deletion at
+    * data_pipeline.py:680 collapse into `filter(selected)`).
+    */
+  def writeSegments(segments: DataFrame, path: String): Unit = {
+    val enc = udf { (samples: Seq[Double], sr: Int) =>
+      graft.signal.Signal.wavEncode(samples.toArray, sr)
+    }
+    segments
+      .filter(col("selected"))
+      .withColumn(
+        "file_name",
+        concat(col("video_id"), lit("_"), format_string("%08d", col("seg_idx")), lit(".wav"))
+      )
+      .withColumn("wav", enc(col("samples"), lit(16000)))
+      .drop("samples")
+      .write.mode("overwrite").parquet(path)
+  }
+}
+
+/** K6 — dataset publisher (HuggingFace upload in the reference,
+  * hf.py:35-48). Idempotent per (branch, batchId) so a re-run of a
+  * micro-batch can't double-publish; retry/backoff belongs to the
+  * implementation, failures surface as Left for the DLQ.
+  */
+trait Publisher extends Serializable {
+  def publish(batchId: Long, branch: String, files: DataFrame): Either[String, Long]
+}
+
+/** Local publisher: writes each batch under dir/branch/batch_<id> and
+  * records a commit marker, skipping batches already committed —
+  * mirrors the reference's resume-on-rerun behavior (T2) without a
+  * network.
+  */
+final class LocalPublisher(rootDir: String, failEvery: Int = 0) extends Publisher {
+  def publish(batchId: Long, branch: String, files: DataFrame): Either[String, Long] = {
+    val dir = new java.io.File(s"$rootDir/$branch/batch_$batchId")
+    val marker = new java.io.File(dir, "_COMMITTED")
+    if (marker.exists()) return Right(0L) // idempotent replay
+    if (failEvery > 0 && batchId % failEvery == failEvery - 1)
+      return Left(s"simulated publish failure for batch $batchId")
+    val n = files.count()
+    files.write.mode("overwrite").parquet(dir.getPath)
+    marker.createNewFile()
+    Right(n)
+  }
+}
+
+/** T3 — bounded retry with backoff (hf.py:7-24: 10 tries × 60 s for
+  * uploads; test code passes 0 sleep).
+  */
+object Retry {
+  def withRetry[A](tries: Int, sleepMs: Long)(f: => Either[String, A]): Either[String, A] = {
+    var last: Either[String, A] = Left("no attempt")
+    var i = 0
+    while (i < tries) {
+      last = f
+      if (last.isRight) return last
+      i += 1
+      if (i < tries && sleepMs > 0) Thread.sleep(sleepMs)
+    }
+    last
+  }
+}

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import graft.functions.Scalars
+import graft.io.{AudioFetcher, Publisher}
+import graft.meta.ChannelMeta
+import graft.schema._
+import graft.signal.Signal
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G4 — audio classification behind a batched trait (audio_ac.py:43-50:
+  * the reference batches all segments of a video into one model call).
+  */
+trait AudioClassifier extends Serializable {
+  def classifyBatch(batch: Seq[Array[Double]]): Seq[Seq[LabelScore]]
+}
+
+/** Deterministic fake classifier: periodic high-energy content scores
+  * as speech, aperiodic/low-energy as music/noise — enough structure
+  * for threshold tests without any model artifact (SURVEY §7.4 risk 5).
+  */
+object FakeClassifier extends AudioClassifier {
+  def classifyBatch(batch: Seq[Array[Double]]): Seq[Seq[LabelScore]] =
+    batch.map { w =>
+      if (w.isEmpty) Seq(LabelScore("Silence", 1.0))
+      else {
+        var e = 0.0
+        var zc = 0
+        var i = 1
+        while (i < w.length) {
+          e += w(i) * w(i)
+          if (w(i) * w(i - 1) < 0) zc += 1
+          i += 1
+        }
+        val rms = math.sqrt(e / w.length)
+        val zcr = zc.toDouble / w.length
+        if (rms > 0.05 && zcr < 0.2)
+          Seq(LabelScore("Speech", 0.93), LabelScore("Narration, monologue", 0.04),
+            LabelScore("Music", 0.02))
+        else if (rms > 0.05)
+          Seq(LabelScore("Music", 0.85), LabelScore("Speech", 0.10))
+        else
+          Seq(LabelScore("Sound effect", 0.6), LabelScore("Speech", 0.2))
+      }
+    }
+}
+
+/** The composed flagship dataflow (SURVEY §3.1), one logical plan:
+  *
+  *   channels → quota/gate → videos (flatMap S7) → anti-join ingested
+  *   (F4) → per-channel ordered fetch loop with early-abort (T4/O3/O6,
+  *   flatMapGroups) → VAD split (G1) → batched scoring (G2/G4/G5) →
+  *   selection (F3) → {segments, nested meta (A5), skip log (K7)}
+  *
+  * Audio bytes are born inside the per-channel task and flow through
+  * narrow transforms only — no waveform ever crosses a shuffle
+  * (SURVEY §4). Partitioning is by channel_id throughout, matching the
+  * reference's process-per-channel fan-out.
+  */
+object Pipeline {
+
+  final case class Config(
+      minSnr: Double = 20.0,
+      minSpeechScore: Double = 0.9,
+      channelMinVideos: Long = 5,
+      maxPremieres: Int = 3,
+      maxShortVideos: Int = 3,
+      maxOverQuotaAttempts: Int = 3,
+      minVideoDurationS: Long = 180,
+      /** videos shorter than this count toward the short-video abort
+        * (reference: 3 min, data_pipeline.py:622-632)
+        */
+      shortVideoS: Long = 180
+  )
+
+  /** One fetched (or skipped) video with its trimmed audio. */
+  final case class FetchedVideo(
+      channel_id: String, video_id: String, playlist_pos: Int,
+      status: String, duration_s: Long, sample_rate: Int, samples: Array[Double])
+
+  final case class ChannelSkip(channel_id: String, reason: String)
+
+  final case class Outputs(
+      segments: DataFrame,
+      metaAll: DataFrame,
+      metaSelected: DataFrame,
+      skips: Dataset[ChannelSkip],
+      videoErrors: DataFrame
+  )
+
+  /** channels: Schemas.channels shape; ingested: one `video_id` column
+    * (the T2 resume manifest as data).
+    */
+  def run(
+      spark: SparkSession,
+      channels: DataFrame,
+      ingested: DataFrame,
+      fetcher: AudioFetcher,
+      classifier: AudioClassifier,
+      cfg: Config = Config()
+  ): Outputs = {
+    import spark.implicits._
+
+    // ---- admission gate (F2) + quota (P2), skip reasons as data (K7)
+    val gated = channels
+      .withColumn("quota", Scalars.quotaForSubs(col("n_subs")))
+      .withColumn(
+        "skip_reason",
+        when(col("n_videos") < cfg.channelMinVideos, lit("NOT_ENOUGH_VIDEOS"))
+      )
+    val gateSkips = gated
+      .filter(col("skip_reason").isNotNull)
+      .select(col("id").as("channel_id"), col("skip_reason").as("reason"))
+      .as[ChannelSkip]
+    val admitted = gated.filter(col("skip_reason").isNull)
+
+    // ---- playlist enumeration (S7): 1 channel → N video rows
+    val videos = admitted
+      .select(col("id").as("channel_id"), col("url"), col("quota"))
+      .as[(String, String, Long)]
+      .flatMap { case (cid, url, quota) =>
+        fetcher.listVideoIds(url).zipWithIndex.map { case (vid, pos) =>
+          (cid, vid, pos, quota)
+        }
+      }
+      .toDF("channel_id", "video_id", "playlist_pos", "quota")
+
+    // ---- resume anti-join (F4/T2) BEFORE any fetch: plan construction
+    // places the filter below the side-effecting source (SURVEY §4)
+    val fresh = videos.join(ingested, Seq("video_id"), "left_anti")
+
+    // ---- per-channel ordered fetch loop with early-abort counters
+    // (T4/O3/O6): inherently sequential per group → flatMapGroups with
+    // an ordered iterator; emits fetched audio AND abort markers
+    val fetched: Dataset[FetchedVideo] = fresh
+      .select("channel_id", "video_id", "playlist_pos", "quota")
+      .as[(String, String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val vids = it.toArray.sortBy(_._3)
+        val quota = if (vids.isEmpty) 0L else vids.head._4
+        val target = cfg.minVideoDurationS * quota
+        val out = Seq.newBuilder[FetchedVideo]
+        var downloaded = 0L
+        var totalDur = 0L
+        var premieres = 0
+        var shorts = 0
+        var extra = 0
+        var abortReason: String = null
+        val iter = vids.iterator
+        while (iter.hasNext && abortReason == null) {
+          val (_, vid, pos, _) = iter.next()
+          if (downloaded >= quota && totalDur >= target) {
+            abortReason = "DONE"
+          } else {
+            if (downloaded >= quota) {
+              extra += 1
+              if (extra > cfg.maxOverQuotaAttempts) abortReason = "OVER_QUOTA_ATTEMPTS"
+            }
+            if (abortReason == null) {
+              val (status, bytes) = fetcher.fetchAudio(vid)
+              if (status != "OK") {
+                out += FetchedVideo(cid, vid, pos, status, 0L, 0, Array.emptyDoubleArray)
+                if (status == "PREMIERE_VIDEO" || status == "OFFLINE_VIDEO") {
+                  premieres += 1
+                  if (premieres > cfg.maxPremieres) abortReason = "TOO_MANY_PREMIERES"
+                }
+              } else {
+                val (sr, wav) = Signal.wavDecode(bytes)
+                val durS = wav.length.toLong / sr
+                if (durS < cfg.shortVideoS) {
+                  shorts += 1
+                  out += FetchedVideo(cid, vid, pos, "TOO_SHORT", durS, sr, Array.emptyDoubleArray)
+                  if (shorts > cfg.maxShortVideos) abortReason = "TOO_MANY_SHORT_VIDEOS"
+                } else {
+                  // trim rule (P3) then keep the audio in-task
+                  val dur = durS
+                  val (ss, to) =
+                    if (dur < 180L) (0L, dur)
+                    else if (dur > 2042L) (120L, dur - 120L)
+                    else (60L, dur - 60L)
+                  val cut = Signal.sliceSamples(wav, ss.toDouble, to.toDouble, sr)
+                  out += FetchedVideo(cid, vid, pos, "OK", to - ss, sr, cut)
+                  downloaded += 1
+                  totalDur += (to - ss)
+                }
+              }
+            }
+          }
+        }
+        if (abortReason != null && abortReason != "DONE")
+          out += FetchedVideo(cid, s"_abort_$abortReason", Int.MaxValue, "CHANNEL_ABORT", 0L, 0, Array.emptyDoubleArray)
+        out.result()
+      }
+
+    val fetchedCached = fetched.cache()
+
+    val videoErrors = fetchedCached
+      .filter(f => f.status != "OK" && f.status != "CHANNEL_ABORT")
+      .toDF()
+      .select("channel_id", "video_id", "playlist_pos", "status")
+
+    val abortSkips = fetchedCached
+      .filter(_.status == "CHANNEL_ABORT")
+      .map(f => ChannelSkip(f.channel_id, f.video_id.stripPrefix("_abort_")))
+
+    // ---- VAD split (G1) + batched per-video scoring (G2/G4/G5):
+    // narrow flatMap in the same stage — waveforms stay partition-local
+    val segments: Dataset[SegmentRow] = fetchedCached
+      .filter(_.status == "OK")
+      .flatMap { fv =>
+        val sixteenK =
+          if (fv.sample_rate == 16000) fv.samples
+          else Signal.resampleLinear(fv.samples, fv.sample_rate, 16000)
+        val segs = Signal.energyVad(sixteenK)
+        val waves = segs.map(s => sixteenK.slice(s.start.toInt, s.end.toInt))
+        val preds = classifier.classifyBatch(waves) // one batch per video (G4)
+        segs.zipWithIndex.map { case (seg, i) =>
+          val w = waves(i)
+          val snr = Signal.wadaSnr(w)
+          val score = preds(i).foldLeft(0.0) { (acc, ls) =>
+            val wgt =
+              if (Scalars.positiveLabels.contains(ls.label)) 1.0
+              else if (Scalars.negativeLabels.contains(ls.label)) -1.0
+              else 0.0
+            acc + wgt * ls.score
+          }
+          SegmentRow(
+            fv.channel_id, fv.video_id, i, VadSpan(seg.start, seg.end),
+            samples = Seq.empty, // payload dropped post-scoring (disk-prune analog)
+            snr = snr,
+            speech_score = score,
+            selected = snr >= cfg.minSnr && score >= cfg.minSpeechScore
+          )
+        }
+      }
+
+    val segDf = segments.toDF().cache()
+
+    Outputs(
+      segments = segDf,
+      metaAll = ChannelMeta.build(segDf, selectedOnly = false),
+      metaSelected = ChannelMeta.buildSelected(segDf),
+      skips = gateSkips.union(abortSkips),
+      videoErrors = videoErrors
+    )
+  }
+}

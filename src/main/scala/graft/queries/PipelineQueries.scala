@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.io.FakeAudioFetcher
+import graft.pipeline.{FakeClassifier, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** The composed flagship dataflow (SURVEY §3.1) as a registered query:
+  * a channel catalog derived from `customer` runs through the full
+  * fetch→VAD→score→select→meta chain over the deterministic offline
+  * fakes. Rows-only check — the chain's relational pieces are each
+  * oracle-checked individually by the other query files.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pipeline_e2e",
+      covers = "S7,S8,S9,G1,G2,G4,G5,F2,F3,F4,O3,O6,T4,A3,A5,K7",
+      fn = (s, dir) => {
+        // ~1 channel per 97 customers keeps the fake-ingest cost nearly
+        // flat across scale factors while still scaling with the data
+        val channels = table(s, dir, "customer")
+          .filter(col("c_custkey") % 97L === 0L)
+          .select(
+            col("c_name").as("title"),
+            concat(lit("UC"), format_string("%022d", col("c_custkey"))).as("id"),
+            (col("c_custkey") % 40L + 5L).as("n_videos"),
+            (col("c_custkey") * 31L % 1000000L).as("n_views"),
+            (col("c_custkey") * 9973L % 250000L).as("n_subs"),
+            concat(lit("@h"), col("c_custkey")).as("custom_url"),
+            lit(null).cast("string").as("email"),
+            concat(lit("https://yt/c/"), col("c_custkey")).as("url")
+          )
+        val ingested = s.range(0, 0).select(col("id").cast("string").as("video_id"))
+        val out = Pipeline.run(
+          s, channels, ingested,
+          new FakeAudioFetcher(segmentSeconds = 4),
+          FakeClassifier,
+          Pipeline.Config(minSnr = 12.0, minSpeechScore = 0.5,
+            minVideoDurationS = 8, shortVideoS = 5)
+        )
+        // summary: per-channel segment/selection stats + meta rollup
+        out.segments
+          .groupBy("channel_id")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            count(when(col("selected"), 1)).as("n_selected"),
+            min(col("snr")).as("min_snr"),
+            max(col("snr")).as("max_snr")
+          )
+          .orderBy("channel_id")
+      },
+      oracle = None,
+      doc = "end-to-end flagship pipeline over deterministic fakes " +
+        "(data_pipeline.py main loop, SURVEY §3.1)"
+    )
+  )
+}

@@ -39,7 +39,8 @@ object Registry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      DomainQueries.defs
+      DomainQueries.defs ++
+      PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

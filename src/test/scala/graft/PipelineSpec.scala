@@ -1,0 +1,159 @@
+package graft
+
+import graft.io.{FakeAudioFetcher, FakeChannelApi, LocalPublisher, Retry, Sinks, Sources}
+import graft.pipeline.{FakeClassifier, Pipeline}
+import graft.multimodal.{Multimodal, StubImageDecoder, WavFeatureDecoder}
+import graft.signal.Signal
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline over fakes (SURVEY §5 item 5): fixture audio →
+  * segments → scores → selection → nested meta, golden-shape checked.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkChannels(ids: (String, Long, Long)*) =
+    ids.toSeq
+      .map { case (id, nVideos, nSubs) =>
+        (s"title-$id", id, nVideos, 1000L, nSubs, s"@$id", null: String, s"https://yt/c/$id")
+      }
+      .toDF("title", "id", "n_videos", "n_views", "n_subs", "custom_url", "email", "url")
+
+  private lazy val outputs = Pipeline.run(
+    spark,
+    mkChannels(("UC_a", 20L, 5000L), ("UC_b", 30L, 50000L), ("UC_small", 2L, 9999L)),
+    ingested = Seq.empty[String].toDF("video_id"),
+    fetcher = new FakeAudioFetcher(segmentSeconds = 4),
+    classifier = FakeClassifier,
+    cfg = Pipeline.Config(minSnr = 15.0, minSpeechScore = 0.5,
+      minVideoDurationS = 8, shortVideoS = 5)
+  )
+
+  test("small channel is gated out with a reason (F2/K7)") {
+    val skips = outputs.skips.collect()
+    assert(skips.exists(s => s.channel_id == "UC_small" && s.reason == "NOT_ENOUGH_VIDEOS"))
+  }
+
+  test("segments exist, are scored, and selection respects thresholds (F3)") {
+    val segs = outputs.segments.collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val snr = r.getAs[Double]("snr")
+      val sc = r.getAs[Double]("speech_score")
+      val sel = r.getAs[Boolean]("selected")
+      assert(sel == (snr >= 15.0 && sc >= 0.5))
+    }
+    assert(segs.exists(_.getAs[Boolean]("selected")))
+  }
+
+  test("typed error statuses surface as data, not exceptions (S8/K3)") {
+    val statuses = outputs.videoErrors.select("status").distinct().as[String].collect().toSet
+    assert(statuses.subsetOf(Set("PREMIERE_VIDEO", "OFFLINE_VIDEO", "NO_OUTPUT_FILE", "TOO_SHORT")))
+    assert(statuses.nonEmpty)
+  }
+
+  test("nested meta: map<video_id, array<segment>> with ordered idx (A5)") {
+    val meta = outputs.metaAll.collect()
+    assert(meta.nonEmpty)
+    val videos = meta.head.getAs[Map[String, collection.Seq[org.apache.spark.sql.Row]]]("videos")
+    assert(videos.nonEmpty)
+    val segs = videos.values.head
+    val idxs = segs.map(_.getAs[String]("idx"))
+    assert(idxs == idxs.sorted)
+    assert(idxs.head.length == 8) // zfill(8), audio_vad.py:60
+    assert(segs.head.getAs[String]("url").startsWith("https://www.youtube.com/embed/"))
+  }
+
+  test("selected meta carries only the slim projection (data_pipeline.py:671-676)") {
+    val row = outputs.metaSelected.limit(1).collect()
+    if (row.nonEmpty) {
+      val segs = row.head.getAs[Map[String, collection.Seq[org.apache.spark.sql.Row]]]("videos").values.head
+      assert(segs.head.schema.fieldNames.toSet == Set("idx", "url", "start", "end"))
+    }
+  }
+
+  test("resume: ingested videos are never fetched again (F4/T2)") {
+    val all = outputs.segments.select("video_id").distinct().as[String].collect()
+    val out2 = Pipeline.run(
+      spark,
+      mkChannels(("UC_a", 20L, 5000L)),
+      ingested = all.toSeq.toDF("video_id"),
+      fetcher = new FakeAudioFetcher(4),
+      classifier = FakeClassifier,
+      cfg = Pipeline.Config(minSnr = 15.0, minSpeechScore = 0.5,
+        minVideoDurationS = 8, shortVideoS = 5)
+    )
+    val again = out2.segments.select("video_id").distinct().as[String].collect().toSet
+    assert(again.intersect(all.toSet).isEmpty)
+  }
+}
+
+class IoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("channelsCsv scan types counters and nulls N/A (S1)") {
+    val dir = Files.createTempDirectory("graftcsv").toFile
+    val f = new java.io.File(dir, "channels.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("title,id,n_videos,n_views,n_subs,custom_url,email,url")
+    w.println("Kênh Việt,UC001,12,N/A,15000,@viet,a@b.com,https://yt/1")
+    w.println("other,UC002,N/A,5,N/A,,,https://yt/2")
+    w.close()
+    val df = Sources.channelsCsv(spark, f.getPath)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Long]("n_subs") == 15000L)
+    assert(rows(0).getAs[String]("title") == "Kênh Việt")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n_videos")))
+  }
+
+  test("dlqSplit branches errors with flattened text (K3)") {
+    val df = Seq(("a", null: String), ("b", "boom\nline2")).toDF("id", "error")
+    val (ok, bad) = Sinks.dlqSplit(df)
+    assert(ok.select("id").as[String].collect().toSeq == Seq("a"))
+    assert(bad.select("error").as[String].head() == "boom line2")
+  }
+
+  test("fake channel API respects the 50-id batch contract (S6/O5)") {
+    intercept[IllegalArgumentException](FakeChannelApi.lookup((1 to 51).map(_.toString)))
+    val found = FakeChannelApi.lookup((1 to 50).map(i => s"UC$i"))
+    assert(found.nonEmpty && found.size <= 50)
+  }
+
+  test("publisher is idempotent per batch and retry recovers (K6/T3)") {
+    val dir = Files.createTempDirectory("graftpub").toString
+    val pub = new LocalPublisher(dir, failEvery = 2)
+    val df = Seq((1, "x")).toDF("a", "b")
+    // batch 1 fails every first try (failEvery=2 → batchId 1 fails)
+    val r1 = Retry.withRetry(3, 0)(pub.publish(0L, "main", df))
+    assert(r1.isRight)
+    // replay of a committed batch is a no-op
+    val r2 = pub.publish(0L, "main", df)
+    assert(r2 == Right(0L))
+  }
+
+  test("wav file scan round-trips through binaryFile source (S9)") {
+    val dir = Files.createTempDirectory("graftwav").toFile
+    val wav = Signal.wavEncode(Array.tabulate(1600)(i => 0.5 * math.sin(i * 0.1)), 16000)
+    Files.write(new java.io.File(dir, "seg.wav").toPath, wav)
+    val df = Sources.wavFiles(spark, dir.getPath)
+    val row = df.collect().head
+    assert(row.getAs[Int]("sample_rate") == 16000)
+    assert(row.getAs[collection.Seq[Double]]("samples").size == 1600)
+  }
+
+  test("multimodal describe + batched feature extraction") {
+    val wav = Signal.wavEncode(Array.tabulate(3200)(i => 0.4 * math.sin(i * 0.2)), 16000)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++ Array.fill(64)(7.toByte)
+    val df = Seq((1L, wav), (2L, png)).toDF("id", "payload")
+    val desc = Multimodal.describe(df, "payload").orderBy("id").collect()
+    assert(desc(0).getAs[String]("kind") == "audio/wav")
+    assert(desc(1).getAs[String]("kind") == "image/png")
+    val wavFeats = Multimodal.extractFeatures(df.filter($"id" === 1L), "id", "payload", WavFeatureDecoder)
+    val f = wavFeats.collect().head.getAs[collection.Seq[Float]]("features")
+    assert(f.size == WavFeatureDecoder.featureDim)
+    assert(math.abs(f.head - 0.2f) < 0.01) // 3200 samples / 16 kHz
+    val imgFeats = Multimodal.extractFeatures(df.filter($"id" === 2L), "id", "payload", StubImageDecoder)
+    assert(imgFeats.collect().head.getAs[collection.Seq[Float]]("features").size == 16)
+  }
+}
