@@ -54,10 +54,13 @@ object Dedup {
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // skew guard costs a shuffle — skip it entirely when disabled
+    val rare =
+      if (maxDf == Long.MaxValue) sh
+      else
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("df") <= maxDf)
+          .drop("df")
     val a = rare.select(col(idCol).as("a"), col("shingle"))
     val b = rare.select(col(idCol).as("b"), col("shingle"))
     val common = a
@@ -120,7 +123,14 @@ object Dedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+    // one shingle pass feeds signatures, sizes, and verification
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val x = sh.withColumn("x", pmod(xxhash64(col("shingle")), lit(MinHashP)))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("x") * a + b, lit(MinHashP))).as(s"mh_$i")
+    }
+    val sig = x.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("h"))
@@ -135,8 +145,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    // verify candidates with exact Jaccard on their shingle sets
-    val sh = shingles(df, idCol, textCol, n)
+    // verify candidates with exact Jaccard on their (cached) shingle sets
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val withA = cand.join(
       sh.select(col(idCol).as("a"), col("shingle")),

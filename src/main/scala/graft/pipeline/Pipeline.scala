@@ -73,10 +73,16 @@ object Pipeline {
       shortVideoS: Long = 180
   )
 
-  /** One fetched (or skipped) video with its trimmed audio. */
-  final case class FetchedVideo(
+  /** One flat event from the per-channel loop: a scored segment, a
+    * video error, or a channel abort — slim rows only; waveforms are
+    * processed and dropped inside the loop, never materialized across
+    * stages (the OOM-proofing that matters at 100 TB).
+    */
+  final case class PipelineEvent(
+      kind: String, // SEGMENT | VIDEO_ERROR | CHANNEL_ABORT
       channel_id: String, video_id: String, playlist_pos: Int,
-      status: String, duration_s: Long, sample_rate: Int, samples: Array[Double])
+      status: String, seg_idx: Int, start: Long, end: Long,
+      snr: Double, speech_score: Double, selected: Boolean)
 
   final case class ChannelSkip(channel_id: String, reason: String)
 
@@ -129,10 +135,11 @@ object Pipeline {
     // places the filter below the side-effecting source (SURVEY §4)
     val fresh = videos.join(ingested, Seq("video_id"), "left_anti")
 
-    // ---- per-channel ordered fetch loop with early-abort counters
-    // (T4/O3/O6): inherently sequential per group → flatMapGroups with
-    // an ordered iterator; emits fetched audio AND abort markers
-    val fetched: Dataset[FetchedVideo] = fresh
+    // ---- per-channel ordered fetch→VAD→score loop with early-abort
+    // counters (T4/O3/O6 + G1/G2/G4/G5): inherently sequential per
+    // group → flatMapGroups with an ordered iterator. One video's
+    // waveform lives at a time; only slim scored rows leave the task.
+    val events: Dataset[PipelineEvent] = fresh
       .select("channel_id", "video_id", "playlist_pos", "quota")
       .as[(String, String, Int, Long)]
       .groupByKey(_._1)
@@ -140,7 +147,9 @@ object Pipeline {
         val vids = it.toArray.sortBy(_._3)
         val quota = if (vids.isEmpty) 0L else vids.head._4
         val target = cfg.minVideoDurationS * quota
-        val out = Seq.newBuilder[FetchedVideo]
+        val out = Seq.newBuilder[PipelineEvent]
+        def ev(vid: String, pos: Int, kind: String, status: String) =
+          PipelineEvent(kind, cid, vid, pos, status, -1, 0L, 0L, 0.0, 0.0, selected = false)
         var downloaded = 0L
         var totalDur = 0L
         var premieres = 0
@@ -160,7 +169,7 @@ object Pipeline {
             if (abortReason == null) {
               val (status, bytes) = fetcher.fetchAudio(vid)
               if (status != "OK") {
-                out += FetchedVideo(cid, vid, pos, status, 0L, 0, Array.emptyDoubleArray)
+                out += ev(vid, pos, "VIDEO_ERROR", status)
                 if (status == "PREMIERE_VIDEO" || status == "OFFLINE_VIDEO") {
                   premieres += 1
                   if (premieres > cfg.maxPremieres) abortReason = "TOO_MANY_PREMIERES"
@@ -170,17 +179,34 @@ object Pipeline {
                 val durS = wav.length.toLong / sr
                 if (durS < cfg.shortVideoS) {
                   shorts += 1
-                  out += FetchedVideo(cid, vid, pos, "TOO_SHORT", durS, sr, Array.emptyDoubleArray)
+                  out += ev(vid, pos, "VIDEO_ERROR", "TOO_SHORT")
                   if (shorts > cfg.maxShortVideos) abortReason = "TOO_MANY_SHORT_VIDEOS"
                 } else {
-                  // trim rule (P3) then keep the audio in-task
-                  val dur = durS
+                  // trim rule (P3), then VAD + batched scoring in-task
                   val (ss, to) =
-                    if (dur < 180L) (0L, dur)
-                    else if (dur > 2042L) (120L, dur - 120L)
-                    else (60L, dur - 60L)
+                    if (durS < 180L) (0L, durS)
+                    else if (durS > 2042L) (120L, durS - 120L)
+                    else (60L, durS - 60L)
                   val cut = Signal.sliceSamples(wav, ss.toDouble, to.toDouble, sr)
-                  out += FetchedVideo(cid, vid, pos, "OK", to - ss, sr, cut)
+                  val sixteenK =
+                    if (sr == 16000) cut else Signal.resampleLinear(cut, sr, 16000)
+                  val segs = Signal.energyVad(sixteenK)
+                  val waves = segs.map(s => sixteenK.slice(s.start.toInt, s.end.toInt))
+                  val preds = classifier.classifyBatch(waves) // one batch per video (G4)
+                  segs.zipWithIndex.foreach { case (seg, i) =>
+                    val snr = Signal.wadaSnr(waves(i))
+                    val score = preds(i).foldLeft(0.0) { (acc, ls) =>
+                      val wgt =
+                        if (Scalars.positiveLabels.contains(ls.label)) 1.0
+                        else if (Scalars.negativeLabels.contains(ls.label)) -1.0
+                        else 0.0
+                      acc + wgt * ls.score
+                    }
+                    out += PipelineEvent(
+                      "SEGMENT", cid, vid, pos, "OK", i, seg.start, seg.end,
+                      snr, score,
+                      selected = snr >= cfg.minSnr && score >= cfg.minSpeechScore)
+                  }
                   downloaded += 1
                   totalDur += (to - ss)
                 }
@@ -189,53 +215,28 @@ object Pipeline {
           }
         }
         if (abortReason != null && abortReason != "DONE")
-          out += FetchedVideo(cid, s"_abort_$abortReason", Int.MaxValue, "CHANNEL_ABORT", 0L, 0, Array.emptyDoubleArray)
+          out += ev(s"_abort", Int.MaxValue, "CHANNEL_ABORT", abortReason)
         out.result()
       }
 
-    val fetchedCached = fetched.cache()
+    val cached = events.toDF().cache()
 
-    val videoErrors = fetchedCached
-      .filter(f => f.status != "OK" && f.status != "CHANNEL_ABORT")
-      .toDF()
+    val videoErrors = cached
+      .filter(col("kind") === "VIDEO_ERROR")
       .select("channel_id", "video_id", "playlist_pos", "status")
 
-    val abortSkips = fetchedCached
-      .filter(_.status == "CHANNEL_ABORT")
-      .map(f => ChannelSkip(f.channel_id, f.video_id.stripPrefix("_abort_")))
+    val abortSkips = cached
+      .filter(col("kind") === "CHANNEL_ABORT")
+      .select(col("channel_id"), col("status").as("reason"))
+      .as[ChannelSkip]
 
-    // ---- VAD split (G1) + batched per-video scoring (G2/G4/G5):
-    // narrow flatMap in the same stage — waveforms stay partition-local
-    val segments: Dataset[SegmentRow] = fetchedCached
-      .filter(_.status == "OK")
-      .flatMap { fv =>
-        val sixteenK =
-          if (fv.sample_rate == 16000) fv.samples
-          else Signal.resampleLinear(fv.samples, fv.sample_rate, 16000)
-        val segs = Signal.energyVad(sixteenK)
-        val waves = segs.map(s => sixteenK.slice(s.start.toInt, s.end.toInt))
-        val preds = classifier.classifyBatch(waves) // one batch per video (G4)
-        segs.zipWithIndex.map { case (seg, i) =>
-          val w = waves(i)
-          val snr = Signal.wadaSnr(w)
-          val score = preds(i).foldLeft(0.0) { (acc, ls) =>
-            val wgt =
-              if (Scalars.positiveLabels.contains(ls.label)) 1.0
-              else if (Scalars.negativeLabels.contains(ls.label)) -1.0
-              else 0.0
-            acc + wgt * ls.score
-          }
-          SegmentRow(
-            fv.channel_id, fv.video_id, i, VadSpan(seg.start, seg.end),
-            samples = Seq.empty, // payload dropped post-scoring (disk-prune analog)
-            snr = snr,
-            speech_score = score,
-            selected = snr >= cfg.minSnr && score >= cfg.minSpeechScore
-          )
-        }
-      }
-
-    val segDf = segments.toDF().cache()
+    val segDf = cached
+      .filter(col("kind") === "SEGMENT")
+      .select(
+        col("channel_id"), col("video_id"), col("seg_idx"),
+        struct(col("start"), col("end")).as("vad"),
+        col("snr"), col("speech_score"), col("selected")
+      )
 
     Outputs(
       segments = segDf,
@@ -245,4 +246,5 @@ object Pipeline {
       videoErrors = videoErrors
     )
   }
+
 }

@@ -59,12 +59,15 @@ object AggWindowQueries {
             count(when(col("value") > 100.0d, 1)).as("n_ac_ok"),
             count(lit(1)).as("n_total")
           )
-        // global max via an empty-partition window: one extra exchange
-        // of the already-aggregated (150-row) side only.
-        val w = Window.partitionBy()
+        // global max as a 1-row aggregate broadcast back — unlike an
+        // empty-partition window this never funnels the (at scale,
+        // huge) per-key table through a single partition.
+        val maxes = counts.agg(
+          max(col("n_snr_ok")).as("mx_snr"),
+          max(col("n_ac_ok")).as("mx_ac")
+        )
         counts
-          .withColumn("mx_snr", max(col("n_snr_ok")).over(w))
-          .withColumn("mx_ac", max(col("n_ac_ok")).over(w))
+          .crossJoin(broadcast(maxes))
           .withColumn(
             "score",
             col("n_snr_ok").cast("double") / col("mx_snr").cast("double") +
@@ -366,12 +369,16 @@ object AggWindowQueries {
         count(when(col("value") > 20.0d, 1)).as("n_snr_ok"),
         count(when(col("value") > 100.0d, 1)).as("n_ac_ok")
       )
-    val w = Window.partitionBy()
+    val maxes = qual.agg(
+      max(col("n_snr_ok")).as("mx_snr"),
+      max(col("n_ac_ok")).as("mx_ac")
+    )
     val scored = qual
+      .crossJoin(broadcast(maxes))
       .withColumn(
         "score",
-        col("n_snr_ok").cast("double") / max(col("n_snr_ok")).over(w).cast("double") +
-          col("n_ac_ok").cast("double") / max(col("n_ac_ok")).over(w).cast("double")
+        col("n_snr_ok").cast("double") / col("mx_snr").cast("double") +
+          col("n_ac_ok").cast("double") / col("mx_ac").cast("double")
       )
     chan
       .join(scored, chan("c_custkey") === scored("user_id"), "inner")

@@ -18,10 +18,10 @@ object PipelineQueries {
       "q_pipeline_e2e",
       covers = "S7,S8,S9,G1,G2,G4,G5,F2,F3,F4,O3,O6,T4,A3,A5,K7",
       fn = (s, dir) => {
-        // ~1 channel per 97 customers keeps the fake-ingest cost nearly
-        // flat across scale factors while still scaling with the data
+        // ~1 channel per 211 customers keeps the fake-ingest cost low
+        // across scale factors while still scaling with the data
         val channels = table(s, dir, "customer")
-          .filter(col("c_custkey") % 97L === 0L)
+          .filter(col("c_custkey") % 211L === 0L)
           .select(
             col("c_name").as("title"),
             concat(lit("UC"), format_string("%022d", col("c_custkey"))).as("id"),
