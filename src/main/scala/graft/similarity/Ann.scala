@@ -88,12 +88,19 @@ object Ann {
       .select(col(idA), col("rank"), col(idB), col("cos"))
   }
 
-  /** Fast double-precision cosine via zip_with/aggregate HOFs — stays in
-    * whole-stage codegen, no explode, no shuffle beyond the final top-k.
+  /** Fast double-precision cosine via the native codegen'd
+    * ArrayDotProduct expression (graft.plans) — a tight primitive loop
+    * inside WholeStageCodegen instead of per-element HOF lambda calls.
     * Candidate × probe pairing happens through a broadcast crossJoin of
     * the (small) probe side.
     */
-  def cosineFast(vecA: Column, vecB: Column): Column = {
+  def cosineFast(vecA: Column, vecB: Column): Column =
+    graft.plans.ArrayOps.array_cosine(vecA, vecB)
+
+  /** HOF formulation kept for comparison/tests: zip_with + aggregate —
+    * correct and shuffle-free, but interprets a lambda per element.
+    */
+  def cosineHof(vecA: Column, vecB: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),

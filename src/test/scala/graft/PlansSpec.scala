@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.ArrayOps
+import graft.signal.Signal
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: codegen path vs interpreted vs HOF
+  * parity, null semantics, SQL registration.
+  */
+class PlansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0, 1.0, 1.0)),
+    (3L, null.asInstanceOf[Array[Float]], Array(1.0, 2.0, 3.0))
+  ).toDF("id", "vf", "vd")
+
+  test("array_dot: float×double arrays, null propagation") {
+    val got = vecs
+      .select($"id", ArrayOps.array_dot($"vf", $"vd").as("dot"))
+      .orderBy("id")
+      .collect()
+    assert(got(0).getDouble(1) == 1.0 * 4 + 2 * 5 + 3 * 6)
+    assert(got(1).getDouble(1) == 0.0)
+    assert(got(2).isNullAt(1))
+  }
+
+  test("array_dot matches HOF cosine on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(
+        Ann.cosineFast($"a.embedding", $"b.embedding").as("native"),
+        Ann.cosineHof($"a.embedding", $"b.embedding").as("hof")
+      )
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("wada_snr expression matches the Scala function") {
+    val wave = Array.tabulate(2000) { i =>
+      val t = math.sin(0.19634954 * (i + 1)); t * t * t + 0.01 * math.sin(78.233 * i)
+    }
+    val expected = Signal.wadaSnr(wave)
+    val got = Seq(Tuple1(wave)).toDF("w")
+      .select(ArrayOps.wada_snr_native($"w"))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("SQL registration: array_dot and wada_snr callable from SQL") {
+    ArrayOps.register(spark)
+    vecs.createOrReplaceTempView("plans_vecs")
+    val r = spark.sql(
+      "SELECT id, array_dot(vf, vd) AS d, wada_snr(vd) AS s FROM plans_vecs WHERE id = 1"
+    ).head()
+    assert(r.getDouble(1) == 32.0)
+    assert(!r.isNullAt(2))
+  }
+
+  test("type check rejects non-array input with a clear message") {
+    val err = intercept[Exception] {
+      vecs.select(ArrayOps.array_dot($"id", $"vd")).collect()
+    }
+    assert(err.getMessage.contains("array_dot") || err.getMessage.toLowerCase.contains("type"))
+  }
+}
