@@ -325,6 +325,53 @@ object AggWindowQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_o7_sessionize",
+      covers = "O6,T1,D3",
+      fn = (s, dir) => {
+        // gap-based sessionization: new session when >1h since the
+        // previous event. Raw nanosecond longs keep the gap arithmetic
+        // integer-exact on both engines.
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        table(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                col("ts") - col("prev_ts") >= 3600L * 1000000000L,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn("session_id", sum(col("new_sess")).over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"),
+            expr("(max(ts) - min(ts)) div 1000000000").as("dur_s")
+          )
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+          |f AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+          |        OR tns - lag(tns) OVER w >= 3600000000000 THEN 1 ELSE 0 END AS new_sess
+          |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+          |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+          |        ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |      FROM f)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |       min(event_id) AS first_event, max(event_id) AS last_event,
+          |       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS dur_s
+          |FROM s GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin
+      ),
+      doc = "gap-based sessionization via lag + running sum — the batch " +
+        "face of session windows"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_flagship_quality_join",
       covers = "S1,S2,U1,D1,F1,A1,A2,J1,O1,O2,P1",
       fn = (s, dir) => flagship(s, dir),

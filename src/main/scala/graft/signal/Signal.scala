@@ -175,6 +175,63 @@ object Signal {
   }
 
   // ------------------------------------------------------------------
+  // G3 — alternative SNR estimators (snr_dev.ipynb c0/c9): evaluated
+  // offline in the reference and not shipped in its pipeline; provided
+  // here for the same labeled-fixture comparisons.
+  // ------------------------------------------------------------------
+
+  /** Frame-based SNR: per 2048-sample frame (hop 512), frame SNR =
+    * 10·log10(frame energy / noise-floor energy) with the noise floor
+    * taken as the 10th-percentile frame energy; returns the mean frame
+    * SNR. NaN-free: degenerate input → 0 (divergence note: the
+    * reference maps NaN → 0 explicitly).
+    */
+  def frameSnr(wav: Array[Double], frame: Int = 2048, hop: Int = 512): Double = {
+    if (wav == null || wav.length < frame) return 0.0
+    val energies = Iterator
+      .range(0, wav.length - frame + 1, hop)
+      .map { s =>
+        var acc = 0.0
+        var i = s
+        while (i < s + frame) { acc += wav(i) * wav(i); i += 1 }
+        acc / frame
+      }
+      .toArray
+    if (energies.isEmpty) return 0.0
+    val sorted = energies.sorted
+    val floor = math.max(1e-12, sorted(math.max(0, sorted.length / 10 - 1).max(0)))
+    val mean = energies.map(e => 10.0 * math.log10(math.max(e, 1e-12) / floor)).sum /
+      energies.length
+    if (mean.isNaN) 0.0 else mean
+  }
+
+  /** RMS-threshold SNR: frames with RMS below `threshold` are noise,
+    * the rest speech; SNR = 10·log10(speechPower/noisePower). All-noise
+    * or all-speech input → 0 (reference: NaN → 0).
+    */
+  def rmsThresholdSnr(wav: Array[Double], threshold: Double = 0.02,
+      frame: Int = 512): Double = {
+    if (wav == null || wav.length < frame) return 0.0
+    var sSum = 0.0; var sN = 0L
+    var nSum = 0.0; var nN = 0L
+    var s = 0
+    while (s + frame <= wav.length) {
+      var acc = 0.0
+      var i = s
+      while (i < s + frame) { acc += wav(i) * wav(i); i += 1 }
+      val p = acc / frame
+      if (math.sqrt(p) < threshold) { nSum += p; nN += 1 }
+      else { sSum += p; sN += 1 }
+      s += frame
+    }
+    if (sN == 0 || nN == 0 || nSum == 0.0) 0.0
+    else {
+      val r = 10.0 * math.log10((sSum / sN) / (nSum / nN))
+      if (r.isNaN) 0.0 else r
+    }
+  }
+
+  // ------------------------------------------------------------------
   // G6/G7 — slice & duration (array ops; also available as Columns).
   // ------------------------------------------------------------------
 
