@@ -95,6 +95,53 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_vocab",
+      covers = "vocab,token-count,D3,O2",
+      fn = (s, dir) =>
+        TextAnalysis
+          .vocabulary(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("tf_corpus").desc, col("token").asc)
+          .limit(100),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |           FROM documents)
+          |SELECT token, count(*) AS tf_corpus,
+          |       count(DISTINCT doc_id) AS df_docs
+          |FROM t WHERE length(token) > 0
+          |GROUP BY token ORDER BY tf_corpus DESC, token ASC LIMIT 100""".stripMargin
+      ),
+      doc = "corpus vocabulary + document frequencies, top-100 terms"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_tfidf",
+      covers = "tfidf",
+      fn = (s, dir) =>
+        // counts are SQL-checked integer-exact; the float idf product
+        // stays in the library (TextAnalysis.tfIdf) — cross-engine libm
+        // log() is not bit-stable
+        TextAnalysis
+          .tfIdf(table(s, dir, "documents"), "doc_id", "text")
+          .filter(col("doc_id") < 50L)
+          .select("doc_id", "token", "tf", "df_docs", "n_docs")
+          .orderBy("doc_id", "token"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |           FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+          |       WHERE length(token) > 0 GROUP BY doc_id, token),
+          |dfreq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+          |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs, n.n_docs
+          |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+          |WHERE tf.doc_id < 50
+          |ORDER BY doc_id, token""".stripMargin
+      ),
+      doc = "TF-IDF relational core: per-doc term counts ⋈ broadcast " +
+        "document frequencies ⋈ corpus size"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_fingerprint",
       covers = "fingerprint",
       fn = (s, dir) => {

