@@ -110,6 +110,16 @@ object FakeChannelApi extends ChannelApi {
 
 final class FakeAudioFetcher(segmentSeconds: Int = 4) extends AudioFetcher {
   private def h(s: String): Long = math.abs(s.hashCode.toLong)
+  private val sr = 16000
+
+  // burst templates computed once per executor — synthesis is then
+  // per-sample adds instead of 10^8 Math.sin calls
+  @transient private lazy val tone: Array[Double] =
+    Array.tabulate(segmentSeconds * sr) { i =>
+      val t = math.sin(0.19634954 * (i + 1)); t * t * t
+    }
+  @transient private lazy val noiseBase: Array[Double] =
+    Array.tabulate(segmentSeconds * sr + 8)(i => math.sin(78.233 * (i + 1)))
 
   def listVideoIds(channelUrl: String): Seq[String] = {
     val n = (h(channelUrl) % 40 + 5).toInt
@@ -125,17 +135,22 @@ final class FakeAudioFetcher(segmentSeconds: Int = 4) extends AudioFetcher {
     if (k % 17 == 0) return ("PREMIERE_VIDEO", Array.emptyByteArray)
     if (k % 19 == 0) return ("OFFLINE_VIDEO", Array.emptyByteArray)
     if (k % 23 == 0) return ("NO_OUTPUT_FILE", Array.emptyByteArray)
-    val sr = 16000
     val noise = 0.0002 * (1 + k % 400) // 0.0002 .. 0.08 → WADA SNR ~28 down to ~8
     val nBursts = (k % 3 + 2).toInt
-    val parts = (0 until nBursts).flatMap { b =>
-      val burst = Array.tabulate(segmentSeconds * sr) { i =>
-        val t = math.sin(0.19634954 * (i + 1))
-        t * t * t + noise * math.sin(78.233 * (i + 1 + b))
+    val burstLen = segmentSeconds * sr
+    val silLen = sr / 2
+    val out = new Array[Double](nBursts * (burstLen + silLen))
+    var b = 0
+    while (b < nBursts) {
+      val base = b * (burstLen + silLen)
+      var i = 0
+      while (i < burstLen) {
+        out(base + i) = tone(i) + noise * noiseBase(i + b)
+        i += 1
       }
-      val silence = Array.fill(sr / 2)(noise * 0.1)
-      burst.toSeq ++ silence.toSeq
+      java.util.Arrays.fill(out, base + burstLen, base + burstLen + silLen, noise * 0.1)
+      b += 1
     }
-    ("OK", graft.signal.Signal.wavEncode(parts.toArray, sr))
+    ("OK", graft.signal.Signal.wavEncode(out, sr))
   }
 }
