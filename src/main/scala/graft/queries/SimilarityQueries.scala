@@ -109,6 +109,22 @@ object SimilarityQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_ann_topk_ivf",
+      covers = "ann-ivf",
+      fn = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+        Ann
+          .topKIvf(idx, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .orderBy("probe_id", "rank")
+      },
+      oracle = None, // k-means quantizer; recall < 1 by design
+      doc = "IVF (k-means coarse quantizer) top-k: probes scan " +
+        "~nProbe/nLists of the corpus — FAISS-style scale path"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_embedding_cosine",
       covers = "dedup-embedding",
       fn = (s, dir) =>

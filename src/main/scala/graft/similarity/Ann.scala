@@ -182,6 +182,109 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer → per-list
+  // candidate scan. Centroids are metadata (k×dim doubles) and live on
+  // the driver/broadcast; data never leaves its partition except the
+  // one shuffle that groups vectors into lists.
+  // ------------------------------------------------------------------
+
+  final case class IvfIndex(centroids: Array[Array[Double]], assignments: DataFrame)
+
+  private def toDense(v: Seq[Float]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+    out
+  }
+
+  private def nearestCentroids(x: Array[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
+    cs.indices
+      .map { c =>
+        var d = 0.0
+        var i = 0
+        val cv = cs(c)
+        while (i < x.length) { val t = x(i) - cv(i); d += t * t; i += 1 }
+        (c, d)
+      }
+      .sortBy { case (c, d) => (d, c) }
+      .take(n)
+      .map(_._1)
+
+  /** Build an IVF index: deterministic init (the `nLists` smallest ids
+    * seed the centroids), `iters` Lloyd steps computed relationally
+    * (posexplode → per-(list,dim) mean), assignments as (id, list).
+    */
+  def ivfBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      iters: Int = 3
+  ): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol).asc)
+      .limit(nLists)
+      .select(vecCol)
+      .collect()
+      .map(r => toDense(r.getSeq[Float](0)))
+    var assignments: DataFrame = null
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf { (v: Seq[Float]) =>
+        nearestCentroids(toDense(v), bc.value, 1).head
+      }
+      assignments = df.select(col(idCol), col(vecCol), assignUdf(col(vecCol)).as("list_id"))
+      val means = assignments
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    IvfIndex(centroids, assignments.select(col(idCol), col(vecCol), col("list_id")))
+  }
+
+  /** IVF search: each probe scans its `nProbe` nearest lists only —
+    * the scan fraction is ~nProbe/nLists (FAISS-style coarse
+    * quantization), trading recall for throughput at 100 TB.
+    */
+  def topKIvf(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probeLists = udf { (v: Seq[Float]) =>
+      nearestCentroids(toDense(v), bc.value, nProbe)
+    }
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("va"))
+      .withColumn("list_id", explode(probeLists(col("va"))))
+    val cands = index.assignments
+      .select(col(idCol).as("cand_id"), col(vecCol).as("vb"), col("list_id"))
+    val scored = cands
+      .join(broadcast(p), Seq("list_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineFast(col("va"), col("vb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
     * exact verification within bucket.
     */
