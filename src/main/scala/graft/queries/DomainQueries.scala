@@ -54,7 +54,7 @@ object DomainQueries {
       covers = "G1,G7,O4",
       fn = (s, dir) => {
         import s.implicits._
-        // per-user synthetic 16 kHz signal: each event expands to 800
+        // per-user synthetic 16 kHz signal: each event expands to 400
         // samples, loud when value > 50 (speech) else near-silence —
         // then the energy VAD (Silero parameter surface) segments it.
         val rows = table(s, dir, "events")
@@ -64,13 +64,13 @@ object DomainQueries {
           .groupByKey(_._1)
           .flatMapGroups { (uid, it) =>
             val evs = it.toArray.sortBy(_._2)
-            val wav = new Array[Double](evs.length * 800)
+            val wav = new Array[Double](evs.length * 400)
             var i = 0
             while (i < evs.length) {
               val amp = if (evs(i)._3 > 50.0) 0.3 else 0.001
               var j = 0
-              while (j < 800) {
-                wav(i * 800 + j) = amp * math.sin(2 * math.Pi * 440 * (j / 16000.0))
+              while (j < 400) {
+                wav(i * 400 + j) = amp * math.sin(2 * math.Pi * 440 * (j / 16000.0))
                 j += 1
               }
               i += 1

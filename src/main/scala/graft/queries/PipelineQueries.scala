@@ -35,10 +35,10 @@ object PipelineQueries {
         val ingested = s.range(0, 0).select(col("id").cast("string").as("video_id"))
         val out = Pipeline.run(
           s, channels, ingested,
-          new FakeAudioFetcher(segmentSeconds = 4),
+          new FakeAudioFetcher(segmentSeconds = 2),
           FakeClassifier,
           Pipeline.Config(minSnr = 12.0, minSpeechScore = 0.5,
-            minVideoDurationS = 8, shortVideoS = 5)
+            minVideoDurationS = 4, shortVideoS = 3)
         )
         // summary: per-channel segment/selection stats + meta rollup
         out.segments

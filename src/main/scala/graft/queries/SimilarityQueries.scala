@@ -3,12 +3,12 @@ package graft.queries
 import graft.core.Graft.table
 import graft.similarity.Ann
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Similarity search over the `embeddings` table (north-star ops).
-  * Exact variants accumulate dot products in DECIMAL → bit-identical to
-  * the DuckDB oracle; the LSH variant is the 100 TB scale path
-  * (rows-only check).
+  * Exact variants accumulate ×2^20-quantized integer dot products in
+  * LONG (exact, primitive-speed) → bit-identical to the DuckDB oracle;
+  * the LSH/IVF variants are the 100 TB scale paths (rows-only checks).
   */
 object SimilarityQueries {
 
@@ -18,17 +18,15 @@ object SimilarityQueries {
       "q_sim_cosine_const",
       covers = "similarity-dot",
       fn = (s, dir) =>
-        // ×2^30 integer quantization (see Ann.QuantScale) so every
-        // aggregate is an exact integer → identical doubles both sides
+        // ×2^20 integer quantization (see Ann.QuantScale) so every
+        // aggregate is an exact long → identical doubles both sides
         table(s, dir, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("xq", round(col("x").cast("double") * 1073741824.0d, 0).cast("long"))
+          .withColumn("xq", round(col("x").cast("double") * 1048576.0d, 0).cast("long"))
           .groupBy("vec_id")
           .agg(
-            sum(col("xq").cast(DecimalType(19, 0))).cast(DoubleType).as("dot1"),
-            sum(col("xq").cast(DecimalType(19, 0)) * col("xq").cast(DecimalType(19, 0)))
-              .cast(DoubleType)
-              .as("nsq")
+            sum(col("xq")).cast(DoubleType).as("dot1"),
+            sum(col("xq") * col("xq")).cast(DoubleType).as("nsq")
           )
           .select(
             col("vec_id"),
@@ -37,15 +35,14 @@ object SimilarityQueries {
           .orderBy("vec_id"),
       oracle = Some(
         """WITH ex AS (SELECT vec_id,
-          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0, 0) AS BIGINT) AS xq
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
           |  FROM embeddings)
           |SELECT vec_id,
-          |  CAST(sum(CAST(xq AS DECIMAL(19,0))) AS DOUBLE)
-          |    / (sqrt(CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0))) AS DOUBLE)) * 8.0)
-          |    AS cos_ones
+          |  CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE)
+          |    / (sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) * 8.0) AS cos_ones
           |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin
       ),
-      doc = "cosine against the all-ones probe: decimal-exact dot/norm " +
+      doc = "cosine against the all-ones probe: integer-exact dot/norm " +
         "machinery, SQL-checked"
     ),
     // ----------------------------------------------------------------
@@ -63,18 +60,17 @@ object SimilarityQueries {
       },
       oracle = Some(
         """WITH qe AS (SELECT vec_id,
-          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0, 0) AS BIGINT) AS xq,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
           |    generate_subscripts(embedding, 1) AS pos
           |  FROM embeddings),
           |pe AS (SELECT vec_id AS probe_id, xq, pos FROM qe WHERE vec_id < 8),
           |ce AS (SELECT vec_id AS cand_id, xq, pos FROM qe),
           |norms AS (
-          |  SELECT vec_id, sqrt(CAST(sum(CAST(xq AS DECIMAL(19,0))
-          |    * CAST(xq AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+          |  SELECT vec_id, sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) AS nrm
           |  FROM qe GROUP BY vec_id),
           |dots AS (
           |  SELECT p.probe_id, c.cand_id,
-          |    CAST(sum(CAST(p.xq AS DECIMAL(19,0)) * CAST(c.xq AS DECIMAL(19,0))) AS DOUBLE) AS dot
+          |    CAST(CAST(sum(p.xq * c.xq) AS BIGINT) AS DOUBLE) AS dot
           |  FROM pe p JOIN ce c ON p.pos = c.pos
           |  GROUP BY p.probe_id, c.cand_id),
           |cos AS (
@@ -90,7 +86,7 @@ object SimilarityQueries {
           |  FROM cos)
           |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
       ),
-      doc = "brute-force cosine top-k baseline, decimal-exact and " +
+      doc = "brute-force cosine top-k baseline, integer-exact and " +
         "rank-stable across engines"
     ),
     // ----------------------------------------------------------------

@@ -22,22 +22,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Ann {
 
-  /** Embedding component quantized to an exact integer grid (×2^30,
-    * rounded): float→double is exact, ×2^30 is exact scaling, and the
-    * resulting integer sums convert to double with ONE correct
-    * rounding in every engine — unlike DECIMAL(38,18)→double, whose
-    * last-bit rounding differs between Spark (BigDecimal) and DuckDB
-    * (int128/10^18 in double). This is what makes the "exact" variants
-    * bit-identical to the oracle.
+  /** Embedding component quantized to an exact integer grid (×2^20,
+    * rounded): float→double is exact, ×2^20 is exact scaling, products
+    * stay below 2^42 and 64-term sums below 2^48 — exact in LONG and
+    * in DOUBLE, so every engine computes identical bits with primitive
+    * arithmetic (no BigDecimal). This is what makes the "exact"
+    * variants bit-identical to the DuckDB oracle.
     */
-  val QuantScale: Double = 1073741824.0d // 2^30
+  val QuantScale: Double = 1048576.0d // 2^20
 
   private def explodeVecQ(df: DataFrame, idCol: String, vecCol: String) =
     df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xq", round(col("x").cast("double") * QuantScale, 0).cast("long"))
 
   /** Exact pairwise cosine between two embedding relations via
-    * position-join + integer-accumulated dot products (see QuantScale).
+    * position-join + long-accumulated dot products (see QuantScale).
     * Deterministic to the last bit — the oracle-checkable formulation.
     */
   def cosineExact(
@@ -47,22 +46,16 @@ object Ann {
       idB: String,
       vecCol: String
   ): DataFrame = {
-    def isum(c: Column): Column =
-      sum(c.cast(DecimalType(19, 0)) * c.cast(DecimalType(19, 0))).cast(DoubleType)
     def norms(df: DataFrame, id: String, out: String) =
       explodeVecQ(df, id, vecCol)
         .groupBy(id)
-        .agg(sqrt(isum(col("xq"))).as(out))
+        .agg(sqrt(sum(col("xq") * col("xq")).cast(DoubleType)).as(out))
     val a = explodeVecQ(probes, idA, vecCol).withColumnRenamed("xq", "xa")
     val b = explodeVecQ(cands, idB, vecCol).withColumnRenamed("xq", "xb")
     val dots = a
       .join(b, Seq("pos"))
       .groupBy(idA, idB)
-      .agg(
-        sum(col("xa").cast(DecimalType(19, 0)) * col("xb").cast(DecimalType(19, 0)))
-          .cast(DoubleType)
-          .as("dot")
-      )
+      .agg(sum(col("xa") * col("xb")).cast(DoubleType).as("dot"))
     dots
       .join(norms(probes, idA, "na"), Seq(idA))
       .join(norms(cands, idB, "nb"), Seq(idB))
