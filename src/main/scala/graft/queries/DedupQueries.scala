@@ -118,6 +118,29 @@ object DedupQueries {
       ),
       doc = "binary-column metadata: byte length, header hex, digest — " +
         "schema plumbing for image/audio payloads"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_mm_features",
+      covers = "multimodal-features",
+      fn = (s, dir) => {
+        // batched feature extraction over opaque payloads (the
+        // mapInPandas-shaped path); stub decoder = deterministic
+        val d = table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+        graft.multimodal.Multimodal
+          .extractFeatures(d, "doc_id", "payload",
+            graft.multimodal.StubImageDecoder, batchSize = 64)
+          .select(
+            col("id").as("doc_id"),
+            size(col("features")).cast("long").as("dim"),
+            round(element_at(col("features"), 1).cast("double"), 6).as("f0")
+          )
+          .orderBy("doc_id")
+      },
+      oracle = None, // stub decoder features have no SQL equivalent
+      doc = "batched multimodal feature extraction via mapPartitions " +
+        "(batch shape real, image decode stubbed — no image libs here)"
     )
   )
 }
