@@ -80,6 +80,24 @@ object Dedup {
       .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Distinct shingles hashed to longs IN-ROW (xxhash64 inside the
+    * transform lambda) before exploding — the exploded relation carries
+    * 8-byte longs instead of strings, which is what shuffles/joins in
+    * the MinHash path. Collisions (~2^-64) only affect candidate
+    * generation, which exact verification absorbs.
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
+      )
+    ).otherwise(array().cast("array<long>"))
+    df.select(col(idCol), explode(array_distinct(sh)).as("xh"))
+  }
+
   /** MinHash signature columns: h_i(doc) = min over shingles of
     * ((a_i·x + b_i) mod p) where x = xxhash64(shingle). Permutation
     * seeds are fixed → fully deterministic across runs and executors.
@@ -123,9 +141,9 @@ object Dedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // one shingle pass feeds signatures, sizes, and verification
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val x = sh.withColumn("x", pmod(xxhash64(col("shingle")), lit(MinHashP)))
+    // one hashed-shingle pass feeds signatures, sizes, and verification
+    val sh = hashedShingles(df, idCol, textCol, n).cache()
+    val x = sh.withColumn("x", pmod(col("xh"), lit(MinHashP)))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = perm(i)
       min(pmod(col("x") * a + b, lit(MinHashP))).as(s"mh_$i")
@@ -148,11 +166,11 @@ object Dedup {
     // verify candidates with exact Jaccard on their (cached) shingle sets
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val withA = cand.join(
-      sh.select(col(idCol).as("a"), col("shingle")),
+      sh.select(col(idCol).as("a"), col("xh")),
       Seq("a")
     )
     val inter = withA
-      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .join(sh.select(col(idCol).as("b"), col("xh")), Seq("b", "xh"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"))
     inter
