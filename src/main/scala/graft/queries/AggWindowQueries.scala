@@ -208,6 +208,34 @@ object AggWindowQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_o3_topk_native",
+      covers = "O3,custom-plan",
+      fn = (s, dir) =>
+        // the custom TopKPerKey physical operator (bounded heap per
+        // key, no per-partition sort) — same semantics as the window
+        // formulation, checked against the same SQL oracle
+        graft.plans.TopKPerKey
+          .topKPerKey(
+            table(s, dir, "orders"),
+            keyCols = Seq(col("o_custkey")),
+            orderCols = Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+            k = 3
+          )
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "o_orderkey"),
+      oracle = Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin
+      ),
+      doc = "per-group top-k via the custom TopKPerKeyExec operator " +
+        "(LogicalPlan+Strategy+SparkPlan, O(n log k) heap vs full sort)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_o4_sequence_numbers",
       covers = "O4,P6",
       fn = (s, dir) => {

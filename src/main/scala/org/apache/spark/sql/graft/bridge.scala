@@ -11,4 +11,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a real catalyst Expression tree (the
+    * lazy ColumnNodeExpression wrapper from toExpr is opaque to
+    * analyzer rules that must rewrite attributes inside custom nodes).
+    */
+  def toExprEager(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Custom LogicalPlan + Strategy + physical operator: result parity
+  * with the stock Window(row_number)+Filter plan, and the plan shape
+  * that justifies it (no per-partition sort).
+  */
+class TopKPerKeySpec extends SparkTestBase {
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("topKPerKey matches window row_number + filter exactly") {
+    val got = TopKPerKey
+      .topKPerKey(
+        orders,
+        keyCols = Seq(col("o_custkey")),
+        orderCols = Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+        k = 3
+      )
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val expected = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+
+    assert(got == expected)
+  }
+
+  test("physical plan uses TopKPerKeyExec with no Window or Sort") {
+    val df = TopKPerKey.topKPerKey(
+      orders,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 2
+    )
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("descending order picks the highest-price orders") {
+    val got = TopKPerKey
+      .topKPerKey(
+        orders.filter(col("o_custkey") === 1L),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 2
+      )
+      .select("o_totalprice")
+      .collect()
+      .map(_.getDouble(0))
+      .toSeq
+    val all = orders
+      .filter(col("o_custkey") === 1L)
+      .select("o_totalprice")
+      .collect()
+      .map(_.getDouble(0))
+      .sorted(Ordering[Double].reverse)
+    assert(got.sorted(Ordering[Double].reverse) == all.take(2).toSeq)
+  }
+
+  test("k larger than any group returns everything") {
+    val n = orders.count()
+    val got = TopKPerKey.topKPerKey(
+      orders, Seq(col("o_custkey")), Seq(col("o_orderkey").asc), k = 1000000)
+    assert(got.count() == n)
+  }
+}
