@@ -185,6 +185,81 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: iterative
+    * min-label propagation (the alternating-star algorithm's simple
+    * cousin — adequate because dup-cluster diameters are tiny). Each
+    * iteration is one join + aggregate; convergence checked with a
+    * count. Returns (node, component) with component = min reachable
+    * node id.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node adopts min(own comp, neighbors' comps)
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(fromNeighbors, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
+        )
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), Seq("node"))
+        .filter(col("comp") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters from exact Jaccard pairs: components + canonical
+    * (min id) + cluster size — the keep/drop decision surface of a
+    * corpus-dedup pass.
+    */
+  def jaccardClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf = Long.MaxValue)
+    val comps = connectedComponents(pairs)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comps
+      .join(sizes, Seq("comp"))
+      .select(
+        col("node").as(idCol),
+        col("comp").as("component"),
+        col("cluster_size"),
+        (col("node") === col("comp")).as("is_canonical")
+      )
+  }
+
   /** 64-bit SimHash over whitespace tokens: per token h = xxhash64(tok);
     * each bit contributes ±1; fingerprint bit j = sign of the sum.
     * Computed relationally (explode → groupBy id) so it scales with

@@ -58,6 +58,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(ham(1L, 2L) < ham(1L, 4L))
   }
 
+  test("connectedComponents: chain, triangle, and pair resolve to min labels") {
+    // chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+  }
+
+  test("jaccardClusters marks one canonical per cluster") {
+    val cl = Dedup.jaccardClusters(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
+    // docs 1,2,3 cluster together (dup + near-dup); 4,5 are not in pairs
+    val cluster = cl.filter(_.getAs[Long]("component") == 1L)
+    assert(cluster.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    assert(cluster.count(_.getAs[Boolean]("is_canonical")) == 1)
+    assert(cluster.forall(_.getAs[Long]("cluster_size") == 3L))
+  }
+
   test("rollingHash/winnow deterministic and position-shift stable") {
     val h1 = TextAnalysis.rollingHash("hello world")
     assert(h1 == TextAnalysis.rollingHash("hello world"))
