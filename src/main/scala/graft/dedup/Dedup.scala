@@ -198,15 +198,22 @@ object Dedup {
       bCol: String = "b",
       maxIters: Int = 20
   ): DataFrame = {
+    // the pair graph is orders of magnitude smaller than the corpus —
+    // pin the iteration to a few partitions so each label-propagation
+    // job is not dominated by task scheduling (at true scale raise
+    // this, or let AQE coalesce)
+    val p = math.max(2, pairs.sparkSession.sparkContext.defaultParallelism / 8)
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(p, col("src"))
       .cache()
     var labels = edges
       .select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
+      .repartition(p, col("node"))
       .cache()
     var converged = false
     var iter = 0
