@@ -40,7 +40,8 @@ object DomainQueries {
           .select(
             col("user_id"),
             size(col("wave")).cast("long").as("n_samples"),
-            round(Signal.wada_snr(col("wave")), 6).as("snr_db")
+            // native Catalyst expression — no UDF encoder round-trip
+            round(graft.plans.ArrayOps.wada_snr_native(col("wave")), 6).as("snr_db")
           )
           .orderBy("user_id")
       },

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, top-k without global sort) are
+  * asserted so a refactor can't silently regress them (SURVEY §4).
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_s1_scan_project prunes the scan to the projected columns") {
+    val p = plan("q_s1_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    // only the 4 projected columns are read, not the full table
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("c_custkey") && read.contains("c_acctbal"))
+    assert(!read.contains("c_nationkey"), read)
+  }
+
+  test("q_f1 filter is evaluated at/near the scan, not post-shuffle") {
+    val p = plan("q_f1_subscriber_threshold")
+    val scanIdx = p.indexOf("Scan parquet")
+    val filterIdx = p.indexOf("Filter")
+    assert(scanIdx >= 0 && filterIdx >= 0)
+    // formatted tree prints top-down: Filter directly above the scan
+    assert(filterIdx < scanIdx, p)
+  }
+
+  test("q_j1 joins with a broadcast of the dimension side") {
+    assert(plan("q_j1_catalog_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_o1_o2 compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("q_o1_o2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_a2 global max is a broadcast, not an empty-partition window") {
+    val p = plan("q_a2_minmax_score")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_o3_topk_native plans the custom operator with zero Sort nodes") {
+    val p = plan("q_o3_topk_native")
+    assert(p.contains("TopKPerKey"), p)
+    // the outer orderBy is the only sort allowed (the operator itself
+    // must not sort partitions)
+    val inner = p.substring(p.indexOf("TopKPerKey"))
+    assert(!inner.contains("Sort"), inner)
+  }
+
+  test("no oracle query plans a CartesianProduct") {
+    for (q <- Registry.all if q.oracle.isDefined) {
+      val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} has a cartesian:\n$p")
+    }
+  }
+}
