@@ -58,6 +58,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(ham(1L, 2L) < ham(1L, 4L))
   }
 
+  test("algebraic invariants: dedup partitions rows, jaccard bounded, simhash reflexive") {
+    // exact dedup partitions the corpus: copies sum to row count
+    val total = docs.count()
+    val copies = Dedup.exact(docs, "doc_id", "text")
+      .agg(sum("n_copies")).head().getLong(0)
+    assert(copies == total)
+    // jaccard in (0,1], pairs canonical a<b
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.01).collect()
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+    // identical docs have jaccard exactly 1
+    val dup = pairs.find(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 3L).get
+    assert(dup.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("connectedComponents: chain, triangle, and pair resolve to min labels") {
     // chain 1-2-3-4, triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
