@@ -63,6 +63,38 @@ object Incremental {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** T1+K6+A5 composed: a stream of scored segment rows → selection
+    * filter (F3) → per-micro-batch nested channel meta (A5) → retried,
+    * idempotent publish. This is the reference's every-30-videos
+    * write-meta-and-upload loop (data_pipeline.py:682-696) with the
+    * batch boundary supplied by the engine instead of a counter.
+    */
+  def publishSelectedSegments(
+      segments: DataFrame, // streaming, SegmentRow shape
+      publisher: Publisher,
+      branch: String,
+      checkpointDir: String,
+      tries: Int = 10,
+      sleepMs: Long = 0L
+  ): StreamingQuery =
+    segments
+      .filter(col("selected"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val meta = graft.meta.ChannelMeta.buildSelected(batch)
+        Retry.withRetry(tries, sleepMs)(
+          publisher.publish(batchId, branch, graft.meta.ChannelMeta.toJsonDocs(meta))
+        ) match {
+          case Right(_) => ()
+          case Left(err) =>
+            throw new RuntimeException(s"meta publish failed after $tries tries: $err")
+        }
+      }
+      .start()
+
   /** T4 — per-channel early-abort counters as explicit streaming state:
     * counts premiere/offline statuses per channel; once the budget is
     * exceeded the channel emits an abort record and drops every later

@@ -68,6 +68,31 @@ class StreamingSpec extends SparkTestBase {
     assert(n == 2L)
   }
 
+  test("composed T1 chain: streaming segments → selection → meta → publish") {
+    implicit val sc = spark.sqlContext
+    val root = Files.createTempDirectory("graftmeta").toString
+    val in = MemoryStream[graft.schema.SegmentRow]
+    in.addData(
+      graft.schema.SegmentRow("ch1", "vidA", 0, graft.schema.VadSpan(0, 16000),
+        Seq.empty, 25.0, 0.95, selected = true),
+      graft.schema.SegmentRow("ch1", "vidA", 1, graft.schema.VadSpan(32000, 48000),
+        Seq.empty, 8.0, 0.2, selected = false),
+      graft.schema.SegmentRow("ch2", "vidB", 0, graft.schema.VadSpan(0, 16000),
+        Seq.empty, 22.0, 0.91, selected = true)
+    )
+    val pub = new LocalPublisher(s"$root/pub")
+    val q = Incremental.publishSelectedSegments(
+      in.toDF(), pub, "main", s"$root/ckpt", tries = 3)
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/pub/main/batch_0")
+    val rows = out.orderBy("channel_id").collect()
+    // only channels with SELECTED segments publish; meta is nested JSON
+    assert(rows.map(_.getString(0)).toSeq == Seq("ch1", "ch2"))
+    val ch1 = rows.head.getString(1)
+    assert(ch1.contains("\"vidA\"") && ch1.contains("00000000"))
+    assert(!ch1.contains("00000001")) // unselected segment excluded
+  }
+
   test("early-abort counters as flatMapGroupsWithState (T4)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[VideoStatus]
