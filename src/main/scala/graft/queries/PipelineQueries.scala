@@ -54,6 +54,27 @@ object PipelineQueries {
       oracle = None,
       doc = "end-to-end flagship pipeline over deterministic fakes " +
         "(data_pipeline.py main loop, SURVEY §3.1)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_probe_quality",
+      covers = "S3,S8,G1,G2,G4,A1,K2,K3",
+      fn = (s, dir) => {
+        // §3.2 probe: URL list → nested quality rows → A1 stats
+        val urls = table(s, dir, "customer")
+          .filter(col("c_custkey") % 499L === 0L)
+          .select(concat(lit("https://yt/c/"), col("c_custkey")).as("url"))
+        val out = graft.pipeline.Probe.run(
+          s, urls, new graft.io.FakeAudioFetcher(2),
+          graft.pipeline.FakeClassifier, maxPerChannel = 2, probeCutS = 6)
+        graft.pipeline.Probe
+          .qualityStats(out.quality.toDF(), minSnr = 12.0, minSpeechScore = 0.5)
+          .select("url", "n_total", "n_snr_ok", "n_ac_ok")
+          .orderBy("url")
+      },
+      oracle = None,
+      doc = "channel quality-probe pipeline (filter_channel.py, SURVEY " +
+        "§3.2): nested {url, snrss, acss} rows + within-array stats"
     )
   )
 }

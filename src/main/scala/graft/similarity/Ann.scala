@@ -8,9 +8,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Similarity search over an `array<float>` embedding column.
   *
   * Three tiers:
-  *  - [[cosine]] / [[topKExact]]: brute-force baseline. The dot product
-  *    is accumulated in DECIMAL so results are bit-identical regardless
-  *    of partitioning or engine (needed for the DuckDB oracle).
+  *  - [[cosineExact]] / [[topKExact]]: brute-force baseline. The dot
+  *    product is accumulated as exact quantized-integer longs so
+  *    results are bit-identical regardless of partitioning or engine
+  *    (needed for the DuckDB oracle).
   *  - [[topKFast]]: the throughput path — broadcast probe matrix, one
   *    `mapPartitions`-free relational pass using the codegen'd
   *    decimal-explode plan is replaced by a plain double HOF dot; use
