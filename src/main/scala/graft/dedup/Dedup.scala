@@ -196,6 +196,47 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
+      maxIters: Int = 20,
+      /** below this edge count the graph is solved driver-side with
+        * union-find (one job instead of one per iteration) — the same
+        * small-side-threshold idea as broadcast joins; identical output
+        */
+      localThreshold: Long = 500000L
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val rawEdges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).cache()
+    if (rawEdges.count() <= localThreshold) {
+      val es = rawEdges.as[(Long, Long)].collect()
+      rawEdges.unpersist()
+      // path-compressed union-find, components labeled by min member
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.map(n => (n, find(n)))
+      return spark.createDataset(out).toDF("node", "comp")
+    }
+    rawEdges.unpersist()
+    connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
+  }
+
+  /** Distributed min-label propagation — the path for graphs too big to
+    * collect.
+    */
+  def connectedComponentsDistributed(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
       maxIters: Int = 20
   ): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus —

@@ -85,6 +85,10 @@ class TextDedupSpec extends SparkTestBase {
     assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
     assert(Seq(20L, 21L).forall(comps(_) == 20L))
+    // distributed label-propagation path must agree with union-find
+    val dist = Dedup.connectedComponents(pairs, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comps)
   }
 
   test("jaccardClusters marks one canonical per cluster") {
