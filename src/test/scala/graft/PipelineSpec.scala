@@ -142,6 +142,22 @@ class IoSpec extends SparkTestBase {
     assert(row.getAs[collection.Seq[Double]]("samples").size == 1600)
   }
 
+  test("quality rows round-trip through the JSONL sink/source (K2/S2)") {
+    val dir = Files.createTempDirectory("graftjsonl").toString + "/quality"
+    val q = Seq(
+      graft.schema.ChannelQuality("https://yt/1", Seq(21.5, 8.0),
+        Seq(Seq(graft.schema.LabelScore("Speech", 0.9)),
+          Seq(graft.schema.LabelScore("Music", 0.8))))
+    ).toDF()
+    Sinks.appendJsonl(q, dir)
+    val back = Sources.qualityJsonl(spark, dir).collect()
+    assert(back.length == 1)
+    assert(back.head.getAs[String]("url") == "https://yt/1")
+    assert(back.head.getAs[collection.Seq[Double]]("snrss") == Seq(21.5, 8.0))
+    val acss = back.head.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("acss")
+    assert(acss.head.head.getAs[String]("label") == "Speech")
+  }
+
   test("multimodal describe + batched feature extraction") {
     val wav = Signal.wavEncode(Array.tabulate(3200)(i => 0.4 * math.sin(i * 0.2)), 16000)
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++ Array.fill(64)(7.toByte)
