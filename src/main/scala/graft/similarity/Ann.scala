@@ -216,6 +216,7 @@ object Ann {
       nLists: Int = 16,
       iters: Int = 3
   ): IvfIndex = {
+    require(nLists >= 1 && iters >= 1, "ivfBuild needs nLists >= 1 and iters >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var centroids: Array[Array[Double]] = df
