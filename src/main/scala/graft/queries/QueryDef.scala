@@ -40,7 +40,8 @@ object Registry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       DomainQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++
+      TemporalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

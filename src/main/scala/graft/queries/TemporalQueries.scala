@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+
+/** Temporal-join extensions (beyond the reference surface) + approx
+  * sketches. Time arithmetic stays in raw nanosecond longs → integer-
+  * exact on both engines.
+  */
+object TemporalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j5_range_join",
+      covers = "range-join",
+      fn = (s, dir) => {
+        val e = table(s, dir, "events")
+        val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+        val b = e.select(col("user_id").as("user_id_b"), col("event_id").as("b_id"),
+          col("ts").as("b_ts"))
+        Temporal
+          .rangeJoin(a, b.withColumnRenamed("user_id_b", "user_id"),
+            "user_id", "a_ts", "b_ts", windowNs = 86400L * 1000000000L)
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(a("user_id"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min(expr("(b_ts - a_ts) div 1000000000")).as("min_gap_s"),
+            max(expr("(b_ts - a_ts) div 1000000000")).as("max_gap_s")
+          )
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events)
+          |SELECT a.user_id, count(*) AS n_pairs,
+          |  CAST(min((b.tns - a.tns) // 1000000000) AS BIGINT) AS min_gap_s,
+          |  CAST(max((b.tns - a.tns) // 1000000000) AS BIGINT) AS max_gap_s
+          |FROM x a JOIN x b ON a.user_id = b.user_id
+          |  AND b.tns >= a.tns AND b.tns - a.tns < 86400000000000
+          |  AND a.event_id < b.event_id
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+      ),
+      doc = "bounded time-window range self-join per key (co-partitioned " +
+        "equi-join + range condition)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j6_asof_join",
+      covers = "asof-join",
+      fn = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .filter(col("o_custkey") < 150L)
+          // o_orderdate is parquet TIMESTAMP_NTZ; session is UTC so the
+          // NTZ→instant cast matches DuckDB's epoch_ns interpretation
+          .withColumn("ons", expr("unix_millis(cast(o_orderdate as timestamp))") * 1000000L)
+          .select("o_orderkey", "o_custkey", "ons")
+        val e = table(s, dir, "events")
+          .select(col("user_id").as("o_custkey"), col("event_id"), col("ts"))
+        Temporal
+          .asOfJoin(o, e, "o_custkey", "ons", "ts", "o_orderkey",
+            rightCols = Seq("event_id"))
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("asof.event_id").as("last_event_id"),
+            expr("CASE WHEN asof_time IS NULL THEN NULL " +
+              "ELSE (ons - asof_time) div 1000000000 END").as("gap_s")
+          )
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ons
+          |           FROM orders WHERE o_custkey < 150),
+          |j AS (SELECT o.o_orderkey, o.o_custkey, o.ons, e.event_id,
+          |        epoch_ns(e.ts) AS ens,
+          |        row_number() OVER (PARTITION BY o.o_orderkey
+          |          ORDER BY epoch_ns(e.ts) DESC NULLS LAST, e.event_id DESC) AS rn
+          |      FROM o LEFT JOIN events e
+          |        ON e.user_id = o.o_custkey AND epoch_ns(e.ts) <= o.ons)
+          |SELECT o_orderkey, o_custkey, event_id AS last_event_id,
+          |  CAST(CASE WHEN ens IS NULL THEN NULL
+          |       ELSE (ons - ens) // 1000000000 END AS BIGINT) AS gap_s
+          |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+      ),
+      doc = "as-of join: latest event per key at/before each order's " +
+        "timestamp (join + per-row max; merge-scan is the deep-key path)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_approx_sketches",
+      covers = "approx-distinct,approx-quantile",
+      fn = (s, dir) =>
+        // HLL++ distinct + quantile sketches: algorithms are engine-
+        // specific → rows-only check; exactness is covered by
+        // q_d3_distinct_count
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag"),
+      oracle = None,
+      doc = "HLL++ approximate distinct + approximate quantiles — " +
+        "sketch path for cardinalities too big to count exactly"
+    )
+  )
+}
