@@ -142,6 +142,58 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_chunking",
+      covers = "chunking",
+      fn = (s, dir) =>
+        TextAnalysis
+          .chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
+            maxTokens = 40, overlap = 8)
+          .withColumn("chunk_md5", md5(col("chunk")))
+          .drop("chunk")
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |n AS (SELECT doc_id, toks, len(toks) AS n,
+          |        greatest(CAST(ceil((len(toks) - 8) / 32.0) AS INT), 1) AS nch
+          |      FROM t),
+          |c AS (SELECT doc_id, toks, n, unnest(range(nch)) AS i FROM n)
+          |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |  CAST(least(n - i*32, 40) AS BIGINT) AS n_tok,
+          |  md5(array_to_string(list_slice(toks, i*32 + 1, i*32 + 40), ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+      ),
+      doc = "token-bounded chunking with overlap (40-token chunks, " +
+        "8-token overlap): 1→N per-row HOF, chunks digest-compared"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_packing",
+      covers = "seq-packing",
+      fn = (s, dir) =>
+        TextAnalysis
+          .packSequences(table(s, dir, "documents"), "doc_id", "text", seqLen = 512L)
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH n AS (SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+          |  FROM documents),
+          |o AS (SELECT doc_id, n_tok,
+          |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          |  FROM n)
+          |SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+          |  CAST(start_off + n_tok AS BIGINT) AS end_off,
+          |  CAST(start_off // 512 AS BIGINT) AS first_seq,
+          |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq,
+          |  CAST((start_off + n_tok - 1) // 512 - start_off // 512 + 1 AS BIGINT) AS n_seqs
+          |FROM o ORDER BY doc_id""".stripMargin
+      ),
+      doc = "concat-then-split sequence packing: global token offsets " +
+        "as a prefix sum → training-sequence assignment (per-shard + " +
+        "broadcast shard bases at scale)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_fingerprint",
       covers = "fingerprint",
       fn = (s, dir) => {

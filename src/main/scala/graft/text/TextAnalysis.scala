@@ -99,6 +99,63 @@ object TextAnalysis {
     (stop * 2.0d + (lit(1.0d) - punct) + lenOk) / 4.0d
   }
 
+  /** Token-bounded document chunking with overlap: doc → ⌈n/stride⌉
+    * chunks of ≤ maxTokens whitespace tokens, consecutive chunks
+    * sharing `overlap` tokens (stride = maxTokens − overlap). Pure
+    * per-row HOF — 1→N without a shuffle.
+    */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > overlap && overlap >= 0, "need maxTokens > overlap >= 0")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil((size(toks) - overlap).cast("double") / stride).cast("int")
+    val chunks = transform(
+      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => struct(
+        i.cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(maxTokens))).as("chunk"),
+        least(size(toks) - i * stride, lit(maxTokens)).cast("long").as("n_tok")
+      )
+    )
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(
+        col(idCol),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"),
+        col("c.n_tok").as("n_tok")
+      )
+  }
+
+  /** Concat-then-split sequence packing: order documents
+    * deterministically, lay their token counts end-to-end, and assign
+    * every document its [start, end) offset in the global token stream
+    * plus the training-sequence ids it lands in (seqLen-sized bins).
+    * This is the standard distributed packing scheme — a pure prefix
+    * sum, no sequential bin state.
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCountWs(col(textCol)).as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_tok"))
+      .withColumn("first_seq", expr(s"start_off div $seqLen"))
+      .withColumn("last_seq", expr(s"(end_off - 1) div $seqLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */
