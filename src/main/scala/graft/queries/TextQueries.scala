@@ -142,6 +142,50 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_redact_pii",
+      covers = "pii-redaction",
+      fn = (s, dir) => {
+        // synthesize PII into the text so the redaction has targets
+        val d = table(s, dir, "documents")
+          .withColumn(
+            "dirty",
+            concat(
+              lit("contact "), col("source"), lit("@mail.example.org via "),
+              lit("https://example.org/d/"), col("doc_id"),
+              lit(" or 10.0."), (col("doc_id") % 256L).cast("string"),
+              lit(".1 :: "), col("text")
+            )
+          )
+        val withCounts = TextAnalysis.piiCounts(col("dirty")).foldLeft(d) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        withCounts
+          .withColumn("clean_md5", md5(TextAnalysis.redactPii(col("dirty"))))
+          .select("doc_id", "n_email", "n_url", "n_ip", "clean_md5")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id,
+          |    'contact ' || source || '@mail.example.org via https://example.org/d/'
+          |      || CAST(doc_id AS VARCHAR) || ' or 10.0.'
+          |      || CAST(doc_id % 256 AS VARCHAR) || '.1 :: ' || text AS dirty
+          |  FROM documents)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |  len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS n_url,
+          |  len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |    '\+?\d[\d -]{7,14}\d', '<PHONE>', 'g')) AS clean_md5
+          |FROM d ORDER BY doc_id""".stripMargin
+      ),
+      doc = "PII redaction (emails/URLs/IPs/phones → typed placeholders) " +
+        "+ per-doc PII counts, digest-compared"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_chunking",
       covers = "chunking",
       fn = (s, dir) =>

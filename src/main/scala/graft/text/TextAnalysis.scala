@@ -99,6 +99,29 @@ object TextAnalysis {
     (stop * 2.0d + (lit(1.0d) - punct) + lenOk) / 4.0d
   }
 
+  /** PII redaction: emails, phone-like digit runs, IPv4s, URLs →
+    * typed placeholder tokens. Portable regexes (same semantics in
+    * RE2 and Java regex); order matters — URLs before emails would
+    * eat the scheme, so emails go first.
+    */
+  val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRx = "\\+?\\d[\\d -]{7,14}\\d"
+  val urlRx = "https?://[^\\s]+"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRx, "<EMAIL>")
+    val u = regexp_replace(e, urlRx, "<URL>")
+    val i = regexp_replace(u, ipRx, "<IP>")
+    regexp_replace(i, phoneRx, "<PHONE>")
+  }
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> size(regexp_extract_all(text, lit(emailRx), lit(0))).cast("long"),
+    "n_url" -> size(regexp_extract_all(text, lit(urlRx), lit(0))).cast("long"),
+    "n_ip" -> size(regexp_extract_all(text, lit(ipRx), lit(0))).cast("long")
+  )
+
   /** Token-bounded document chunking with overlap: doc → ⌈n/stride⌉
     * chunks of ≤ maxTokens whitespace tokens, consecutive chunks
     * sharing `overlap` tokens (stride = maxTokens − overlap). Pure
