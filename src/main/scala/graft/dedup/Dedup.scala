@@ -141,21 +141,58 @@ object Dedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // one hashed-shingle pass feeds signatures, sizes, and verification
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
-    val x = sh.withColumn("x", pmod(col("xh"), lit(MinHashP)))
-    val aggs = (0 until numHashes).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(col("x") * a + b, lit(MinHashP))).as(s"mh_$i")
+    // Explode-free: the doc's distinct hashed-shingle SET rides as one
+    // array column; signatures are per-row array_min HOFs and exact
+    // verification is array_intersect on the (few) candidate pairs.
+    // No shuffle of shingles, no caches to evict — the only shuffles
+    // are the tiny band-bucket join and the candidate lookups.
+    val toks = split(col(textCol), " ")
+    val shArr = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
+      )
+    ).otherwise(array().cast("array<long>"))
+    // cache: tiny (|docs| × shingle-count longs) and referenced by three
+    // plan branches — without it Spark recomputes the HOF subtree per
+    // branch (no cross-branch CSE)
+    val base = df
+      .select(col(idCol), array_distinct(shArr).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    // one primitive-loop UDF call per doc beats numHashes interpreted
+    // HOF lambdas per element (~80×32 boxed evals per row)
+    val coeffs = (0 until numHashes).map(perm)
+    val p = MinHashP
+    val sigUdf = udf { (xs: Seq[Long]) =>
+      val out = new Array[Long](coeffs.length)
+      var i = 0
+      while (i < coeffs.length) {
+        val (a, b) = coeffs(i)
+        var best = Long.MaxValue
+        val it = xs.iterator
+        while (it.hasNext) {
+          val x = it.next()
+          val m = x % p; val xm = if (m < 0) m + p else m
+          val h = (xm * a + b) % p
+          if (h < best) best = h
+        }
+        out(i) = best
+        i += 1
+      }
+      out
     }
-    val sig = x.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bIdx =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), bIdx * rowsPerBand + r + 1))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("h"))
     }
-    val buckets = sig
+    val buckets = base
+      .select(col(idCol), sigUdf(col("xs")).as("sig"))
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.h").as("h"))
+      .cache() // bands × |docs| rows of three longs — the self-join
+               // below would otherwise compute the signatures twice
     val l = buckets.select(col(idCol).as("a"), col("band"), col("h"))
     val r = buckets.select(col(idCol).as("b"), col("band"), col("h"))
     val cand = l
@@ -163,23 +200,14 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    // verify candidates with exact Jaccard on their (cached) shingle sets
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val withA = cand.join(
-      sh.select(col(idCol).as("a"), col("xh")),
-      Seq("a")
-    )
-    val inter = withA
-      .join(sh.select(col(idCol).as("b"), col("xh")), Seq("b", "xh"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+    cand
+      .join(base.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
+      .join(base.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
+      .withColumn("n_common", size(array_intersect(col("xs_a"), col("xs_b"))).cast("long"))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")
+          (size(col("xs_a")) + size(col("xs_b")) - col("n_common")).cast("double")
       )
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
