@@ -142,6 +142,32 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_curation_e2e",
+      covers = "lang-id,text-quality,dedup-exact,dedup-jaccard,pii-redaction,chunking,seq-packing",
+      fn = (s, dir) => {
+        val out = graft.text.CurationPipeline.run(
+          table(s, dir, "documents"), "doc_id", "text")
+        // summary row set: funnel counts + chunk/packing rollups
+        val chunkStats = out.chunks.agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("chunk_tokens")
+        )
+        val packStats = out.packing.agg(
+          max(col("end_off")).as("total_tokens"),
+          (max(col("last_seq")) + 1).as("n_sequences")
+        )
+        val funnel = out.funnel.map { case (k, v) => (k, v) }
+        s.createDataFrame(funnel).toDF("stage", "n_docs")
+          .crossJoin(chunkStats)
+          .crossJoin(packStats)
+          .orderBy("stage")
+      },
+      oracle = None, // composition; each stage is oracle-checked alone
+      doc = "complete training-data curation pass: lang/quality gates → " +
+        "exact + near-dup dedup → PII redaction → chunking → packing"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_redact_pii",
       covers = "pii-redaction",
       fn = (s, dir) => {

@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pass — the text counterpart of
+  * the audio flagship (SURVEY §3.1): language gate → quality gate →
+  * exact dedup → near-dup dedup (keep cluster canonicals) → PII
+  * redaction → chunking → sequence packing. Every stage is one of the
+  * library's operators; the whole pass is a single lazy plan tree plus
+  * the dedup joins.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      allowedLangs: Seq[String] = Seq("en", "fr", "es", "de", "zh"),
+      minQuality: Double = 0.25,
+      minTokens: Long = 8L,
+      nearDupN: Int = 3,
+      nearDupJaccard: Double = 0.8,
+      chunkTokens: Int = 256,
+      chunkOverlap: Int = 32,
+      seqLen: Long = 2048L
+  )
+
+  final case class Outputs(
+      /** surviving documents with redacted text + provenance columns */
+      docs: DataFrame,
+      /** exploded training chunks of the survivors */
+      chunks: DataFrame,
+      /** packing offsets of the survivors in the global token stream */
+      packing: DataFrame,
+      /** per-stage row counts for the curation funnel */
+      funnel: Seq[(String, Long)]
+  )
+
+  def run(input: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): Outputs = {
+    val n0 = input.count()
+
+    // ---- language + quality gates (per-row, no shuffle)
+    val gated = input
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tok", TextAnalysis.tokenCountWs(col(textCol)))
+      .filter(
+        col("lang_pred").isin(cfg.allowedLangs: _*) &&
+          col("quality") >= cfg.minQuality &&
+          col("n_tok") >= cfg.minTokens
+      )
+    val n1 = gated.count()
+
+    // ---- exact dedup: keep the min-id representative
+    val keepExact = Dedup.exact(gated, idCol, textCol).select(idCol)
+    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
+    val n2 = exactDeduped.count()
+
+    // ---- near-dup dedup: drop non-canonical cluster members
+    val clusters = Dedup.jaccardClusters(
+      exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
+    val drop = clusters.filter(!col("is_canonical")).select(idCol)
+    val nearDeduped = exactDeduped.join(drop, Seq(idCol), "left_anti")
+    val n3 = nearDeduped.count()
+
+    // ---- PII redaction on the survivors
+    val clean = nearDeduped.withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
+
+    val chunks = TextAnalysis.chunkByTokens(
+      clean.select(col(idCol), col("clean_text")),
+      idCol, "clean_text", cfg.chunkTokens, cfg.chunkOverlap)
+    val packing = TextAnalysis.packSequences(
+      clean.select(col(idCol), col("clean_text")),
+      idCol, "clean_text", cfg.seqLen)
+
+    Outputs(
+      docs = clean,
+      chunks = chunks,
+      packing = packing,
+      funnel = Seq(
+        "input" -> n0,
+        "lang_quality_gate" -> n1,
+        "exact_dedup" -> n2,
+        "near_dedup" -> n3
+      )
+    )
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.text.CurationPipeline
+
+/** The composed text-curation pass: funnel monotonicity, dedup
+  * behavior, redaction, and packing consistency on crafted docs.
+  */
+class CurationPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and the cat sleeps"),
+    (2L, "the quick brown fox jumps over the lazy dog and the cat sleeps"), // exact dup
+    (3L, "the quick brown fox jumps over the lazy dog and the cat naps today"), // near dup
+    (4L, "el perro de la casa y los gatos de las calles por la noche"),
+    (5L, "contact me at leak@example.com about the dataset of the archives and the rest"),
+    (6L, "xz qq ww"), // fails min-token / stopword gates
+    (7L, "the data of the table in the hash and the sort of it is a thing")
+  ).toDF("doc_id", "text")
+
+  private lazy val out = CurationPipeline.run(
+    docs, "doc_id", "text",
+    CurationPipeline.Config(minQuality = 0.25, minTokens = 8, nearDupJaccard = 0.6,
+      chunkTokens = 8, chunkOverlap = 2, seqLen = 16))
+
+  test("funnel is monotonically decreasing and drops the dups") {
+    val f = out.funnel.toMap
+    assert(f("input") == 7L)
+    assert(f("lang_quality_gate") < 7L)       // doc 6 gone
+    assert(f("exact_dedup") == f("lang_quality_gate") - 1) // doc 2 gone
+    assert(f("near_dedup") == f("exact_dedup") - 1)        // doc 3 gone
+    val ids = out.docs.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(6L))
+    assert(ids.contains(1L)) // canonical survives
+  }
+
+  test("PII is redacted in surviving text") {
+    val t5 = out.docs.filter($"doc_id" === 5L).select("clean_text").as[String].head()
+    assert(t5.contains("<EMAIL>"))
+    assert(!t5.contains("leak@example.com"))
+  }
+
+  test("chunks cover every surviving doc and respect the token cap") {
+    val perDoc = out.chunks.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = out.docs.select("doc_id").as[Long].collect().toSet
+    assert(perDoc.keySet == ids)
+    out.chunks.collect().foreach(r => assert(r.getAs[Long]("n_tok") <= 8L))
+  }
+
+  test("packing offsets are contiguous and sequence ids consistent") {
+    val rows = out.packing.orderBy("doc_id").collect()
+    var expectedStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_off") == expectedStart)
+      expectedStart = r.getAs[Long]("end_off")
+      assert(r.getAs[Long]("first_seq") == r.getAs[Long]("start_off") / 16)
+    }
+  }
+}
