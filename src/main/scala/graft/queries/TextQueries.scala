@@ -197,14 +197,15 @@ object TextQueries {
           |      || CAST(doc_id % 256 AS VARCHAR) || '.1 :: ' || text AS dirty
           |  FROM documents)
           |SELECT doc_id,
-          |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |  len(regexp_extract_all(regexp_replace(dirty, 'https?://[^\s]+', ' ', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
           |  len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS n_url,
           |  len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
           |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
-          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          |    '\+?\d[\d -]{7,14}\d', '<PHONE>', 'g')) AS clean_md5
+          |    '\+\d[\d -]{7,14}\d|\(?\d{3}\)?[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')) AS clean_md5
           |FROM d ORDER BY doc_id""".stripMargin
       ),
       doc = "PII redaction (emails/URLs/IPs/phones → typed placeholders) " +

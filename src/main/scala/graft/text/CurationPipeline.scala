@@ -33,11 +33,22 @@ object CurationPipeline {
       packing: DataFrame,
       /** per-stage row counts for the curation funnel */
       funnel: Seq[(String, Long)]
-  )
+  ) {
+    /** Release the cached survivor set once chunks/packing/docs have
+      * been consumed.
+      */
+    def unpersist(): Unit = docs.unpersist()
+  }
 
   def run(input: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Outputs = {
     val n0 = input.count()
+
+    // Each funnel stage is counted eagerly (the funnel is part of the
+    // output), so each stage is cached before its count and upstream
+    // caches are dropped as soon as the next stage is materialized —
+    // otherwise every downstream consumer (clusters, chunks, packing)
+    // re-runs the whole upstream funnel including the near-dup join.
 
     // ---- language + quality gates (per-row, no shuffle)
     val gated = input
@@ -49,22 +60,28 @@ object CurationPipeline {
           col("quality") >= cfg.minQuality &&
           col("n_tok") >= cfg.minTokens
       )
+      .cache()
     val n1 = gated.count()
 
     // ---- exact dedup: keep the min-id representative
     val keepExact = Dedup.exact(gated, idCol, textCol).select(idCol)
-    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
+    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi").cache()
     val n2 = exactDeduped.count()
+    gated.unpersist()
 
     // ---- near-dup dedup: drop non-canonical cluster members
     val clusters = Dedup.jaccardClusters(
       exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
     val drop = clusters.filter(!col("is_canonical")).select(idCol)
     val nearDeduped = exactDeduped.join(drop, Seq(idCol), "left_anti")
-    val n3 = nearDeduped.count()
 
-    // ---- PII redaction on the survivors
-    val clean = nearDeduped.withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
+    // ---- PII redaction on the survivors; this is the surface every
+    // output reads, so it is the one cache that outlives the call
+    val clean = nearDeduped
+      .withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
+      .cache()
+    val n3 = clean.count()
+    exactDeduped.unpersist()
 
     val chunks = TextAnalysis.chunkByTokens(
       clean.select(col(idCol), col("clean_text")),

@@ -99,25 +99,35 @@ object TextAnalysis {
     (stop * 2.0d + (lit(1.0d) - punct) + lenOk) / 4.0d
   }
 
-  /** PII redaction: emails, phone-like digit runs, IPv4s, URLs →
-    * typed placeholder tokens. Portable regexes (same semantics in
-    * RE2 and Java regex); order matters — URLs before emails would
-    * eat the scheme, so emails go first.
+  /** PII redaction: emails, phone numbers, IPv4s, URLs → typed
+    * placeholder tokens. Portable regexes (same semantics in RE2 and
+    * Java regex). Order matters: URLs are redacted BEFORE emails —
+    * a credential-style URL (https://user@host/...) contains an
+    * email-shaped substring, and replacing that first would mangle the
+    * URL into two non-matching halves. The phone pattern requires
+    * either an international `+` prefix or a separated 3-3-4 group
+    * shape, so bare digit runs (order ids), timestamps (4-2-2), and
+    * numeric ranges do not match.
     */
   val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val phoneRx = "\\+?\\d[\\d -]{7,14}\\d"
+  val phoneRx = "\\+\\d[\\d -]{7,14}\\d|\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"
   val urlRx = "https?://[^\\s]+"
 
   def redactPii(text: Column): Column = {
-    val e = regexp_replace(text, emailRx, "<EMAIL>")
-    val u = regexp_replace(e, urlRx, "<URL>")
-    val i = regexp_replace(u, ipRx, "<IP>")
+    val u = regexp_replace(text, urlRx, "<URL>")
+    val e = regexp_replace(u, emailRx, "<EMAIL>")
+    val i = regexp_replace(e, ipRx, "<IP>")
     regexp_replace(i, phoneRx, "<PHONE>")
   }
 
+  /** Email count is taken over the text with URLs blanked first, so an
+    * email-shaped substring inside a URL's userinfo is not double-
+    * counted as an email.
+    */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_email" -> size(regexp_extract_all(text, lit(emailRx), lit(0))).cast("long"),
+    "n_email" -> size(regexp_extract_all(
+      regexp_replace(text, urlRx, " "), lit(emailRx), lit(0))).cast("long"),
     "n_url" -> size(regexp_extract_all(text, lit(urlRx), lit(0))).cast("long"),
     "n_ip" -> size(regexp_extract_all(text, lit(ipRx), lit(0))).cast("long")
   )
@@ -156,11 +166,21 @@ object TextAnalysis {
   }
 
   /** Concat-then-split sequence packing: order documents
-    * deterministically, lay their token counts end-to-end, and assign
-    * every document its [start, end) offset in the global token stream
-    * plus the training-sequence ids it lands in (seqLen-sized bins).
-    * This is the standard distributed packing scheme — a pure prefix
-    * sum, no sequential bin state.
+    * deterministically (idCol must be a unique ordering key), lay their
+    * token counts end-to-end, and assign every document its
+    * [start, end) offset in the global token stream plus the
+    * training-sequence ids it lands in (seqLen-sized bins).
+    *
+    * Distributed two-phase prefix sum — never a corpus-wide
+    * single-partition window: (1) range-repartition by id so every id
+    * in shard i sorts below every id in shard i+1, (2) one branch
+    * reduces each shard to its token subtotal and turns those P rows
+    * into cumulative base offsets (the only un-partitioned window here
+    * runs over P≈parallelism rows, not the corpus), (3) a broadcast
+    * join hands each shard its base and a shard-local running sum
+    * finishes the job. Both branches hang off the SAME range exchange
+    * in one lazy plan (ReuseExchange), so shard assignment is
+    * consistent by construction — no cache, no driver collect.
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
@@ -168,15 +188,35 @@ object TextAnalysis {
       textCol: String,
       seqLen: Long
   ): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = math.max(2, spark.sparkContext.defaultParallelism / 2)
+    val base = df
+      .select(col(idCol), tokenCountWs(col(textCol)).as("n_tok"))
+      .repartitionByRange(p, col(idCol))
+      .withColumn("shard", spark_partition_id())
+    val wShards = Window
+      .orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardBases = base
+      .groupBy("shard")
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("shard_base", coalesce(sum(col("shard_tok")).over(wShards), lit(0L)))
+      .select(col("shard"), col("shard_base"))
+    val wLocal = Window
+      .partitionBy(col("shard"))
       .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(idCol), tokenCountWs(col(textCol)).as("n_tok"))
-      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(shardBases), Seq("shard"))
+      .withColumn(
+        "start_off",
+        coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("shard_base"))
       .withColumn("end_off", col("start_off") + col("n_tok"))
       .withColumn("first_seq", expr(s"start_off div $seqLen"))
       .withColumn("last_seq", expr(s"(end_off - 1) div $seqLen"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .drop("shard", "shard_base")
   }
 
   /** Corpus vocabulary with document frequencies: one explode +
