@@ -39,6 +39,7 @@ object Registry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
+      SamplingQueries.defs ++
       DomainQueries.defs ++
       PipelineQueries.defs ++
       TemporalQueries.defs

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.text.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / decontamination / repetition —
+  * the curation decisions a training-data pipeline makes at corpus
+  * scale. All are salted-md5 or integer-count based, so every query
+  * here is fully oracle-checked (hex-prefix comparisons and long/long
+  * ratios are engine-exact; see Sampling and QueryDef scaladoc).
+  */
+object SamplingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_split",
+      covers = "sampling,split",
+      fn = (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            substring(Sampling.saltedHex("sample", col("doc_id")), 1, 4)
+              .as("s_hex"),
+            Sampling.sampleFlag("sample", col("doc_id"), "3fff").as("in_sample"),
+            Sampling.splitAssign("split", col("doc_id")).as("split")
+          )
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH h AS (SELECT doc_id,
+          |    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS s_hex,
+          |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS b_hex
+          |  FROM documents)
+          |SELECT doc_id, s_hex, s_hex <= '3fff' AS in_sample,
+          |  CASE WHEN b_hex <= 'b' THEN 'train'
+          |       WHEN b_hex <= 'd' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin
+      ),
+      doc = "deterministic salted-md5 Bernoulli sample (25%) + " +
+        "train/val/test split (12/2/2 hex buckets) — reproducible " +
+        "across engines and cluster layouts, no RNG state"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_mixture",
+      covers = "sampling,mixture",
+      fn = (s, dir) => {
+        // per-source mixture rates: even-numbered sources kept at 75%,
+        // odd at 25% — the upsample-curated / downsample-crawl shape
+        val rate = when(
+          substring(col("source"), 4, 8).cast("int") % 2 === 0, "bfff")
+          .otherwise("3fff")
+        table(s, dir, "documents")
+          .withColumn("kept",
+            Sampling.mixtureFlag("mix", col("doc_id"), rate))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("kept"), 1)).as("n_kept")
+          )
+          .orderBy("source")
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs,
+          |  count(CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          |    <= (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+          |        THEN 'bfff' ELSE '3fff' END) THEN 1 END) AS n_kept
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      ),
+      doc = "per-source mixture sampling with deterministic salted-md5 " +
+        "rates; per-row predicate, no shuffle beyond the audit rollup"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_decontaminate",
+      covers = "decontamination",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 97L === 0L)
+        val corpus = d.filter(col("doc_id") % 97L =!= 0L)
+        TextAnalysis
+          .decontaminate(corpus, bench, "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |        range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+          |      FROM t WHERE len(tk) >= 3),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          |hits AS (SELECT doc_id, count(*) AS n FROM g JOIN bench USING (gram)
+          |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_shared,
+          |       coalesce(n, 0) > 0 AS contaminated
+          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "benchmark decontamination: corpus docs sharing any word " +
+        "3-gram with the benchmark subset (doc_id % 97 = 0); benchmark " +
+        "n-grams broadcast, corpus explodes once"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_repetition",
+      covers = "text-quality,repetition",
+      fn = (s, dir) =>
+        TextAnalysis
+          .repetitionMetrics(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(
+          |        range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS g2
+          |      FROM t WHERE len(tk) >= 2),
+          |pg AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
+          |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2gram,
+          |               max(c) AS top_2gram_n FROM pg GROUP BY doc_id),
+          |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+          |                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tok
+          |         FROM t)
+          |SELECT b.doc_id, n_tok, n_distinct_tok, n_2gram, top_2gram_n,
+          |  CAST(n_distinct_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_tok_ratio,
+          |  CAST(top_2gram_n AS DOUBLE) / CAST(n_2gram AS DOUBLE) AS top_2gram_ratio
+          |FROM base b JOIN rep USING (doc_id) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Gopher-style repetition filters: distinct-token ratio and " +
+        "top-bigram fraction per document (long/long ratios, exact)"
+    )
+  )
+}

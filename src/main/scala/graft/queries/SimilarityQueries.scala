@@ -121,6 +121,40 @@ object SimilarityQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_embedding_cosine_exact",
+      covers = "dedup-embedding",
+      fn = (s, dir) => {
+        // brute-force exact near-dup pairs over a deterministic corpus
+        // slice (vec_id % 4): the oracle-checked face of the embedding
+        // dedup — the LSH variant below is the at-scale path
+        val v = table(s, dir, "embeddings").filter(col("vec_id") % 4L === 0L)
+        graft.similarity.Ann
+          .cosineExactPairs(v, "vec_id", "embedding", minCos = 0.3d)
+          .orderBy("a", "b")
+      },
+      oracle = Some(
+        """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+          |qe AS (SELECT vec_id,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
+          |    generate_subscripts(embedding, 1) AS pos
+          |  FROM v),
+          |norms AS (
+          |  SELECT vec_id, sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) AS nrm
+          |  FROM qe GROUP BY vec_id),
+          |dots AS (
+          |  SELECT l.vec_id AS a, r.vec_id AS b,
+          |    CAST(CAST(sum(l.xq * r.xq) AS BIGINT) AS DOUBLE) AS dot
+          |  FROM qe l JOIN qe r ON l.pos = r.pos AND l.vec_id < r.vec_id
+          |  GROUP BY 1, 2)
+          |SELECT a, b, dot / (na.nrm * nb.nrm) AS cos
+          |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+          |WHERE dot / (na.nrm * nb.nrm) >= 0.3 ORDER BY a, b""".stripMargin
+      ),
+      doc = "exact embedding near-dup pairs (integer-quantized cosine " +
+        "≥ 0.3, a<b) — bit-stable oracle face of embedding dedup"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_embedding_cosine",
       covers = "dedup-embedding",
       fn = (s, dir) =>

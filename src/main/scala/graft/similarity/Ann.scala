@@ -280,6 +280,87 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  /** Quantized cosine as ONE compiled loop per pair — bit-identical to
+    * the explode-join formulation (and the DuckDB oracle recipe): each
+    * component quantizes to round-half-away-from-zero(x·2^20) exactly
+    * like round() in both engines, the dot and norms accumulate in
+    * long (exact — see QuantScale), and the final divide uses the same
+    * association order dot / (sqrt(na)·sqrt(nb)). ~40× less data
+    * motion than posexplode+join for pairwise work.
+    */
+  val quantCosUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (va: Seq[Float], vb: Seq[Float]) =>
+      @inline def q(x: Float): Long = {
+        val v = x.toDouble * QuantScale
+        (if (v >= 0) v + 0.5d else v - 0.5d).toLong // HALF_UP, both signs
+      }
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      val n = math.min(va.length, vb.length)
+      while (i < n) {
+        val xa = q(va(i)); val xb = q(vb(i))
+        dot += xa * xb; na += xa * xa; nb += xb * xb
+        i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+
+  /** Quantize a vector once (round-half-away-from-zero ×2^20 — exactly
+    * round() in Spark and DuckDB on these exactly-representable
+    * products).
+    */
+  val quantizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val out = new Array[Long](v.length)
+      var i = 0
+      while (i < out.length) {
+        val x = v(i).toDouble * QuantScale
+        out(i) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+        i += 1
+      }
+      out
+    }
+
+  /** Long dot product of two quantized vectors — exact (see QuantScale
+    * bounds).
+    */
+  val longDotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (x: Seq[Long], y: Seq[Long]) =>
+      var d = 0L
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { d += x(i) * y(i); i += 1 }
+      d
+    }
+
+  /** Exact all-pairs near-dup (a<b, quantized cos ≥ minCos) over one
+    * relation: vectors quantize and self-norm ONCE, then a broadcast
+    * self theta-join leaves only one long-dot per pair — the
+    * oracle-checkable brute-force face of embedding dedup (use
+    * cosineNearDupPairs' LSH buckets at corpus scale). Bit-identical
+    * to the posexplode+join formulation: long sums are exact and the
+    * final divide keeps the dot/(sqrt(na)·sqrt(nb)) association order.
+    */
+  def cosineExactPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double
+  ): DataFrame = {
+    val base = df
+      .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"))
+      .withColumn("nsq", longDotUdf(col("qv"), col("qv")))
+    val l = base.select(col(idCol).as("a"), col("qv").as("qva"), col("nsq").as("na"))
+    val r = base.select(col(idCol).as("b"), col("qv").as("qvb"), col("nsq").as("nb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn(
+        "cos",
+        longDotUdf(col("qva"), col("qvb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
     * exact verification within bucket.
     */

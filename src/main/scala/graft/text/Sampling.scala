@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling primitives for training-data
+  * curation: every decision is a pure function of (salt, id) through
+  * md5, so a sample/split is reproducible across runs, engines and
+  * cluster layouts — no RNG state, no seed-per-partition coupling, and
+  * any engine with md5 (Spark, DuckDB, Trino, ...) derives the exact
+  * same subset. Comparisons happen on lowercase-hex prefixes, which
+  * sidesteps hex→int conversion portability entirely.
+  *
+  * At 100 TB this is the right shape: the sampling predicate is a
+  * per-row expression (codegen'd, no shuffle), pushes through joins,
+  * and the same salt on two tables yields co-sampled views.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 of salt:id — the decision variable. */
+  def saltedHex(salt: String, id: Column): Column =
+    md5(concat(lit(salt + ":"), id.cast("string")))
+
+  /** Deterministic Bernoulli(p) sample: keep rows whose first 4 hex
+    * chars sort at or below `hexThresh4` (p = (thresh+1)/65536, e.g.
+    * "3fff" → 25%).
+    */
+  def sampleFlag(salt: String, id: Column, hexThresh4: String): Column =
+    substring(saltedHex(salt, id), 1, 4) <= hexThresh4
+
+  /** Deterministic train/val/test assignment from the first hex char:
+    * '0'..trainMax → train, ..valMax → val, rest → test. Defaults give
+    * 12/16 train, 2/16 val, 2/16 test.
+    */
+  def splitAssign(
+      salt: String,
+      id: Column,
+      trainMax: String = "b",
+      valMax: String = "d"
+  ): Column = {
+    val h = substring(saltedHex(salt, id), 1, 1)
+    when(h <= trainMax, "train").when(h <= valMax, "val").otherwise("test")
+  }
+
+  /** Mixture sampling: keep each row with a per-source rate (hex-4
+    * threshold column), e.g. upsample curated sources and downsample
+    * crawl. `rateHex4` is any Column expression yielding the 4-hex
+    * threshold for the row's source.
+    */
+  def mixtureFlag(salt: String, id: Column, rateHex4: Column): Column =
+    substring(saltedHex(salt, id), 1, 4) <= rateHex4
+}

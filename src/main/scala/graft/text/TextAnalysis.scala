@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -217,6 +217,99 @@ object TextAnalysis {
       .withColumn("last_seq", expr(s"(end_off - 1) div $seqLen"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
       .drop("shard", "shard_base")
+  }
+
+  /** Word n-grams of one document as one compiled loop per row (HOF
+    * transform/slice/concat_ws chains are interpreted — see
+    * Dedup.shingleHashesUdf for the measurement). Emits the n-gram
+    * STRINGS (joined with ' ') so both engines of an oracle pair can
+    * agree on the values; `distinct` dedupes per document. At corpus
+    * scale prefer joining on hashes of these (Dedup.shingleHashesUdf).
+    */
+  def ngramsUdf(n: Int, distinct: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val m = toks.length - n + 1
+          val out = new Array[String](m)
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          if (distinct) out.distinct else out
+        }
+      }
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set — the standard guard against
+    * test-set leakage into training data. The benchmark side is tiny
+    * (an eval suite), so its distinct n-grams broadcast; the corpus
+    * side explodes its distinct n-grams once and counts matches per
+    * document. Returns (id, n_shared, contaminated).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val grams = ngramsUdf(n, distinct = true)
+    val benchGrams = benchmark
+      .select(explode(grams(col(textCol))).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+    corpus
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0L)
+  }
+
+  /** Gopher-style repetition metrics per document: distinct-token
+    * ratio and the fraction of all word bigrams taken by the single
+    * most frequent bigram. Ratios are long/long→double (exact, engine
+    * portable). One explode + two aggregations keyed by doc id.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val g2 = df.select(col(idCol),
+      explode(ngramsUdf(2, distinct = false)(col(textCol))).as("g2"))
+    val perGram = g2.groupBy(idCol, "g2").agg(count(lit(1)).as("c"))
+    val rep = perGram
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_2gram"), max(col("c")).as("top_2gram_n"))
+    df.select(
+        col(idCol),
+        tokenCountWs(col(textCol)).as("n_tok"),
+        size(array_distinct(split(col(textCol), " "))).cast("long")
+          .as("n_distinct_tok")
+      )
+      .join(rep, Seq(idCol))
+      .withColumn(
+        "distinct_tok_ratio",
+        col("n_distinct_tok").cast("double") / col("n_tok").cast("double"))
+      .withColumn(
+        "top_2gram_ratio",
+        col("top_2gram_n").cast("double") / col("n_2gram").cast("double"))
   }
 
   /** Corpus vocabulary with document frequencies: one explode +

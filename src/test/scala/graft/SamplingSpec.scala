@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0L, 2000L).toDF("id")
+
+  test("sampleFlag is deterministic and near the target rate") {
+    val kept = ids.filter(Sampling.sampleFlag("s1", $"id", "3fff")).count()
+    // 25% of 2000 = 500; md5 is uniform, allow ±5 σ (σ≈19)
+    assert(kept > 400 && kept < 600, s"kept=$kept")
+    val again = ids.filter(Sampling.sampleFlag("s1", $"id", "3fff")).count()
+    assert(again == kept) // same salt → identical subset
+    val other = ids.filter(Sampling.sampleFlag("s2", $"id", "3fff")).count()
+    assert(other != kept || other == kept) // different salt: valid either way
+  }
+
+  test("splitAssign partitions every row into exactly one split") {
+    val got = ids
+      .withColumn("split", Sampling.splitAssign("sp", $"id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 2000L)
+    // 12/16 train expected = 1500, generous bounds
+    assert(got("train") > 1300 && got("train") < 1700)
+  }
+
+  test("ngramsUdf emits ordered n-grams; distinct dedupes") {
+    val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val all = d.select(explode(TextAnalysis.ngramsUdf(2, distinct = false)($"text")))
+      .as[String].collect().toSeq
+    assert(all == Seq("a b", "b a", "a b", "b a"))
+    val dis = d.select(explode(TextAnalysis.ngramsUdf(2, distinct = true)($"text")))
+      .as[String].collect().toSeq
+    assert(dis == Seq("a b", "b a"))
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated words entirely here"),
+      (3L, "quick brown fox again elsewhere")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got(0) == ((1L, 1L, true)))  // shares "quick brown fox"
+    assert(got(1) == ((2L, 0L, false)))
+    assert(got(2) == ((3L, 1L, true)))
+  }
+
+  test("repetitionMetrics: repeated bigram dominates, distinct ratio drops") {
+    val d = Seq(
+      (1L, "x y x y x y x y"),   // bigram "x y" 4/7, 2 distinct of 8 tokens
+      (2L, "a b c d e f g h")    // all bigrams unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_tok") == 8L)
+    assert(r1.getAs[Long]("n_distinct_tok") == 2L)
+    assert(r1.getAs[Long]("n_2gram") == 7L)
+    assert(r1.getAs[Long]("top_2gram_n") == 4L)
+    assert(math.abs(r1.getAs[Double]("top_2gram_ratio") - 4.0 / 7.0) < 1e-12)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("top_2gram_n") == 1L)
+    assert(r2.getAs[Double]("distinct_tok_ratio") == 1.0)
+  }
+}

@@ -91,6 +91,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(dist == comps)
   }
 
+  test("connectedComponents: string ids survive both paths identically") {
+    // non-numeric ids would be nulled by a long cast — both paths must
+    // keep the original type and agree (components labeled by min id,
+    // lexicographic for strings)
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x9", "x2"))
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == Map(
+      "doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x2" -> "x2", "x9" -> "x2"))
+    val dist = Dedup.connectedComponents(pairs, localThreshold = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == local)
+  }
+
+  test("jaccardClusters works on string ids end to end") {
+    val sdocs = docs.withColumn("doc_id", concat(lit("d"), $"doc_id"))
+    val cl = Dedup.jaccardClusters(sdocs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
+    val cluster = cl.filter(_.getAs[String]("component") == "d1")
+    assert(cluster.map(_.getAs[String]("doc_id")).toSet == Set("d1", "d2", "d3"))
+    assert(cluster.count(_.getAs[Boolean]("is_canonical")) == 1)
+  }
+
   test("jaccardClusters marks one canonical per cluster") {
     val cl = Dedup.jaccardClusters(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .collect()
