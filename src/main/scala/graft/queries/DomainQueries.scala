@@ -65,13 +65,18 @@ object DomainQueries {
           .groupByKey(_._1)
           .flatMapGroups { (uid, it) =>
             val evs = it.toArray.sortBy(_._2)
+            // the 400-sample tone block is event-independent — synthesize
+            // it once instead of 400 sins per event (the sin() calls were
+            // the whole cost of this query, not the VAD)
+            val tone = Array.tabulate(400)(j =>
+              math.sin(2 * math.Pi * 440 * (j / 16000.0)))
             val wav = new Array[Double](evs.length * 400)
             var i = 0
             while (i < evs.length) {
               val amp = if (evs(i)._3 > 50.0) 0.3 else 0.001
               var j = 0
               while (j < 400) {
-                wav(i * 400 + j) = amp * math.sin(2 * math.Pi * 440 * (j / 16000.0))
+                wav(i * 400 + j) = amp * tone(j)
                 j += 1
               }
               i += 1
