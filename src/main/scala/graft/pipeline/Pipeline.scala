@@ -91,7 +91,9 @@ object Pipeline {
       metaAll: DataFrame,
       metaSelected: DataFrame,
       skips: Dataset[ChannelSkip],
-      videoErrors: DataFrame
+      videoErrors: DataFrame,
+      /** releases the event cache all output branches read from */
+      unpersist: () => Unit = () => ()
   )
 
   /** channels: Schemas.channels shape; ingested: one `video_id` column
@@ -243,7 +245,8 @@ object Pipeline {
       metaAll = ChannelMeta.build(segDf, selectedOnly = false),
       metaSelected = ChannelMeta.buildSelected(segDf),
       skips = gateSkips.union(abortSkips),
-      videoErrors = videoErrors
+      videoErrors = videoErrors,
+      unpersist = () => { cached.unpersist(); () }
     )
   }
 

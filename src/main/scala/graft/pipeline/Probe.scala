@@ -22,7 +22,11 @@ object Probe {
   final case class ProbeResult(
       quality: Option[ChannelQuality], error: Option[ProbeError])
 
-  final case class Outputs(quality: Dataset[ChannelQuality], errors: Dataset[ProbeError])
+  final case class Outputs(
+      quality: Dataset[ChannelQuality],
+      errors: Dataset[ProbeError],
+      /** releases the probe-result cache both branches read from */
+      unpersist: () => Unit = () => ())
 
   def run(
       spark: SparkSession,
@@ -82,7 +86,8 @@ object Probe {
     val cached = results.cache()
     Outputs(
       quality = cached.flatMap(_.quality),
-      errors = cached.flatMap(_.error)
+      errors = cached.flatMap(_.error),
+      unpersist = () => { cached.unpersist(); () }
     )
   }
 

@@ -64,7 +64,13 @@ object Ann {
       .select(col(idA), col(idB), col("cos"))
   }
 
-  /** Brute-force top-k neighbors for each probe (exact, oracle-safe). */
+  /** Brute-force top-k neighbors for each probe (exact, oracle-safe):
+    * both sides quantize and self-norm once per vector, the (small)
+    * probe side broadcasts, and each candidate row costs one long-dot
+    * per probe — no posexplode, no position join, nothing but the
+    * candidate scan shuffles (bit-identical to the explode-join
+    * formulation; see quantizeUdf/longDotUdf).
+    */
   def topKExact(
       probes: DataFrame,
       cands: DataFrame,
@@ -73,8 +79,18 @@ object Ann {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val cos = cosineExact(probes, cands, idA, idB, vecCol)
+    def prep(df: DataFrame, id: String, q: String, n: String) =
+      df.select(col(id), quantizeUdf(col(vecCol)).as(q))
+        .withColumn(n, longDotUdf(col(q), col(q)))
+    val p = prep(probes, idA, "qa", "na")
+    val c = prep(cands, idB, "qb", "nb")
+    val cos = c
+      .crossJoin(broadcast(p))
       .filter(col(idA) =!= col(idB))
+      .withColumn(
+        "cos",
+        longDotUdf(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
     cos
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -178,9 +178,18 @@ object TextAnalysis {
     * into cumulative base offsets (the only un-partitioned window here
     * runs over P≈parallelism rows, not the corpus), (3) a broadcast
     * join hands each shard its base and a shard-local running sum
-    * finishes the job. Both branches hang off the SAME range exchange
-    * in one lazy plan (ReuseExchange), so shard assignment is
-    * consistent by construction — no cache, no driver collect.
+    * finishes the job.
+    *
+    * The sharded relation is CACHED and materialized before either
+    * consumer runs, and dropped before returning. This is load-bearing
+    * for correctness, not a speedup: RangePartitioner samples split
+    * boundaries with an RDD-id-derived seed, so two separate plan
+    * instantiations of the same repartitionByRange may choose
+    * DIFFERENT boundaries — the subtotal branch and the output branch
+    * must read one materialized sharding (recomputes of a cached plan
+    * reuse the same RDD ids, hence the same boundaries). At cluster
+    * scale, write the sharded relation to storage (checkpoint)
+    * instead of memory-caching it.
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
@@ -195,6 +204,7 @@ object TextAnalysis {
       .select(col(idCol), tokenCountWs(col(textCol)).as("n_tok"))
       .repartitionByRange(p, col(idCol))
       .withColumn("shard", spark_partition_id())
+      .cache()
     val wShards = Window
       .orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -207,7 +217,7 @@ object TextAnalysis {
       .partitionBy(col("shard"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    base
+    val packed = base
       .join(broadcast(shardBases), Seq("shard"))
       .withColumn(
         "start_off",
@@ -217,6 +227,10 @@ object TextAnalysis {
       .withColumn("last_seq", expr(s"(end_off - 1) div $seqLen"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
       .drop("shard", "shard_base")
+    val out = packed.cache()
+    out.count()
+    base.unpersist()
+    out
   }
 
   /** Word n-grams of one document as one compiled loop per row (HOF

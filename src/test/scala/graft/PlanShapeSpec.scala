@@ -54,6 +54,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!inner.contains("Sort"), inner)
   }
 
+  test("q_text_packing shards by range — the corpus never hits one window partition") {
+    val p = plan("q_text_packing")
+    assert(p.contains("rangepartitioning"), p)
+    // the corpus-side window must be partitioned (by shard); the only
+    // un-partitioned window allowed is the P-row shard-base prefix,
+    // which sits under a broadcast
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
