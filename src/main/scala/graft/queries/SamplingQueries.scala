@@ -74,6 +74,28 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sample_per_group",
+      covers = "sampling,per-group",
+      fn = (s, dir) =>
+        Sampling
+          .perGroupSample(table(s, dir, "documents"), "source", "doc_id",
+            k = 5, salt = "grp")
+          .select("source", "sample_rank", "doc_id")
+          .orderBy("source", "sample_rank"),
+      oracle = Some(
+        """SELECT source, sample_rank, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+          |      AS sample_rank
+          |  FROM documents)
+          |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
+      ),
+      doc = "deterministic k-per-group sample: salted-hash order inside " +
+        "each source, keep first k — balanced subsets, no RNG"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_decontaminate",
       covers = "decontamination",
       fn = (s, dir) => {

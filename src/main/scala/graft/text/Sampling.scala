@@ -49,4 +49,24 @@ object Sampling {
     */
   def mixtureFlag(salt: String, id: Column, rateHex4: Column): Column =
     substring(saltedHex(salt, id), 1, 4) <= rateHex4
+
+  /** Deterministic k-per-group sample: rank rows inside each group by
+    * their salted hash (a reproducible random order) and keep the
+    * first k — balanced subsets across sources/languages without an
+    * RNG. One shuffle on the group key; at scale this is the same
+    * shape as any per-group top-k (bounded-heap friendly).
+    */
+  def perGroupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(saltedHex(salt, col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

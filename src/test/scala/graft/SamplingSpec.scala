@@ -29,6 +29,18 @@ class SamplingSpec extends SparkTestBase {
     assert(got("train") > 1300 && got("train") < 1700)
   }
 
+  test("perGroupSample keeps exactly k per group, deterministically") {
+    val d = spark.range(0L, 300L).toDF("id")
+      .withColumn("grp", ($"id" % 3L).cast("string"))
+    val got = graft.text.Sampling.perGroupSample(d, "grp", "id", 7, "t")
+    assert(got.count() == 21)
+    assert(got.groupBy("grp").count().collect().forall(_.getLong(1) == 7L))
+    val ids1 = got.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.text.Sampling.perGroupSample(d, "grp", "id", 7, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2) // same salt → same subset
+  }
+
   test("ngramsUdf emits ordered n-grams; distinct dedupes") {
     val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
     val all = d.select(explode(TextAnalysis.ngramsUdf(2, distinct = false)($"text")))
