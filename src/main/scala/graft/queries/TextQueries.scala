@@ -265,6 +265,43 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_winnow",
+      covers = "fingerprint",
+      fn = (s, dir) =>
+        TextAnalysis
+          .winnowRelational(table(s, dir, "documents"), "doc_id", "text",
+            k = 8, w = 4)
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH g0 AS (SELECT doc_id,
+          |    CASE WHEN length(text) >= 8
+          |         THEN list_transform(range(1, length(text) - 6),
+          |                i -> md5(substr(text, i, 8)))
+          |         ELSE [] END AS hs
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(hs) AS h,
+          |             generate_subscripts(hs, 1) AS pos FROM g0),
+          |wm AS (SELECT doc_id, pos,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+          |    count(*) OVER (PARTITION BY doc_id) AS m
+          |  FROM g),
+          |sel AS (SELECT DISTINCT doc_id, wm FROM wm WHERE pos <= m - 3),
+          |agg AS (SELECT doc_id, count(*) AS n_fp, min(wm) AS min_fp,
+          |               max(wm) AS max_fp FROM sel GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+          |       min_fp, max_fp
+          |FROM documents d LEFT JOIN agg USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "winnowing fingerprints (Schleimer et al. SIGMOD'03), " +
+        "md5-gram relational formulation: window-min over 4 consecutive " +
+        "8-gram hashes, full windows, distinct — oracle-checked face of " +
+        "document fingerprinting (q_text_fingerprint is the rolling-hash " +
+        "scale path)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_fingerprint",
       covers = "fingerprint",
       fn = (s, dir) => {

@@ -95,6 +95,38 @@ object Incremental {
       }
       .start()
 
+  /** Streaming face of the text-curation funnel: the per-row stages
+    * (language/quality/token gates, PII redaction, chunking) are
+    * stateless Column transforms that run identically on a stream or a
+    * batch; exact dedup becomes watermark-bounded state keyed by the
+    * content digest. Near-dup clustering and sequence packing are
+    * corpus-global and stay batch (run them on the accumulated sink —
+    * the standard lambda split for curation at scale).
+    */
+  def curationStream(
+      docs: DataFrame, // streaming; (idCol, textCol, eventTimeCol)
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      cfg: graft.text.CurationPipeline.Config = graft.text.CurationPipeline.Config(),
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    import graft.text.TextAnalysis
+    docs
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tok", TextAnalysis.tokenCountWs(col(textCol)))
+      .filter(
+        col("lang_pred").isin(cfg.allowedLangs: _*) &&
+          col("quality") >= cfg.minQuality &&
+          col("n_tok") >= cfg.minTokens
+      )
+      .withColumn("content_key", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_key")
+      .withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
+  }
+
   /** T4 — per-channel early-abort counters as explicit streaming state:
     * counts premiere/offline statuses per channel; once the budget is
     * exceeded the channel emits an abort record and drops every later

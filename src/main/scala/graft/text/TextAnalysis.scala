@@ -382,6 +382,59 @@ object TextAnalysis {
     h
   }
 
+  /** Relational winnowing (Schleimer et al. SIGMOD'03) with md5 gram
+    * hashes — the oracle-checkable formulation: md5 is identical in
+    * every engine and the window-min over hex strings is a plain
+    * lexicographic min. Per document: hash every char k-gram, take the
+    * min hash of each window of w consecutive grams (full windows
+    * only), dedupe — the selected set is the document fingerprint.
+    * Output: (id, n_fp, min_fp, max_fp). The Scala `winnow` below is
+    * the faster scale path (rolling hash, no per-gram md5).
+    */
+  def winnowRelational(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequence(1, stop) runs BACKWARDS when stop < 1 — short texts must
+    // yield an empty gram array, not [1, 0]
+    val gramArr = when(
+      length(col(textCol)) >= k,
+      transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1)),
+        i => md5(col(textCol).substr(i, lit(k)))
+      )
+    ).otherwise(array().cast("array<string>"))
+    val grams = df.select(
+      col(idCol),
+      posexplode(gramArr).as(Seq("pos0", "h"))
+    )
+    val wFrame = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("pos0"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wAll = Window.partitionBy(col(idCol))
+    val sel = grams
+      .withColumn("wm", min(col("h")).over(wFrame))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("pos0") <= col("m") - w) // full windows only (pos0 is 0-based)
+      .select(col(idCol), col("wm"))
+      .distinct()
+    val agg = sel
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_fp"),
+        min(col("wm")).as("min_fp"),
+        max(col("wm")).as("max_fp")
+      )
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+  }
+
   /** Winnowing fingerprints: rolling hash over every k-gram (chars),
     * keep the minimum hash in each window of w consecutive k-grams —
     * the standard winnowing scheme (Schleimer, Wilkerson, Aiken,

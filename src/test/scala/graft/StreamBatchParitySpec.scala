@@ -10,6 +10,57 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 class StreamBatchParitySpec extends SparkTestBase {
 
+  test("curation gates+dedup+redact: stream face equals batch face") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftdocs")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val batch = spark.read.parquet(src)
+    val schema = batch.schema
+    val cfg = graft.text.CurationPipeline.Config()
+    // +1: a row whose event time is EXACTLY epoch 0 sits at the initial
+    // watermark and is discarded as late by the stateful dedup — keep
+    // synthetic event times strictly above the initial watermark
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L))
+
+    // batch face of the SAME stages the stream runs (gates + exact
+    // content dedup; near-dup clustering is corpus-global and batch-only)
+    import graft.text.TextAnalysis
+    val batchKeys = batch
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")))
+      .filter(
+        col("lang_pred").isin(cfg.allowedLangs: _*) &&
+          col("quality") >= cfg.minQuality &&
+          col("n_tok") >= cfg.minTokens
+      )
+      .select(md5(col("text")).as("content_key"))
+      .distinct().as[String].collect().toSet
+
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val cur = Incremental.curationStream(
+      withTs(stream), "doc_id", "text", "ets", cfg)
+    val q = cur.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("parity_curation")
+      .start()
+    q.processAllAvailable()
+    val streamKeys = spark
+      .sql("SELECT content_key FROM parity_curation")
+      .as[String].collect()
+    q.stop()
+
+    // stream picks an arbitrary representative per content key; the
+    // surviving CONTENT set must match the batch funnel exactly
+    assert(streamKeys.length == streamKeys.distinct.length)
+    assert(streamKeys.toSet == batchKeys)
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
