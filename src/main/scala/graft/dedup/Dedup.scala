@@ -390,18 +390,11 @@ object Dedup {
     labels
   }
 
-  /** Near-dup clusters from exact Jaccard pairs: components + canonical
-    * (min id) + cluster size — the keep/drop decision surface of a
-    * corpus-dedup pass.
+  /** Components + canonical (min id) + cluster size from any near-dup
+    * pair relation (columns a, b) — the keep/drop decision surface of
+    * a corpus-dedup pass, shared by the exact-Jaccard and LSH paths.
     */
-  def jaccardClusters(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
-      minJaccard: Double
-  ): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf = Long.MaxValue)
+  def clusterize(pairs: DataFrame, idCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     comps
@@ -413,6 +406,38 @@ object Dedup {
         (col("node") === col("comp")).as("is_canonical")
       )
   }
+
+  /** Near-dup clusters from exact n-gram Jaccard pairs (the
+    * oracle-checkable path; use lshClusters at corpus scale).
+    */
+  def jaccardClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double
+  ): DataFrame =
+    clusterize(
+      ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf = Long.MaxValue),
+      idCol)
+
+  /** Near-dup clusters from MinHash-LSH candidate pairs with exact
+    * Jaccard verification — the 100 TB path: candidate generation is
+    * band-bucketed (never an all-shingle self-join), recall at
+    * s=minJaccard is 1-(1-s^r)^b (≈98.5% at s=0.8, b=8, r=4).
+    */
+  def lshClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame =
+    clusterize(
+      minHashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, minJaccard),
+      idCol)
 
   /** 64-bit SimHash over whitespace tokens: per token h = FNV-1a(tok);
     * each bit contributes ±1; fingerprint bit j = sign of the sum.

@@ -19,6 +19,12 @@ object CurationPipeline {
       minTokens: Long = 8L,
       nearDupN: Int = 3,
       nearDupJaccard: Double = 0.8,
+      /** near-dup candidate strategy: LSH banding (the corpus-scale
+        * path, ~98.5% recall at j=0.8 with 8×4) vs the exact
+        * all-shingle self-join (oracle-checkable, but its candidate
+        * volume grows with shingle df² — use for audits)
+        */
+      nearDupUseLsh: Boolean = true,
       chunkTokens: Int = 256,
       chunkOverlap: Int = 32,
       seqLen: Long = 2048L
@@ -70,8 +76,11 @@ object CurationPipeline {
     gated.unpersist()
 
     // ---- near-dup dedup: drop non-canonical cluster members
-    val clusters = Dedup.jaccardClusters(
-      exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
+    val clusters =
+      if (cfg.nearDupUseLsh)
+        Dedup.lshClusters(exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
+      else
+        Dedup.jaccardClusters(exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
     val drop = clusters.filter(!col("is_canonical")).select(idCol)
     val nearDeduped = exactDeduped.join(drop, Seq(idCol), "left_anti")
 
