@@ -302,6 +302,45 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_winnow_pairs",
+      covers = "fingerprint,dedup-substring",
+      fn = (s, dir) =>
+        // 16-char grams: long enough that shared fingerprints mean
+        // genuinely shared substrings, not common short words
+        TextAnalysis
+          .winnowPairs(table(s, dir, "documents"), "doc_id", "text",
+            k = 16, w = 8, minShared = 5L, maxDf = 50L)
+          .orderBy("a", "b"),
+      oracle = Some(
+        """WITH g0 AS (SELECT doc_id,
+          |    CASE WHEN length(text) >= 16
+          |         THEN list_transform(range(1, length(text) - 14),
+          |                i -> md5(substr(text, i, 16)))
+          |         ELSE [] END AS hs
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(hs) AS h,
+          |             generate_subscripts(hs, 1) AS pos FROM g0),
+          |wmw AS (SELECT doc_id, pos,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
+          |    count(*) OVER (PARTITION BY doc_id) AS m
+          |  FROM g),
+          |sel AS (SELECT DISTINCT doc_id, wm FROM wmw WHERE pos <= m - 7),
+          |rare AS (SELECT doc_id, wm FROM (
+          |    SELECT doc_id, wm, count(*) OVER (PARTITION BY wm) AS df FROM sel)
+          |  WHERE df <= 50)
+          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared_fp
+          |FROM rare x JOIN rare y ON x.wm = y.wm AND x.doc_id < y.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 5
+          |ORDER BY a, b""".stripMargin
+      ),
+      doc = "shared-substring near-dup pairs: docs sharing >= 5 " +
+        "winnowing fingerprints of 16-char grams (df-capped inverted " +
+        "index) — the substring-dedup detection surface (Lee et al. " +
+        "'22 shape)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_fingerprint",
       covers = "fingerprint",
       fn = (s, dir) => {

@@ -391,6 +391,69 @@ object TextAnalysis {
     * Output: (id, n_fp, min_fp, max_fp). The Scala `winnow` below is
     * the faster scale path (rolling hash, no per-gram md5).
     */
+  /** Per-document winnowing selection as ONE compiled loop: md5 every
+    * char k-gram (MessageDigest — bit-identical to SQL md5 on the same
+    * UTF-8 bytes), take the min hex of each window of w consecutive
+    * grams (full windows only), dedupe. Selection is document-LOCAL,
+    * so doing it in-row removes the posexplode and both window
+    * shuffles the relational formulation needs (~10×). O(m·w) min
+    * scan — w is small by construction.
+    */
+  def winnowUdf(k: Int, w: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null || text.length < k) Array.empty[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val m = text.length - k + 1
+        val hs = new Array[String](m)
+        val hexChars = "0123456789abcdef".toCharArray
+        var i = 0
+        while (i < m) {
+          md.reset()
+          val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          val sb = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            sb(2 * j) = hexChars((d(j) >> 4) & 0xf)
+            sb(2 * j + 1) = hexChars(d(j) & 0xf)
+            j += 1
+          }
+          hs(i) = new String(sb)
+          i += 1
+        }
+        if (m < w) Array.empty[String]
+        else {
+          val sel = new java.util.LinkedHashSet[String]()
+          var s = 0
+          while (s <= m - w) {
+            var best = hs(s)
+            var j = s + 1
+            while (j < s + w) {
+              if (hs(j).compareTo(best) < 0) best = hs(j)
+              j += 1
+            }
+            sel.add(best)
+            s += 1
+          }
+          sel.toArray(new Array[String](sel.size))
+        }
+      }
+  }
+
+  /** The selected winnowing fingerprint set, one (id, wm) row per
+    * selected hash — the shared substrate of the per-doc rollup and
+    * the pair detector.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int
+  ): DataFrame =
+    df.select(col(idCol), explode(winnowUdf(k, w)(col(textCol))).as("wm"))
+
   def winnowRelational(
       df: DataFrame,
       idCol: String,
@@ -398,32 +461,7 @@ object TextAnalysis {
       k: Int,
       w: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // sequence(1, stop) runs BACKWARDS when stop < 1 — short texts must
-    // yield an empty gram array, not [1, 0]
-    val gramArr = when(
-      length(col(textCol)) >= k,
-      transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1)),
-        i => md5(col(textCol).substr(i, lit(k)))
-      )
-    ).otherwise(array().cast("array<string>"))
-    val grams = df.select(
-      col(idCol),
-      posexplode(gramArr).as(Seq("pos0", "h"))
-    )
-    val wFrame = Window
-      .partitionBy(col(idCol))
-      .orderBy(col("pos0"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val wAll = Window.partitionBy(col(idCol))
-    val sel = grams
-      .withColumn("wm", min(col("h")).over(wFrame))
-      .withColumn("m", count(lit(1)).over(wAll))
-      .filter(col("pos0") <= col("m") - w) // full windows only (pos0 is 0-based)
-      .select(col(idCol), col("wm"))
-      .distinct()
-    val agg = sel
+    val agg = winnowFingerprints(df, idCol, textCol, k, w)
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_fp"),
@@ -433,6 +471,42 @@ object TextAnalysis {
     df.select(col(idCol))
       .join(agg, Seq(idCol), "left")
       .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+  }
+
+  /** Shared-substring near-dup pairs (Lee et al. '22-style detection
+    * surface): documents sharing ≥ minShared winnowing fingerprints.
+    * Same inverted-index shape as n-gram Jaccard — fingerprints whose
+    * document frequency exceeds maxDf are dropped (boilerplate
+    * substrings carry no dedup signal and their join fan-out is df²).
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("wm")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .cache()
+    val a = rare.select(col(idCol).as("a"), col("wm"))
+    val b = rare.select(col(idCol).as("b"), col("wm"))
+    val pairs = a
+      .join(b, Seq("wm"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+    val out = pairs.cache()
+    out.count()
+    rare.unpersist()
+    out
   }
 
   /** Winnowing fingerprints: rolling hash over every k-gram (chars),
