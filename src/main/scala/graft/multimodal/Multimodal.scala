@@ -36,6 +36,75 @@ object Multimodal {
 
   import org.apache.spark.sql.Column
 
+  /** Frame sampling — the 1→N multimodal generator: each payload row
+    * expands to up to `n` frame rows (frame_idx, ts_ms, frame bytes),
+    * extracted batch-at-a-time inside the partition (no payload ever
+    * crosses a shuffle to be sampled). Output schema:
+    * (id long, frame_idx long, ts_ms long, frame binary).
+    */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      sampler: FrameSampler,
+      n: Int,
+      batchSize: Int = 32
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("ts_ms", LongType),
+      StructField("frame", BinaryType)
+    ))
+    val rdd = df
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val payloads = batch.map(_.getAs[Array[Byte]](1))
+          ids.zip(sampler.sampleBatch(payloads, n)).flatMap {
+            case (id, frames) =>
+              frames.map { case (idx, ts, bytes) =>
+                Row(id, idx.toLong, ts, bytes)
+              }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Payload transform (resize / transcode shape): binary→binary in
+    * partition-local batches; metadata of the result rides as columns.
+    */
+  def transformPayloads(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      transform: PayloadTransform,
+      batchSize: Int = 32
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload_out", BinaryType)
+    ))
+    val rdd = df
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val outs = transform.transformBatch(batch.map(_.getAs[Array[Byte]](1)))
+          ids.zip(outs).map { case (id, b) => Row(id, b) }
+        }
+      }
+    spark
+      .createDataFrame(rdd, outSchema)
+      .withColumn("out_len", expr("octet_length(payload_out)").cast("long"))
+  }
+
   /** Batched feature extraction: rows stream through mapPartitions in
     * fixed-size batches (the real control knob for model inference —
     * G4's batch-per-video generalized). Output schema: id + featureDim
@@ -105,6 +174,56 @@ object WavFeatureDecoder extends MediaDecoder {
         (zc.toDouble / n).toFloat, peak.toFloat,
         bandRms(0, q), bandRms(q, q), bandRms(2 * q, q), bandRms(3 * q, q)
       )
+    }
+}
+
+/** Frame-extraction contract: one call per batch; per payload a list
+  * of (frame_idx, ts_ms, frame_bytes).
+  */
+trait FrameSampler extends Serializable {
+  def sampleBatch(payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]]
+}
+
+/** STUB frame sampler — no video codecs in this container. Treats the
+  * payload as UTF-8 text and cuts n equal CHAR slices (char-based so
+  * the behavior stays expressible as portable SQL for the oracle); a
+  * real implementation seeks keyframes in the container behind this
+  * same trait. Payloads too short for n frames yield one whole-payload
+  * frame.
+  */
+object StubFrameSampler extends FrameSampler {
+  def sampleBatch(payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]] =
+    payloads.map { bytes =>
+      val s = new String(bytes, "UTF-8")
+      val flen = s.length / n
+      if (flen == 0) Seq((0, 0L, bytes))
+      else (0 until n).map { i =>
+        (i, i * 1000L, s.substring(i * flen, i * flen + flen).getBytes("UTF-8"))
+      }
+    }
+}
+
+/** Payload→payload transform contract (resize / transcode shape). */
+trait PayloadTransform extends Serializable {
+  def transformBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]]
+}
+
+/** STUB resize — no image libs here. Deterministically downsamples the
+  * byte stream to `targetLen` by striding (every production concern a
+  * real bilinear resize has — batching, partition locality, binary
+  * in/out schema — is exercised; only the pixel math is faked).
+  */
+final case class StubResize(targetLen: Int) extends PayloadTransform {
+  def transformBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
+    payloads.map { bytes =>
+      if (bytes.length <= targetLen) bytes
+      else {
+        val out = new Array[Byte](targetLen)
+        val stride = bytes.length.toDouble / targetLen
+        var i = 0
+        while (i < targetLen) { out(i) = bytes((i * stride).toInt); i += 1 }
+        out
+      }
     }
 }
 

@@ -167,6 +167,62 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_mm_frames",
+      covers = "multimodal-frames",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+        graft.multimodal.Multimodal
+          .sampleFrames(d, "doc_id", "payload",
+            graft.multimodal.StubFrameSampler, n = 3, batchSize = 64)
+          .select(
+            col("id").as("doc_id"),
+            col("frame_idx"),
+            col("ts_ms"),
+            md5(col("frame")).as("frame_md5")
+          )
+          .orderBy("doc_id", "frame_idx")
+      },
+      oracle = Some(
+        """WITH b AS (SELECT doc_id, text, length(text) // 3 AS flen FROM documents),
+          |fr AS (SELECT doc_id, unnest(range(3)) AS i, flen, text
+          |       FROM b WHERE flen > 0),
+          |frames AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          |         CAST(i * 1000 AS BIGINT) AS ts_ms,
+          |         md5(substr(text, CAST(i * flen + 1 AS BIGINT), flen)) AS frame_md5
+          |  FROM fr
+          |  UNION ALL
+          |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), md5(text)
+          |  FROM b WHERE flen = 0)
+          |SELECT doc_id, frame_idx, ts_ms, frame_md5
+          |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "frame sampling — the 1→N multimodal generator: batched " +
+        "partition-local extraction, frames digest-compared (sampler " +
+        "stubbed as char slices; a real one seeks keyframes behind the " +
+        "same trait)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_mm_resize",
+      covers = "multimodal-transform",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+        graft.multimodal.Multimodal
+          .transformPayloads(d, "doc_id", "payload",
+            graft.multimodal.StubResize(64), batchSize = 64)
+          .select(col("id").as("doc_id"), col("out_len"),
+            md5(col("payload_out")).as("out_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = None, // byte-stride resize stub has no portable SQL face
+      doc = "payload resize/transcode shape: binary→binary batched " +
+        "partition-local transform (pixel math stubbed, plumbing real)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_mm_features",
       covers = "multimodal-features",
       fn = (s, dir) => {
