@@ -19,8 +19,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   * primitive loop inside WholeStageCodegen.
   */
 
-/** dot(a, b) over two array<float>/array<double> columns → double.
-  * Mismatched lengths use the shorter prefix; null input → null.
+/** dot(a, b) over two array<float|double|long> columns → double (long
+  * elements accumulate in double — exact as long as every partial sum
+  * stays under 2^53, which the ×2^20 quantization guarantees for
+  * ≤64-dim vectors). Mismatched lengths use the shorter prefix; null
+  * input → null.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,13 +32,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   private def ok(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+        ArrayType(LongType, _) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"array_dot needs array<float|double> inputs, got " +
+      s"array_dot needs array<float|double|long> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
 
   private def elemType(e: Expression): DataType =
@@ -45,14 +49,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    val la = elemType(left) == FloatType
-    val lb = elemType(right) == FloatType
+    def get(arr: ArrayData, e: Expression, i: Int): Double = elemType(e) match {
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case _ => arr.getDouble(i)
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (lb) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += get(a, left, i) * get(b, right, i)
       i += 1
     }
     acc
@@ -63,9 +68,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      def get(arr: String, e: Expression, idx: String): String =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
-        else s"$arr.getDouble($idx)"
+      def get(arr: String, e: Expression, idx: String): String = elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($idx)"
+        case LongType => s"(double) $arr.getLong($idx)"
+        case _ => s"$arr.getDouble($idx)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;

@@ -69,7 +69,7 @@ object Ann {
     * probe side broadcasts, and each candidate row costs one long-dot
     * per probe — no posexplode, no position join, nothing but the
     * candidate scan shuffles (bit-identical to the explode-join
-    * formulation; see quantizeUdf/longDotUdf).
+    * formulation; see quantizeUdf/quantDot).
     */
   def topKExact(
       probes: DataFrame,
@@ -81,7 +81,7 @@ object Ann {
   ): DataFrame = {
     def prep(df: DataFrame, id: String, q: String, n: String) =
       df.select(col(id), quantizeUdf(col(vecCol)).as(q))
-        .withColumn(n, longDotUdf(col(q), col(q)))
+        .withColumn(n, quantDot(col(q), col(q)))
     val p = prep(probes, idA, "qa", "na")
     val c = prep(cands, idB, "qb", "nb")
     val cos = c
@@ -89,8 +89,8 @@ object Ann {
       .filter(col(idA) =!= col(idB))
       .withColumn(
         "cos",
-        longDotUdf(col("qa"), col("qb")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        quantDot(col("qa"), col("qb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
     cos
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -337,17 +337,13 @@ object Ann {
       out
     }
 
-  /** Long dot product of two quantized vectors — exact (see QuantScale
-    * bounds).
+  /** Dot of two quantized long vectors via the native codegen'd
+    * ArrayDotProduct (double accumulation — exact under the QuantScale
+    * bounds: products < 2^42, 64-term sums < 2^48 < 2^53, identical to
+    * the oracle's BIGINT-sum-then-cast).
     */
-  val longDotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (x: Seq[Long], y: Seq[Long]) =>
-      var d = 0L
-      var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) { d += x(i) * y(i); i += 1 }
-      d
-    }
+  def quantDot(x: Column, y: Column): Column =
+    graft.plans.ArrayOps.array_dot(x, y)
 
   /** Exact all-pairs near-dup (a<b, quantized cos ≥ minCos) over one
     * relation: vectors quantize and self-norm ONCE, then a broadcast
@@ -365,14 +361,14 @@ object Ann {
   ): DataFrame = {
     val base = df
       .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"))
-      .withColumn("nsq", longDotUdf(col("qv"), col("qv")))
+      .withColumn("nsq", quantDot(col("qv"), col("qv")))
     val l = base.select(col(idCol).as("a"), col("qv").as("qva"), col("nsq").as("na"))
     val r = base.select(col(idCol).as("b"), col("qv").as("qvb"), col("nsq").as("nb"))
     l.join(broadcast(r), col("a") < col("b"))
       .withColumn(
         "cos",
-        longDotUdf(col("qva"), col("qvb")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        quantDot(col("qva"), col("qvb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
   }
