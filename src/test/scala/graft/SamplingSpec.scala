@@ -68,6 +68,38 @@ class SamplingSpec extends SparkTestBase {
     assert(got(2) == ((3L, 1L, true)))
   }
 
+  test("packSequences invariants on adversarial random input") {
+    // fixed seed; ragged doc lengths incl. empty-ish and huge docs
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map { i =>
+      val n = rnd.nextInt(50) match {
+        case 0 => 1
+        case k if k > 45 => 2000 + rnd.nextInt(500)
+        case k => k
+      }
+      (i, Seq.fill(n)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val seqLen = 128L
+    val got = graft.text.TextAnalysis
+      .packSequences(df, "doc_id", "text", seqLen)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("end_off"),
+        r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_seqs")))
+    // offsets tile the token stream exactly, in id order, no gaps
+    var expectedStart = 0L
+    got.foreach { case (_, nTok, s, e, f, l, ns) =>
+      assert(s == expectedStart)
+      assert(e == s + nTok)
+      assert(f == s / seqLen && l == (e - 1) / seqLen && ns == l - f + 1)
+      expectedStart = e
+    }
+    assert(expectedStart == docs.map(_._2.split(" ", -1).length.toLong).sum)
+  }
+
   test("repetitionMetrics: repeated bigram dominates, distinct ratio drops") {
     val d = Seq(
       (1L, "x y x y x y x y"),   // bigram "x y" 4/7, 2 distinct of 8 tokens
