@@ -61,6 +61,35 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(streamKeys.toSet == batchKeys)
   }
 
+  test("curation dedup state works ACROSS micro-batches") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftdocs2")
+    // the same corpus arrives twice, in two separate micro-batches —
+    // every second-batch row is a duplicate and must hit first-batch
+    // state, not just in-batch dedup
+    Files.copy(Paths.get(src), dir.resolve("a_documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(src), dir.resolve("b_documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src).schema
+    val cfg = graft.text.CurationPipeline.Config()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force one file per micro-batch
+      .parquet(dir.toString)
+    val cur = Incremental.curationStream(
+      stream.withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L)),
+      "doc_id", "text", "ets", cfg)
+    val q = cur.writeStream.outputMode("append").format("memory")
+      .queryName("parity_crossbatch").start()
+    q.processAllAvailable()
+    val keys = spark.sql("SELECT content_key FROM parity_crossbatch")
+      .as[String].collect()
+    q.stop()
+    assert(keys.length == keys.distinct.length,
+      s"cross-batch duplicates leaked: ${keys.length} rows, ${keys.distinct.length} distinct")
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
