@@ -30,7 +30,11 @@ object CurationProfile {
     val keep = Dedup.exact(gated, "doc_id", "text").select("doc_id")
     val exactDeduped = gated.join(keep, Seq("doc_id"), "left_semi").cache()
     t("exact-count") { exactDeduped.count() }
-    val pairs = t("jaccard-pairs") {
+    val pairs = t("lsh-pairs (shipped path)") {
+      Dedup.minHashLshPairs(exactDeduped, "doc_id", "text", cfg.nearDupN,
+        minJaccard = cfg.nearDupJaccard)
+    }
+    t("jaccard-pairs (audit path)") {
       Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text", cfg.nearDupN,
         cfg.nearDupJaccard, maxDf = Long.MaxValue)
     }
