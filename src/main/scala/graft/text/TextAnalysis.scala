@@ -38,10 +38,30 @@ object TextAnalysis {
 
   private def tokens(text: Column): Column = split(text, " ")
 
-  /** Count of tokens from `words` present in the text. */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
-      .cast("long")
+  /** Count of tokens from `words` present in the text (duplicates
+    * count). One compiled loop + hash-set probe per row — the filter()
+    * HOF with an isin lambda is interpreted per token, and this runs
+    * once per language per document on the curation gate path.
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = words.toSet
+    val f = udf { (t: String) =>
+      if (t == null) 0L
+      else {
+        var n = 0L
+        var from = 0
+        var i = t.indexOf(' ')
+        while (i >= 0) {
+          if (set.contains(t.substring(from, i))) n += 1
+          from = i + 1
+          i = t.indexOf(' ', from)
+        }
+        if (set.contains(t.substring(from))) n += 1
+        n
+      }
+    }
+    f(text)
+  }
 
   /** CJK detection: count of codepoints in the unified-ideograph block.
     * One regex scan; no per-char loop.
