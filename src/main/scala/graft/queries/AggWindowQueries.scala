@@ -151,9 +151,9 @@ object AggWindowQueries {
         """WITH p AS (SELECT user_id, event_type,
           |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS score_c FROM events)
           |SELECT user_id,
-          |  sum(CASE WHEN event_type IN ('click','view','signup') THEN score_c
+          |  CAST(sum(CASE WHEN event_type IN ('click','view','signup') THEN score_c
           |           WHEN event_type IN ('error','purchase') THEN -score_c
-          |           ELSE 0 END) AS speech_score_c,
+          |           ELSE 0 END) AS BIGINT) AS speech_score_c,
           |  count(*) AS n_preds
           |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
       ),

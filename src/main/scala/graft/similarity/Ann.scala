@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -143,27 +144,45 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is
     * a fixed integer hash mapped into [-0.5, 0.5). Same plane set on
-    * every executor without shipping state.
+    * every executor without shipping state. Bit-identical to the SQL
+    * formulation `pmod(xxhash64(i, j), 1000003)/1000003 - 0.5` —
+    * computed through catalyst's own XXH64 (seed 42, int widening),
+    * asserted against the relational expression in AnnSpec.
     */
-  private def planeComponent(i: Int, j: Column): Column =
-    (pmod(xxhash64(lit(i), j), lit(1000003L)).cast("double") / 1000003.0d) - 0.5d
+  private[graft] def planeComponent(i: Int, j: Int): Double = {
+    val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
+    (((h % 1000003L) + 1000003L) % 1000003L).toDouble / 1000003.0d - 0.5d
+  }
+
+  /** All `bits` sign projections as ONE compiled per-row loop. The
+    * previous formulation built `bits` separate interpreted
+    * zip_with/aggregate HOF columns — bits× lambda interpretation per
+    * vector element (the same interpreted-HOF cost shingling had
+    * before Dedup.shingleHashesUdf). Accumulation order (j ascending,
+    * double adds) matches the HOF fold exactly, so bucket ids are
+    * unchanged.
+    */
+  private val bucketUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bits: Int, v: Seq[Float]) =>
+      val n = v.length
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        var s = 0.0d
+        var j = 0
+        while (j < n) {
+          s += v(j).toDouble * planeComponent(i, j)
+          j += 1
+        }
+        if (s >= 0.0d) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
 
   /** Sign-random-projection bucket id over `bits` hyperplanes. */
-  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
-    val proj = (0 until bits).map { i =>
-      val s = aggregate(
-        zip_with(
-          col(vecCol),
-          sequence(lit(0), size(col(vecCol)) - 1),
-          (x, j) => x.cast("double") * planeComponent(i, j)
-        ),
-        lit(0.0d),
-        (acc, v) => acc + v
-      )
-      when(s >= 0.0d, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    df.withColumn("bucket", proj.reduce((a, b) => a.bitwiseOR(b)))
-  }
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+    df.withColumn("bucket", bucketUdf(lit(bits), col(vecCol)))
 
   /** LSH-bucketed top-k: probes only compare against candidates in the
     * same bucket. Recall < 1; bucket count 2^bits controls the
@@ -296,31 +315,6 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
-  /** Quantized cosine as ONE compiled loop per pair — bit-identical to
-    * the explode-join formulation (and the DuckDB oracle recipe): each
-    * component quantizes to round-half-away-from-zero(x·2^20) exactly
-    * like round() in both engines, the dot and norms accumulate in
-    * long (exact — see QuantScale), and the final divide uses the same
-    * association order dot / (sqrt(na)·sqrt(nb)). ~40× less data
-    * motion than posexplode+join for pairwise work.
-    */
-  val quantCosUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (va: Seq[Float], vb: Seq[Float]) =>
-      @inline def q(x: Float): Long = {
-        val v = x.toDouble * QuantScale
-        (if (v >= 0) v + 0.5d else v - 0.5d).toLong // HALF_UP, both signs
-      }
-      var dot = 0L; var na = 0L; var nb = 0L
-      var i = 0
-      val n = math.min(va.length, vb.length)
-      while (i < n) {
-        val xa = q(va(i)); val xb = q(vb(i))
-        dot += xa * xb; na += xa * xa; nb += xb * xb
-        i += 1
-      }
-      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
-    }
-
   /** Quantize a vector once (round-half-away-from-zero ×2^20 — exactly
     * round() in Spark and DuckDB on these exactly-representable
     * products).
@@ -348,8 +342,13 @@ object Ann {
   /** Exact all-pairs near-dup (a<b, quantized cos ≥ minCos) over one
     * relation: vectors quantize and self-norm ONCE, then a broadcast
     * self theta-join leaves only one long-dot per pair — the
-    * oracle-checkable brute-force face of embedding dedup (use
-    * cosineNearDupPairs' LSH buckets at corpus scale). Bit-identical
+    * oracle-checkable brute-force face of embedding dedup. SCALE
+    * CEILING: `broadcast(r)` ships the ENTIRE quantized relation to
+    * every executor — hard limit ~8 GB serialized / available driver
+    * and executor memory, i.e. audit/oracle workloads only (≲ a few
+    * million small vectors). Never run this on a corpus; use
+    * cosineNearDupPairs' LSH buckets, which shuffle only bucket-local
+    * candidates. Bit-identical
     * to the posexplode+join formulation: long sums are exact and the
     * final divide keeps the dot/(sqrt(na)·sqrt(nb)) association order.
     */
