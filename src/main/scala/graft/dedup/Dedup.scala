@@ -397,7 +397,10 @@ object Dedup {
   def clusterize(pairs: DataFrame, idCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comps
+    // materialize the (small — one row per node that appears in a
+    // pair) label table, then release the distributed-path iteration
+    // cache; intermediates must not outlive the call
+    val out = comps
       .join(sizes, Seq("comp"))
       .select(
         col("node").as(idCol),
@@ -405,26 +408,42 @@ object Dedup {
         col("cluster_size"),
         (col("node") === col("comp")).as("is_canonical")
       )
+      .cache()
+    out.count()
+    comps.unpersist()
+    out
   }
 
   /** Near-dup clusters from exact n-gram Jaccard pairs (the
     * oracle-checkable path; use lshClusters at corpus scale).
+    *
+    * `maxDf` defaults to the library-safe skew guard (1000): a shingle
+    * shared by d docs fans out d² join rows, so the unguarded join is
+    * the scale-killer path. An exactness-requiring caller (the DuckDB
+    * oracle query) must OPT OUT explicitly with `maxDf = Long.MaxValue`.
+    *
+    * The intermediate pair cache is released here once the (small)
+    * cluster labels materialize — it must not outlive the call.
     */
   def jaccardClusters(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      minJaccard: Double
-  ): DataFrame =
-    clusterize(
-      ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf = Long.MaxValue),
-      idCol)
+      minJaccard: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
+    val out = clusterize(pairs, idCol) // materialized by clusterize
+    pairs.unpersist()
+    out
+  }
 
   /** Near-dup clusters from MinHash-LSH candidate pairs with exact
     * Jaccard verification — the 100 TB path: candidate generation is
     * band-bucketed (never an all-shingle self-join), recall at
     * s=minJaccard is 1-(1-s^r)^b (≈98.5% at s=0.8, b=8, r=4).
+    * Releases the intermediate pair cache once clusters materialize.
     */
   def lshClusters(
       df: DataFrame,
@@ -434,10 +453,12 @@ object Dedup {
       minJaccard: Double,
       bands: Int = 8,
       rowsPerBand: Int = 4
-  ): DataFrame =
-    clusterize(
-      minHashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, minJaccard),
-      idCol)
+  ): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, minJaccard)
+    val out = clusterize(pairs, idCol) // materialized by clusterize
+    pairs.unpersist()
+    out
+  }
 
   /** 64-bit SimHash over whitespace tokens: per token h = FNV-1a(tok);
     * each bit contributes ±1; fingerprint bit j = sign of the sum.
@@ -490,9 +511,15 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // Token-less docs (null/empty/space-only text) all fingerprint to
+    // 0L — banding them would emit every such pair as a hamming-0
+    // "near-dup". They carry no similarity signal (exact dedup owns
+    // empty docs), so drop them before banding.
+    val tokenful = df.filter(
+      coalesce(translate(col(textCol), " ", ""), lit("")) =!= "")
     // one row per doc, two longs — cached because BOTH self-join sides
     // read it; without the cache the 64-bit-sum aggregation runs twice
-    val fp = simHash(df, idCol, textCol).cache()
+    val fp = simHash(tokenful, idCol, textCol).cache()
     val bandCols = (0 until chunks).map { cIdx =>
       struct(
         lit(cIdx).as("band"),

@@ -71,8 +71,11 @@ object DedupQueries {
       covers = "dedup-clusters",
       fn = (s, dir) =>
         Dedup
+          // oracle exactness requires the UNGUARDED join: the DuckDB
+          // side computes exact Jaccard with no df cap, so this query
+          // opts out of the library-default skew guard explicitly
           .jaccardClusters(table(s, dir, "documents"), "doc_id", "text",
-            n = 3, minJaccard = 0.12)
+            n = 3, minJaccard = 0.12, maxDf = Long.MaxValue)
           .orderBy("doc_id"),
       oracle = Some(
         """WITH sh0 AS (
