@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL image codec on the JDK's javax.imageio — no external
+  * dependencies. PNG/JPEG/BMP/GIF decode to pixels; formats the JDK
+  * lacks (video containers, webp, ...) fall back to the clearly-marked
+  * stub behind the same [[MediaDecoder]] trait.
+  *
+  * Reference analog: the pipeline's audio classifier consumes REAL
+  * decoded waveforms (audio_ac.py:43-50); this gives the image path
+  * the same property — decode errors, dimension bugs, or channel-order
+  * mistakes surface in the DuckDB-checked q_mm_features oracle, which
+  * predicts width/height/channel sums arithmetically from the fixture
+  * recipe.
+  */
+object ImageCodec {
+
+  // Executors must never touch a display or scratch temp files:
+  // BufferedImage/Graphics2D are headless-safe, and ImageIO's default
+  // disk cache would do a tmp-file round-trip per decode.
+  private lazy val init: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+  }
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] = {
+    init
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    init
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic two-band PNG fixture: dimensions and the two fill
+    * colors are pure functions of `id`, so an oracle can predict the
+    * decoded width/height/per-channel sums without decoding anything.
+    * Layout: the left floor(w/2) pixel columns are color A, the rest
+    * color B.
+    *
+    *   w  = 8 + id % 25          h  = 8 + id % 17
+    *   A  = (3id, 5id, 7id)   % 256
+    *   B  = (11id, 13id, 17id) % 256
+    */
+  def fixturePng(id: Long): Array[Byte] = {
+    val w = (8 + Math.floorMod(id, 25L)).toInt
+    val h = (8 + Math.floorMod(id, 17L)).toInt
+    def c(m: Long) = Math.floorMod(id * m, 256L).toInt
+    val a = (c(3), c(5), c(7))
+    val b = (c(11), c(13), c(17))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val left = w / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = if (x < left) a else b
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+}
+
+/** REAL image features via javax.imageio. Layout (featureDim = 16):
+  *   0 width, 1 height, 2 n_px, 3 sum_r, 4 sum_g, 5 sum_b   (integers,
+  *     exact in float32 up to 2^24 — oracle-checkable),
+  *   6 mean integer luminance ((299r+587g+114b)/1000 per px),
+  *   7 fraction of dark pixels (luma < 32),
+  *   8-15 luminance histogram (8 bins of 32), normalized by n_px.
+  * Payloads the JDK cannot decode fall back to [[StubImageDecoder]]
+  * (same dim, deterministic) so one column can carry mixed media.
+  */
+object ImageIoDecoder extends MediaDecoder {
+  val featureDim = 16
+  def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+    payloads.map { bytes =>
+      ImageCodec.decode(bytes) match {
+        case None => StubImageDecoder.decodeBatch(Seq(bytes)).head.take(featureDim)
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var sluma = 0L
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+              sr += r; sg += g; sb += b
+              val luma = (299 * r + 587 * g + 114 * b) / 1000
+              sluma += luma
+              hist(math.min(7, luma >> 5)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val out = new Array[Float](featureDim)
+          out(0) = w.toFloat; out(1) = h.toFloat; out(2) = n.toFloat
+          out(3) = sr.toFloat; out(4) = sg.toFloat; out(5) = sb.toFloat
+          out(6) = (sluma / n).toFloat
+          out(7) = (hist(0) / n).toFloat
+          var i = 0
+          while (i < 8) { out(8 + i) = (hist(i) / n).toFloat; i += 1 }
+          out
+      }
+    }
+}
+
+/** REAL resize: bilinear interpolation through Graphics2D, re-encoded
+  * as PNG. Target dims are a pure function of the source dims
+  * (halving, floor, min 1) so a re-decode of the output is
+  * oracle-predictable. Non-decodable payloads fall back to
+  * [[StubResize]] byte striding.
+  */
+final case class ImageIoHalveResize(fallbackLen: Int = 64) extends PayloadTransform {
+  def transformBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
+    payloads.map { bytes =>
+      ImageCodec.decode(bytes) match {
+        case None => StubResize(fallbackLen).transformBatch(Seq(bytes)).head
+        case Some(img) =>
+          val ow = math.max(1, img.getWidth / 2)
+          val oh = math.max(1, img.getHeight / 2)
+          val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+          } finally g.dispose()
+          ImageCodec.encodePng(out)
+      }
+    }
+}

@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * batched partition-local compute (the Scala analog of a Pandas UDF
   * over mapInPandas — same batch shape, same schema contract).
   *
-  * The audio path is REAL (PCM WAV codec in graft.signal). The image
-  * path is a clearly-marked deterministic STUB: this container has no
-  * image libraries, so `StubImageDecoder` fabricates stable features
-  * from the bytes; the Spark-side plumbing (schema, batching,
-  * partition locality) is identical to what a real decoder needs.
+  * The audio path is REAL (PCM WAV codec in graft.signal) and so is
+  * the image path (`ImageIoDecoder`/`ImageIoHalveResize` on the JDK's
+  * javax.imageio — PNG/JPEG/BMP/GIF). Only formats the JDK lacks
+  * (video containers, webp, ...) fall back to the clearly-marked
+  * deterministic stubs, which keep the Spark-side plumbing (schema,
+  * batching, partition locality) identical to a real codec's.
   */
 object Multimodal {
 
@@ -227,10 +228,11 @@ final case class StubResize(targetLen: Int) extends PayloadTransform {
     }
 }
 
-/** STUB image decoder — no image libs in this container. Produces
-  * deterministic pseudo-features from a rolling hash of the bytes so
-  * plumbing/tests are stable; a production build swaps this for a real
-  * JPEG/PNG decode + CNN embedding behind the same trait.
+/** STUB decoder for formats the JDK cannot decode (ImageIoDecoder
+  * falls back here per-payload). Produces deterministic
+  * pseudo-features from a rolling hash of the bytes so plumbing/tests
+  * are stable; a production build swaps this for a real video/webp
+  * decode + embedding behind the same trait.
   */
 object StubImageDecoder extends MediaDecoder {
   val featureDim = 16

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Deterministic PNG fixture per doc_id (ImageCodec.fixturePng):
+    * a REAL javax.imageio-encoded image whose decoded properties the
+    * DuckDB oracle predicts arithmetically.
+    */
+  private val fixturePngUdf =
+    udf { (id: Long) => graft.multimodal.ImageCodec.fixturePng(id) }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
@@ -211,41 +218,86 @@ object DedupQueries {
       "q_mm_resize",
       covers = "multimodal-transform",
       fn = (s, dir) => {
+        // REAL image path end-to-end: deterministic PNG fixture
+        // (javax.imageio encoder) → bilinear halve-resize (Graphics2D)
+        // → re-decode the OUTPUT bytes and read its dimensions back.
+        // The oracle predicts the output dims arithmetically from the
+        // fixture recipe — a fake resize or broken re-encode cannot
+        // pass.
         val d = table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-        graft.multimodal.Multimodal
+          .select(col("doc_id"))
+          .withColumn("payload", fixturePngUdf(col("doc_id")))
+        val resized = graft.multimodal.Multimodal
           .transformPayloads(d, "doc_id", "payload",
-            graft.multimodal.StubResize(64), batchSize = 64)
-          .select(col("id").as("doc_id"), col("out_len"),
-            md5(col("payload_out")).as("out_md5"))
+            graft.multimodal.ImageIoHalveResize(), batchSize = 64)
+        graft.multimodal.Multimodal
+          .extractFeatures(resized, "id", "payload_out",
+            graft.multimodal.ImageIoDecoder, batchSize = 64)
+          .select(
+            col("id").as("doc_id"),
+            element_at(col("features"), 1).cast("long").as("out_w"),
+            element_at(col("features"), 2).cast("long").as("out_h")
+          )
           .orderBy("doc_id")
       },
-      oracle = None, // byte-stride resize stub has no portable SQL face
-      doc = "payload resize/transcode shape: binary→binary batched " +
-        "partition-local transform (pixel math stubbed, plumbing real)"
+      oracle = Some(
+        """SELECT doc_id,
+          |  (8 + doc_id % 25) // 2 AS out_w,
+          |  (8 + doc_id % 17) // 2 AS out_h
+          |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "REAL bilinear resize (javax.imageio + Graphics2D): " +
+        "binary→binary batched partition-local transform, output " +
+        "re-decoded and dimension-checked against the fixture recipe"
     ),
     // ----------------------------------------------------------------
     QueryDef(
       "q_mm_features",
       covers = "multimodal-features",
       fn = (s, dir) => {
-        // batched feature extraction over opaque payloads (the
-        // mapInPandas-shaped path); stub decoder = deterministic
+        // REAL image decode (javax.imageio): deterministic two-band
+        // PNG fixtures whose dimensions and channel sums are pure
+        // functions of doc_id — the oracle predicts them WITHOUT
+        // decoding, so the decoded width/height/channel sums check the
+        // actual pixel path. Sums stay < 2^24, exact in float32; the
+        // stub decoder survives only as the fallback for formats the
+        // JDK lacks (MultimodalSpec covers the fallback).
         val d = table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-        graft.multimodal.Multimodal
+          .select(col("doc_id"))
+          .withColumn("payload", fixturePngUdf(col("doc_id")))
+        val f = graft.multimodal.Multimodal
           .extractFeatures(d, "doc_id", "payload",
-            graft.multimodal.StubImageDecoder, batchSize = 64)
-          .select(
-            col("id").as("doc_id"),
-            size(col("features")).cast("long").as("dim"),
-            round(element_at(col("features"), 1).cast("double"), 6).as("f0")
-          )
-          .orderBy("doc_id")
+            graft.multimodal.ImageIoDecoder, batchSize = 64)
+        f.select(
+          col("id").as("doc_id"),
+          size(col("features")).cast("long").as("dim"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("n_px"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b")
+        ).orderBy("doc_id")
       },
-      oracle = None, // stub decoder features have no SQL equivalent
-      doc = "batched multimodal feature extraction via mapPartitions " +
-        "(batch shape real, image decode stubbed — no image libs here)"
+      oracle = Some(
+        """WITH fx AS (
+          |  SELECT doc_id,
+          |    8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h,
+          |    (doc_id * 3) % 256 AS ra, (doc_id * 5) % 256 AS ga,
+          |    (doc_id * 7) % 256 AS ba,
+          |    (doc_id * 11) % 256 AS rb, (doc_id * 13) % 256 AS gb,
+          |    (doc_id * 17) % 256 AS bb
+          |  FROM documents)
+          |SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+          |  w AS width, h AS height, w * h AS n_px,
+          |  h * ((w // 2) * ra + (w - w // 2) * rb) AS sum_r,
+          |  h * ((w // 2) * ga + (w - w // 2) * gb) AS sum_g,
+          |  h * ((w // 2) * ba + (w - w // 2) * bb) AS sum_b
+          |FROM fx ORDER BY doc_id""".stripMargin
+      ),
+      doc = "REAL image decode via javax.imageio: PNG fixtures decoded " +
+        "to pixels, width/height/channel sums oracle-checked against " +
+        "the fixture recipe (luminance histogram rides in features 8-16)"
     )
   )
 }
