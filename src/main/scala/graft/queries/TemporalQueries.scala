@@ -59,8 +59,11 @@ object TemporalQueries {
         val e = table(s, dir, "events")
           .select(col("user_id").as("o_custkey"), col("event_id"), col("ts"))
         Temporal
-          .asOfJoin(o, e, "o_custkey", "ons", "ts", "o_orderkey",
-            rightCols = Seq("event_id"))
+          // merge-scan path: sorted union + last-seen state — no
+          // (left × earlier-right) pair materialization; event_id
+          // tiebreak matches the oracle's DESC-DESC rn=1 pick
+          .asOfJoinMergeScan(o, e, "o_custkey", "ons", "ts",
+            rightCols = Seq("event_id"), rightTieBreak = Seq("event_id"))
           .select(
             col("o_orderkey"),
             col("o_custkey"),
@@ -85,7 +88,8 @@ object TemporalQueries {
           |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
       ),
       doc = "as-of join: latest event per key at/before each order's " +
-        "timestamp (join + per-row max; merge-scan is the deep-key path)"
+        "timestamp via merge-scan (sorted union + last-seen state, " +
+        "O(|L|+|R|) per key — no pair materialization)"
     ),
     // ----------------------------------------------------------------
     QueryDef(
