@@ -51,6 +51,83 @@ object DomainQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_g2_wada_table",
+      covers = "G2-table-face",
+      fn = (s, dir) => {
+        // the oracle-checkable INTEGER core of G2: the float SNR is
+        // libm-unstable cross-engine, but the gamma statistic's table
+        // lookup index and the clamp decisions are integers — DuckDB
+        // recomputes them from the same waveform recipe and the same
+        // 121-entry G table (embedded as a literal in the oracle SQL),
+        // cross-checking the table wiring engine-to-engine.
+        val waves = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value")))).as("evs"))
+          .withColumn(
+            "wave",
+            transform(
+              col("evs"),
+              (e, i) =>
+                pow(sin((i + 1).cast("double") * 0.19634954d), 3.0d) +
+                  (e.getField("value") / 2000.0d) * sin((i + 1).cast("double") * 78.233d)
+            )
+          )
+        val coreUdf = udf { (wav: Seq[Double]) =>
+          val c = Signal.wadaCore(wav.toArray)
+          (if (c.peakZero) 1L else 0L,
+            c.idx.toLong,
+            if (!c.peakZero && c.idx == 120) 1L else 0L)
+        }
+        waves
+          .withColumn("core", coreUdf(col("wave")))
+          .select(
+            col("user_id"),
+            size(col("wave")).cast("long").as("n_samples"),
+            col("core._1").as("peak_zero"),
+            col("core._2").as("table_idx"),
+            col("core._3").as("hi_clamp")
+          )
+          .orderBy("user_id")
+      },
+      oracle = Some {
+        val gLit = Signal.gTable.mkString("[", ", ", "]")
+        s"""WITH ev AS (
+           |  SELECT user_id, list(value ORDER BY event_id) AS vals
+           |  FROM events GROUP BY user_id),
+           |wv AS (
+           |  SELECT user_id, len(vals) AS n,
+           |    [pow(sin(i * 0.19634954), 3) + (vals[i] / 2000.0) * sin(i * 78.233)
+           |     FOR i IN range(1, len(vals) + 1)] AS w
+           |  FROM ev),
+           |pk AS (
+           |  SELECT user_id, n, w,
+           |    list_max(list_transform(w, x -> abs(x))) AS peak
+           |  FROM wv),
+           |v AS (
+           |  SELECT user_id, n, peak,
+           |    CASE WHEN peak = 0 THEN NULL ELSE
+           |      ln(greatest(1e-10,
+           |        list_avg(list_transform(w, x -> greatest(abs(x) / peak, 1e-10)))))
+           |      - list_avg(list_transform(w, x -> ln(greatest(abs(x) / peak, 1e-10))))
+           |    END AS v3
+           |  FROM pk),
+           |g AS (SELECT $gLit AS gv),
+           |idx AS (
+           |  SELECT user_id, n, peak, v3,
+           |    coalesce(list_max([i - 1 FOR i IN range(1, 122) IF gv[i] < v3]), -1) AS ti
+           |  FROM v, g)
+           |SELECT user_id, CAST(n AS BIGINT) AS n_samples,
+           |  CAST(CASE WHEN peak = 0 THEN 1 ELSE 0 END AS BIGINT) AS peak_zero,
+           |  CAST(CASE WHEN peak = 0 THEN -1 ELSE ti END AS BIGINT) AS table_idx,
+           |  CAST(CASE WHEN peak != 0 AND ti = 120 THEN 1 ELSE 0 END AS BIGINT) AS hi_clamp
+           |FROM idx ORDER BY user_id""".stripMargin
+      },
+      doc = "WADA G2 integer face: gamma-table lookup index + clamp " +
+        "flags oracle-checked against DuckDB recomputing the same " +
+        "121-entry table (float SNR stays property-tested — libm)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_g1_vad_segments",
       covers = "G1,G7,O4",
       fn = (s, dir) => {

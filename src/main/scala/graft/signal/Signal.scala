@@ -44,17 +44,28 @@ object Signal {
     1.62268119, 1.62390423, 1.62513143, 1.62632463, 1.6274027, 1.62842767,
     1.62945532, 1.6303307, 1.63128026, 1.63204102)
 
-  /** Blind SNR (dB) of a waveform. Returns −20 (table floor clamp) for
-    * degenerate inputs instead of NaN-ing (divergence note: the
-    * reference lets NaN propagate on all-zero input).
+  /** The G-table exposed for the oracle SQL literal (q_g2_wada_table
+    * cross-checks the 121-entry wiring engine-to-engine).
     */
-  def wadaSnr(wav: Array[Double]): Double = {
+  private[graft] def gTable: Array[Double] = gVals
+
+  /** Integer core of the WADA lookup — the part of G2 that IS
+    * oracle-checkable: `peakZero` (degenerate input), `v3` (the gamma
+    * statistic), and `idx` = largest table index with g\[idx\] < v3
+    * (−1 = below-table floor clamp, 120 = top clamp). wadaSnr derives
+    * from exactly this core, so a green oracle on (peakZero, idx)
+    * cross-checks the table wiring even though the float SNR itself is
+    * not bit-stable across engines (libm).
+    */
+  private[graft] final case class WadaCore(peakZero: Boolean, v3: Double, idx: Int)
+
+  private[graft] def wadaCore(wav: Array[Double]): WadaCore = {
     val eps = 1e-10
-    if (wav == null || wav.isEmpty) return dbVals.head
+    if (wav == null || wav.isEmpty) return WadaCore(peakZero = true, 0.0, -1)
     var peak = 0.0
     var i = 0
     while (i < wav.length) { val a = math.abs(wav(i)); if (a > peak) peak = a; i += 1 }
-    if (peak == 0.0) return dbVals.head
+    if (peak == 0.0) return WadaCore(peakZero = true, 0.0, -1)
     // E[|z|] and E[log|z|] over the peak-normalized magnitude
     var sumAbs = 0.0
     var sumLog = 0.0
@@ -72,6 +83,21 @@ object Signal {
     var idx = -1
     i = 0
     while (i < gVals.length) { if (gVals(i) < v3) idx = i; i += 1 }
+    WadaCore(peakZero = false, v3, idx)
+  }
+
+  /** Blind SNR (dB) of a waveform. Returns −20 (table floor clamp) for
+    * degenerate inputs instead of NaN-ing (divergence note: the
+    * reference lets NaN propagate on all-zero input).
+    */
+  def wadaSnr(wav: Array[Double]): Double = {
+    val core = wadaCore(wav)
+    if (core.peakZero) return dbVals.head
+    val v3 = core.v3
+    val idx = core.idx
+    var peak = 0.0
+    var i = 0
+    while (i < wav.length) { val a = math.abs(wav(i)); if (a > peak) peak = a; i += 1 }
     val snrDb =
       if (idx < 0) dbVals.head
       else if (idx == dbVals.length - 1) dbVals.last
