@@ -151,30 +151,39 @@ trait MediaDecoder extends Serializable {
   */
 object WavFeatureDecoder extends MediaDecoder {
   val featureDim = 8
+
+  /** The feature function itself, reusable on an already-decoded
+    * waveform (the pipeline's classifier hook consumes waveforms, not
+    * WAV bytes): [duration_s, rms, zcr, peak, band_rms ×4].
+    */
+  def featuresOf(sr: Int, w: Array[Double]): Array[Float] = {
+    var e = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < w.length) {
+      e += w(i) * w(i)
+      if (math.abs(w(i)) > peak) peak = math.abs(w(i))
+      if (i > 0 && w(i) * w(i - 1) < 0) zc += 1
+      i += 1
+    }
+    val n = math.max(1, w.length)
+    val q = n / 4
+    def bandRms(s: Int, len: Int): Float = {
+      var acc = 0.0; var j = s
+      val end = math.min(n, s + len)
+      while (j < end) { acc += w(j) * w(j); j += 1 }
+      math.sqrt(acc / math.max(1, end - s)).toFloat
+    }
+    Array(
+      (w.length.toDouble / sr).toFloat, math.sqrt(e / n).toFloat,
+      (zc.toDouble / n).toFloat, peak.toFloat,
+      bandRms(0, q), bandRms(q, q), bandRms(2 * q, q), bandRms(3 * q, q)
+    )
+  }
+
   def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
     payloads.map { bytes =>
       val (sr, w) = Signal.wavDecode(bytes)
-      var e = 0.0; var peak = 0.0; var zc = 0
-      var i = 0
-      while (i < w.length) {
-        e += w(i) * w(i)
-        if (math.abs(w(i)) > peak) peak = math.abs(w(i))
-        if (i > 0 && w(i) * w(i - 1) < 0) zc += 1
-        i += 1
-      }
-      val n = math.max(1, w.length)
-      val q = n / 4
-      def bandRms(s: Int, len: Int): Float = {
-        var acc = 0.0; var j = s
-        val end = math.min(n, s + len)
-        while (j < end) { acc += w(j) * w(j); j += 1 }
-        math.sqrt(acc / math.max(1, end - s)).toFloat
-      }
-      Array(
-        (w.length.toDouble / sr).toFloat, math.sqrt(e / n).toFloat,
-        (zc.toDouble / n).toFloat, peak.toFloat,
-        bandRms(0, q), bandRms(q, q), bandRms(2 * q, q), bandRms(3 * q, q)
-      )
+      featuresOf(sr, w)
     }
 }
 

@@ -45,6 +45,51 @@ object FakeClassifier extends AudioClassifier {
     }
 }
 
+/** NON-FAKE classifier proving the trait boundary carries a real
+  * scorer: a linear probe (affine map + softmax — exactly the forward
+  * pass of a trained linear head on model embeddings) over the 8 REAL
+  * DSP features WavFeatureDecoder extracts (rms, zcr, peak, band
+  * energies). The weight matrix is a fixed hand-fit constant, so the
+  * scorer stays deterministic and artifact-free; swapping in trained
+  * weights (e.g. exported from an AST probe, audio_ac.py:35-40) is a
+  * data change, not a code change.
+  */
+final case class LinearProbeClassifier(sampleRate: Int = 16000) extends AudioClassifier {
+  private val labels =
+    Array("Speech", "Music", "Sound effect", "Silence")
+  // rows per label over [bias, rms, zcr, peak, band0..band3]:
+  // periodic high-energy → Speech, high-zcr high-energy → Music,
+  // near-zero energy → Silence, residual → Sound effect
+  private val weights: Array[Array[Double]] = Array(
+    Array(-2.0, 40.0, -30.0, 5.0, 8.0, 4.0, 2.0, 1.0),
+    Array(-2.5, 35.0, 25.0, 4.0, 2.0, 4.0, 6.0, 8.0),
+    Array(-0.5, -10.0, 10.0, 2.0, 0.0, 0.0, 0.0, 0.0),
+    Array(1.5, -60.0, -5.0, -10.0, -4.0, -4.0, -4.0, -4.0))
+
+  def classifyBatch(batch: Seq[Array[Double]]): Seq[Seq[LabelScore]] =
+    batch.map { w =>
+      val f = graft.multimodal.WavFeatureDecoder.featuresOf(sampleRate, w)
+      // feature 0 is duration — the probe uses the 7 shape features
+      val x = new Array[Double](8)
+      x(0) = 1.0
+      var i = 1
+      while (i < 8) { x(i) = f(i).toDouble; i += 1 }
+      val logits = weights.map { row =>
+        var s = 0.0; var j = 0
+        while (j < 8) { s += row(j) * x(j); j += 1 }
+        s
+      }
+      val m = logits.max
+      val exps = logits.map(l => math.exp(l - m))
+      val z = exps.sum
+      labels
+        .zip(exps.map(_ / z))
+        .sortBy { case (l, p) => (-p, l) }
+        .map { case (l, p) => LabelScore(l, p) }
+        .toSeq
+    }
+}
+
 /** The composed flagship dataflow (SURVEY §3.1), one logical plan:
   *
   *   channels → quota/gate → videos (flatMap S7) → anti-join ingested

@@ -200,31 +200,51 @@ object TextAnalysis {
     * join hands each shard its base and a shard-local running sum
     * finishes the job.
     *
-    * The sharded relation is CACHED and materialized before either
-    * consumer runs, and dropped before returning. This is load-bearing
-    * for correctness, not a speedup: RangePartitioner samples split
+    * The sharded relation is MATERIALIZED before either consumer runs,
+    * and released before returning. This is load-bearing for
+    * correctness, not a speedup: RangePartitioner samples split
     * boundaries with an RDD-id-derived seed, so two separate plan
     * instantiations of the same repartitionByRange may choose
     * DIFFERENT boundaries — the subtotal branch and the output branch
-    * must read one materialized sharding (recomputes of a cached plan
-    * reuse the same RDD ids, hence the same boundaries). At cluster
-    * scale, write the sharded relation to storage (checkpoint)
-    * instead of memory-caching it.
+    * must read one materialized sharding.
+    *
+    * `materialize` picks how:
+    *  - "cache" (default): memory cache. Evicted partitions recompute
+    *    from the SAME plan instance (same RDD ids → same sampled
+    *    boundaries), so this is correct on one session — but at
+    *    cluster scale a large corpus thrashes executor storage memory.
+    *  - "checkpoint": `localCheckpoint(eager)` — computed partitions
+    *    are pinned and the lineage is TRUNCATED, so no recompute can
+    *    ever resample boundaries and no storage-memory pressure from
+    *    the cache tier; the cluster-scale choice (swap for a reliable
+    *    `checkpoint()` when an HDFS checkpoint dir is configured).
+    * Both branches produce identical output (ScaleSpec proves it).
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      seqLen: Long
+      seqLen: Long,
+      materialize: String = "cache"
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val p = math.max(2, spark.sparkContext.defaultParallelism / 2)
-    val base = df
+    val sharded = df
       .select(col(idCol), tokenCountWs(col(textCol)).as("n_tok"))
       .repartitionByRange(p, col(idCol))
       .withColumn("shard", spark_partition_id())
-      .cache()
+    val (base, release) = materialize match {
+      case "checkpoint" =>
+        // eager: computed + pinned NOW; released by GC when unreferenced
+        (sharded.localCheckpoint(true), () => ())
+      case "cache" =>
+        val c = sharded.cache()
+        (c, () => { c.unpersist(); () })
+      case other =>
+        throw new IllegalArgumentException(
+          s"packSequences materialize must be cache|checkpoint, got $other")
+    }
     val wShards = Window
       .orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -249,7 +269,7 @@ object TextAnalysis {
       .drop("shard", "shard_base")
     val out = packed.cache()
     out.count()
-    base.unpersist()
+    release()
     out
   }
 

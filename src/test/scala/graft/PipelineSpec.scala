@@ -73,6 +73,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("LinearProbeClassifier ranks deterministic scores sensibly (non-fake model hook)") {
+    val probe = graft.pipeline.LinearProbeClassifier()
+    val speechy = Array.tabulate(16000)(i => 0.4 * math.pow(math.sin(i * 0.05), 3))
+    val silent = Array.fill(16000)(0.0001)
+    val noisy = Array.tabulate(16000)(i => 0.4 * (if ((i * 2654435761L % 97) < 48) 1.0 else -1.0))
+    val Seq(sp, si, no) = probe.classifyBatch(Seq(speechy, silent, noisy))
+    // softmax: scores are a distribution, ranked descending
+    for (preds <- Seq(sp, si, no)) {
+      assert(math.abs(preds.map(_.score).sum - 1.0) < 1e-9)
+      assert(preds.map(_.score) == preds.map(_.score).sorted.reverse)
+    }
+    assert(sp.head.label == "Speech", s"got ${sp.head}")
+    assert(si.head.label == "Silence", s"got ${si.head}")
+    assert(no.head.label != "Silence")
+    // deterministic: identical input → identical scores
+    assert(probe.classifyBatch(Seq(speechy)).head == sp)
+  }
+
+  test("pipeline runs end-to-end with the non-fake linear-probe classifier (G4)") {
+    val out = Pipeline.run(
+      spark,
+      mkChannels(("UC_probe", 20L, 5000L)),
+      ingested = Seq.empty[String].toDF("video_id"),
+      fetcher = new FakeAudioFetcher(segmentSeconds = 4),
+      classifier = graft.pipeline.LinearProbeClassifier(),
+      cfg = Pipeline.Config(minSnr = 15.0, minSpeechScore = 0.5,
+        minVideoDurationS = 8, shortVideoS = 5)
+    )
+    val segs = out.segments.collect()
+    assert(segs.nonEmpty)
+    // probe scores are signed label-weight reductions of a softmax → (-1, 1)
+    segs.foreach { r =>
+      val sc = r.getAs[Double]("speech_score")
+      assert(sc > -1.0 && sc < 1.0)
+    }
+    out.unpersist()
+  }
+
   test("resume: ingested videos are never fetched again (F4/T2)") {
     val all = outputs.segments.select("video_id").distinct().as[String].collect()
     val out2 = Pipeline.run(

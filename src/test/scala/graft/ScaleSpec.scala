@@ -38,6 +38,33 @@ class ScaleSpec extends SparkTestBase {
     assert(pm == sm)
   }
 
+  test("packSequences: cache and localCheckpoint branches produce identical offsets") {
+    // adversarial shape for RangePartitioner sampling: many ids, very
+    // skewed token counts — if the two materialization branches ever
+    // read differently-sampled shard boundaries, global offsets shift
+    // and this comparison breaks
+    val docs = (1 to 3000).map { i =>
+      val words = (i * 2654435761L % 97 + 1).toInt
+      (f"d$i%06d", Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaCache = graft.text.TextAnalysis
+      .packSequences(docs, "doc_id", "text", seqLen = 128L, materialize = "cache")
+      .select("doc_id", "start_off", "end_off", "first_seq", "last_seq", "n_seqs")
+    val viaCp = graft.text.TextAnalysis
+      .packSequences(docs, "doc_id", "text", seqLen = 128L, materialize = "checkpoint")
+      .select("doc_id", "start_off", "end_off", "first_seq", "last_seq", "n_seqs")
+    val a = viaCache.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = viaCp.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // offsets tile the token stream exactly: sorted starts are gapless
+    val sorted = a.sortBy(_(1).asInstanceOf[Long])
+    sorted.sliding(2).foreach {
+      case Seq(x, y) => assert(x(2) == y(1), s"gap between $x and $y")
+      case _ => ()
+    }
+    viaCache.unpersist(); viaCp.unpersist()
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graftwh").toString
     val s2 = SparkSession.builder()
