@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes straight through instead of via sbt's logger:
+// the driver parses the bench/verify JSON line from raw stdout, and
+// sbt's default LoggedOutput would prefix every line with "[info] "
+// (this is why BENCH_r01/r02 recorded parsed=null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
