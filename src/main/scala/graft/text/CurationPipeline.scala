@@ -69,9 +69,19 @@ object CurationPipeline {
       .cache()
     val n1 = gated.count()
 
-    // ---- exact dedup: keep the min-id representative
-    val keepExact = Dedup.exact(gated, idCol, textCol).select(idCol)
-    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi").cache()
+    // ---- exact dedup: keep the min-id representative. Same keep rule
+    // as Dedup.exact, but as ONE window over the content digest — one
+    // shuffle, versus the digest groupBy + id semi-join's two (the
+    // groupBy face stays in Dedup.exact for the oracle query, which
+    // needs the per-digest copy counts).
+    val wDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol).asc)
+    val exactDeduped = gated
+      .withColumn("__rn", row_number().over(wDigest))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .cache()
     val n2 = exactDeduped.count()
     gated.unpersist()
 
