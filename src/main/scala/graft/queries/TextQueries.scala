@@ -354,9 +354,43 @@ object TextQueries {
           )
           .orderBy("doc_id")
       },
-      oracle = None, // char-fold order is not portable SQL; rows-only
+      // The byte fold IS portable after all: DuckDB list_reduce over
+      // the hex-decoded UTF-8 bytes replays h = (h*257 + b) mod p
+      // exactly (list_reduce seeds with the first element, which
+      // equals the h0=0 fold's first step). Winnowing count replays
+      // the same k=8/w=4 window-min-distinct over gram hashes.
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN octet_length(encode(text)) = 0 THEN 0
+          |    ELSE list_reduce(
+          |      list_transform(range(1, octet_length(encode(text)) + 1),
+          |        j -> CAST(strpos('0123456789ABCDEF', hex(encode(text))[2*j-1:2*j-1]) * 16
+          |             + strpos('0123456789ABCDEF', hex(encode(text))[2*j:2*j]) - 17 AS BIGINT)),
+          |      (a, b) -> (a * 257 + b) % 1000000007)
+          |    END AS fp
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, fp,
+          |    CASE WHEN length(text) < 8 THEN [] ELSE
+          |      list_transform(range(1, length(text) - 6),
+          |        i -> list_reduce(
+          |          list_transform(range(1, octet_length(encode(substr(text, i, 8))) + 1),
+          |            j -> CAST(strpos('0123456789ABCDEF', hex(encode(substr(text, i, 8)))[2*j-1:2*j-1]) * 16
+          |                 + strpos('0123456789ABCDEF', hex(encode(substr(text, i, 8)))[2*j:2*j]) - 17 AS BIGINT)),
+          |          (a, b) -> (a * 257 + b) % 1000000007))
+          |    END AS g
+          |  FROM base)
+          |SELECT doc_id, fp,
+          |  CAST(CASE WHEN len(g) <= 4 THEN 1
+          |       ELSE len(list_distinct(
+          |         [list_min(g[i:i+3]) FOR i IN range(1, len(g) - 2)]))
+          |       END AS BIGINT) AS n_winnow
+          |FROM grams ORDER BY doc_id""".stripMargin
+      ),
       doc = "Karp-Rabin rolling-hash fingerprint + winnowing count " +
-        "(Schleimer et al. SIGMOD'03)"
+        "(Schleimer et al. SIGMOD'03) — byte fold replayed in DuckDB " +
+        "via list_reduce for the oracle"
     )
   )
 }
