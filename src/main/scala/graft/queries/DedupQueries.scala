@@ -145,8 +145,54 @@ object DedupQueries {
         Dedup
           .simHashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
           .orderBy("a", "b"),
-      oracle = None,
-      doc = "64-bit SimHash (Charikar '02) with pigeonhole band blocking"
+      // The FNV-1a fingerprint IS replayable in DuckDB: 64-bit
+      // wraparound arithmetic via HUGEINT mod 2^64 (list_reduce seeded
+      // by list_prepend of the offset basis), per-bit ±1 majorities
+      // over exploded (token, bit) rows, pigeonhole bands from the
+      // unsigned fingerprint, popcount verify on the signed one. The
+      // corpus is ASCII so DuckDB codepoints == the UTF-16 units the
+      // Scala loop folds (checked at all SFs).
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE text IS NOT NULL AND replace(text, ' ', '') != ''),
+          |tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS t
+          |  FROM d),
+          |th AS (
+          |  SELECT doc_id,
+          |    list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(range(1, length(t) + 1),
+          |          i -> CAST(unicode(t[i:i]) AS HUGEINT))),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h
+          |  FROM tok),
+          |bits AS (
+          |  SELECT doc_id, j,
+          |    sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |  FROM th CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j),
+          |fp AS (
+          |  SELECT doc_id,
+          |    sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+          |        ELSE CAST(0 AS HUGEINT) END) AS fpu
+          |  FROM bits GROUP BY doc_id),
+          |fps AS (
+          |  SELECT doc_id, fpu,
+          |    CAST(CASE WHEN fpu >= CAST(1 AS HUGEINT) << 63
+          |         THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fps
+          |  FROM fp),
+          |banded AS (
+          |  SELECT doc_id, fps, c, CAST((fpu >> CAST(c * 8 AS INTEGER)) & 255 AS BIGINT) AS key
+          |  FROM fps CROSS JOIN range(0, 8) r(c))
+          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |  CAST(bit_count(xor(x.fps, y.fps)) AS BIGINT) AS hamming
+          |FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
+          |  AND x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.fps, y.fps)) <= 7
+          |ORDER BY a, b""".stripMargin
+      ),
+      doc = "64-bit SimHash (Charikar '02) with pigeonhole band blocking" +
+        " — FNV-1a fold replayed in DuckDB via HUGEINT wraparound"
     ),
     // ----------------------------------------------------------------
     QueryDef(
