@@ -44,6 +44,27 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sample_shuffle",
+      covers = "sampling,shuffle",
+      fn = (s, dir) =>
+        // deterministic corpus shuffle: the training-loader order IS
+        // the sort by the salted key; the driver compare preserves row
+        // order, so the full permutation is oracle-verified
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            Sampling.shuffleKey("epoch0", col("doc_id")).as("shuffle_key"))
+          .orderBy("shuffle_key"),
+      oracle = Some(
+        """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          |FROM documents ORDER BY shuffle_key""".stripMargin
+      ),
+      doc = "deterministic corpus shuffle for training epochs: ORDER BY " +
+        "salted-md5 key — same permutation on any engine/layout, new " +
+        "salt = independent epoch permutation"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_mixture",
       covers = "sampling,mixture",
       fn = (s, dir) => {

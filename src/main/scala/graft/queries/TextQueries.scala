@@ -55,6 +55,49 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_gopher_gate",
+      covers = "text-quality-gate",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val withSignals = TextAnalysis
+          .gopherSignals(col("text"), minWords = 50L, maxWords = 100000L)
+          .foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        withSignals
+          .select(
+            "doc_id", "n_words", "n_chars", "n_sym", "n_alpha_words",
+            "n_stop_hits", "words_ok", "mean_len_ok", "symbol_ok",
+            "alpha_ok", "stop_ok", "pass_gopher")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+          |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym,
+          |    CAST(len(regexp_extract_all(text, '(?:^| )[^ ]*[A-Za-z][^ ]*')) AS BIGINT) AS n_alpha_words,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop_hits
+          |  FROM documents)
+          |SELECT doc_id, n_words, n_chars, n_sym, n_alpha_words, n_stop_hits,
+          |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+          |  n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS mean_len_ok,
+          |  n_sym * 10 <= n_words AS symbol_ok,
+          |  n_alpha_words * 5 >= n_words * 4 AS alpha_ok,
+          |  n_stop_hits >= 2 AS stop_ok,
+          |  (n_words >= 50 AND n_words <= 100000)
+          |    AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+          |    AND (n_sym * 10 <= n_words)
+          |    AND (n_alpha_words * 5 >= n_words * 4)
+          |    AND (n_stop_hits >= 2) AS pass_gopher
+          |FROM c ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Gopher-style quality gate (Rae et al. '21): integer-exact " +
+        "word/length/symbol/alpha/stopword rules, every flag " +
+        "oracle-checked"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_langid",
       covers = "lang-id",
       fn = (s, dir) => {

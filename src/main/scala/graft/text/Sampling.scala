@@ -50,6 +50,17 @@ object Sampling {
   def mixtureFlag(salt: String, id: Column, rateHex4: Column): Column =
     substring(saltedHex(salt, id), 1, 4) <= rateHex4
 
+  /** Deterministic corpus shuffle key: training-data loaders need the
+    * corpus in a reproducible "random" order (decorrelated from crawl/
+    * source order). Sorting by this key IS the shuffle — a pure
+    * function of (salt, id), so the same permutation falls out on any
+    * engine and any cluster layout, and a different salt gives an
+    * independent epoch permutation. At scale, ORDER BY key is one
+    * range exchange; for sharded output, `substring(key, 1, 2)` is a
+    * ready-made 256-way shard assignment consistent with the order.
+    */
+  def shuffleKey(salt: String, id: Column): Column = saltedHex(salt, id)
+
   /** Deterministic k-per-group sample: rank rows inside each group by
     * their salted hash (a reproducible random order) and keep the
     * first k — balanced subsets across sources/languages without an

@@ -105,6 +105,41 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style quality GATE (Rae et al. '21, Table A1 — the
+    * engine-portable subset): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio cap (#/ellipsis), alphabetic-word
+    * fraction floor, minimum stopword hits. Every decision is an
+    * INTEGER comparison — ratio thresholds are cross-multiplied
+    * (mean_len ≥ 3 becomes n_chars ≥ 3·n_words) so the gate is
+    * bit-identical on any engine, with no float anywhere.
+    */
+  def gopherSignals(
+      text: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L
+  ): Seq[(String, Column)] = {
+    val nTok = tokenCountWs(text)
+    val nChars = length(regexp_replace(text, " ", "")).cast("long")
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nAlphaW =
+      size(regexp_extract_all(text, lit("(?:^| )[^ ]*[A-Za-z][^ ]*"), lit(0))).cast("long")
+    val nStop = stopwordHits(text, stopwords("en"))
+    val flags = Seq(
+      "words_ok" -> (nTok >= minWords && nTok <= maxWords),
+      "mean_len_ok" -> (nChars >= nTok * 3L && nChars <= nTok * 10L),
+      "symbol_ok" -> (nSym * 10L <= nTok),
+      "alpha_ok" -> (nAlphaW * 5L >= nTok * 4L),
+      "stop_ok" -> (nStop >= 2L)
+    )
+    Seq(
+      "n_words" -> nTok,
+      "n_chars" -> nChars,
+      "n_sym" -> nSym,
+      "n_alpha_words" -> nAlphaW,
+      "n_stop_hits" -> nStop
+    ) ++ flags :+ ("pass_gopher" -> flags.map(_._2).reduce(_ && _))
+  }
+
   /** Composite quality score in [0,1]-ish: rewards stopword presence and
     * moderate token length, penalizes punctuation soup. Pure arithmetic
     * over the components — same expression on the oracle side.
