@@ -65,6 +65,53 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sample_budget",
+      covers = "sampling,mixture-planner",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // non-uniform weights derived from the source id so the oracle
+        // can replicate them arithmetically: ppm = 20k + (n % 5)·20k
+        val weights = d
+          .select(col("source")).distinct()
+          .withColumn(
+            "weight_ppm",
+            expr("20000 + (CAST(substring(source, 4) AS BIGINT) % 5) * 20000"))
+        Sampling
+          .planMixture(d, "source", "text", weights, budgetTokens = 20000L)
+          .select("source", "n_tok_total", "weight_ppm", "target_tok",
+            "keep_all", "rate_thresh", "rate_hex4")
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH totals AS (
+          |  SELECT source,
+          |    sum(length(text) - length(replace(text, ' ', '')) + 1) AS n_tok_total
+          |  FROM documents GROUP BY source),
+          |w AS (
+          |  SELECT source,
+          |    20000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 20000 AS weight_ppm
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |p AS (
+          |  SELECT t.source, CAST(t.n_tok_total AS BIGINT) AS n_tok_total,
+          |    w.weight_ppm,
+          |    w.weight_ppm * 20000 // 1000000 AS target_tok
+          |  FROM totals t JOIN w USING (source))
+          |SELECT source, n_tok_total, weight_ppm, target_tok,
+          |  target_tok >= n_tok_total AS keep_all,
+          |  CASE WHEN target_tok >= n_tok_total THEN 65535
+          |       ELSE greatest(0, target_tok * 65536 // n_tok_total - 1)
+          |  END AS rate_thresh,
+          |  lpad(lower(hex(CASE WHEN target_tok >= n_tok_total THEN 65535
+          |       ELSE greatest(0, target_tok * 65536 // n_tok_total - 1) END)), 4, '0')
+          |    AS rate_hex4
+          |FROM p ORDER BY source""".stripMargin
+      ),
+      doc = "token-budget mixture planner: per-source token targets and " +
+        "the hex-4 keep-rate thresholds mixtureFlag consumes — integer " +
+        "div chain, fully oracle-checked"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_mixture",
       covers = "sampling,mixture",
       fn = (s, dir) => {

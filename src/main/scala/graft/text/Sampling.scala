@@ -61,6 +61,46 @@ object Sampling {
     */
   def shuffleKey(salt: String, id: Column): Column = saltedHex(salt, id)
 
+  /** Token-budget mixture planner: given per-source token totals and
+    * integer mixture weights (parts-per-million — float weights would
+    * break cross-engine exactness), derive each source's token target
+    * and the hex-4 threshold [[mixtureFlag]] consumes:
+    *
+    *   target_s = budget · ppm_s div 10^6
+    *   thresh_s = target_s · 65536 div total_s − 1   (keep_all → ffff)
+    *
+    * mixtureFlag keeps (thresh+1)/65536 of rows, so the realized token
+    * take approximates target_s with no RNG and no float thresholds.
+    * All arithmetic is long div — oracle-exact. The per-source totals
+    * aggregate is one shuffle of (source, n_tok) pairs; the weights
+    * relation is dimension-sized and broadcast.
+    *
+    * Bounds: target·65536 must stay below 2^63 — holds through ~10^14
+    * target tokens (a 100 T-token budget), document larger budgets by
+    * switching the div chain to DECIMAL.
+    */
+  def planMixture(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      weights: DataFrame, // (sourceCol, weight_ppm long)
+      budgetTokens: Long
+  ): DataFrame = {
+    val totals = df
+      .groupBy(sourceCol)
+      .agg(sum(TextAnalysis.tokenCountWs(col(textCol))).as("n_tok_total"))
+    totals
+      .join(broadcast(weights), Seq(sourceCol), "left")
+      .withColumn("weight_ppm", coalesce(col("weight_ppm"), lit(0L)))
+      .withColumn("target_tok", expr(s"weight_ppm * ${budgetTokens}L div 1000000"))
+      .withColumn("keep_all", col("target_tok") >= col("n_tok_total"))
+      .withColumn(
+        "rate_thresh",
+        when(col("keep_all"), lit(65535L))
+          .otherwise(greatest(lit(0L), expr("target_tok * 65536 div n_tok_total") - 1L)))
+      .withColumn("rate_hex4", lpad(lower(hex(col("rate_thresh"))), 4, "0"))
+  }
+
   /** Deterministic k-per-group sample: rank rows inside each group by
     * their salted hash (a reproducible random order) and keep the
     * first k — balanced subsets across sources/languages without an

@@ -41,6 +41,31 @@ class SamplingSpec extends SparkTestBase {
     assert(ids1 == ids2) // same salt → same subset
   }
 
+  test("planMixture thresholds drive mixtureFlag to the planned token take") {
+    // two sources, very different sizes; plan a budget that needs
+    // ~50% of src_a and keeps all of src_b
+    val docs = ((1 to 1000).map(i => (i.toLong, "src_a", "w " * 19 + "w")) ++
+      (1 to 50).map(i => (1000L + i, "src_b", "w " * 19 + "w")))
+      .toDF("doc_id", "source", "text") // 20 tokens per doc
+    val weights = Seq(("src_a", 500000L), ("src_b", 500000L)).toDF("source", "weight_ppm")
+    val plan = Sampling.planMixture(docs, "source", "text", weights, budgetTokens = 20000L)
+    val byCfg = plan.collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_tok_total"), r.getAs[Long]("target_tok"),
+        r.getAs[Boolean]("keep_all"), r.getAs[String]("rate_hex4"))).toMap
+    assert(byCfg("src_a")._1 == 20000L && byCfg("src_a")._2 == 10000L)
+    assert(!byCfg("src_a")._3) // needs downsampling
+    assert(byCfg("src_b")._3 && byCfg("src_b")._4 == "ffff") // 1000 < 10000 target
+    // apply the planned thresholds through mixtureFlag: realized take
+    // of src_a should be ~10000 tokens (binomial around p=0.5)
+    val joined = docs.join(broadcast(plan.select("source", "rate_hex4")), "source")
+    val kept = joined
+      .filter(Sampling.mixtureFlag("mix", $"doc_id", $"rate_hex4"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src_b") == 50L) // ffff keeps everything
+    assert(kept("src_a") > 400L && kept("src_a") < 600L, s"kept=${kept("src_a")}")
+  }
+
   test("ngramsUdf emits ordered n-grams; distinct dedupes") {
     val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
     val all = d.select(explode(TextAnalysis.ngramsUdf(2, distinct = false)($"text")))
