@@ -63,6 +63,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q_text_gopher_gate is one scan, zero hash exchanges (pure per-row gate)") {
+    val p = plan("q_text_gopher_gate")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_sample_budget broadcasts the weights dimension") {
+    val p = plan("q_sample_budget")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_sample_shuffle shuffles only for the final range sort") {
+    val p = plan("q_sample_shuffle")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
