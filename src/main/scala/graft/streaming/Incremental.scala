@@ -119,7 +119,8 @@ object Incremental {
       .filter(
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&
-          col("n_tok") >= cfg.minTokens
+          col("n_tok") >= cfg.minTokens &&
+          graft.text.CurationPipeline.gopherPredicate(col(textCol), cfg)
       )
       .withColumn("content_key", md5(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)

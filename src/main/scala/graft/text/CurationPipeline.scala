@@ -25,6 +25,12 @@ object CurationPipeline {
         * volume grows with shingle df² — use for audits)
         */
       nearDupUseLsh: Boolean = true,
+      /** additionally require TextAnalysis.gopherSignals' pass_gopher
+        * (integer-exact Gopher rules) at the gate stage — applied
+        * identically by the batch funnel and the streaming face
+        */
+      useGopherGate: Boolean = false,
+      gopherMinWords: Long = 50L,
       chunkTokens: Int = 256,
       chunkOverlap: Int = 32,
       seqLen: Long = 2048L
@@ -46,6 +52,13 @@ object CurationPipeline {
     def unpersist(): Unit = docs.unpersist()
   }
 
+  /** The shared (batch + streaming) optional Gopher-rule predicate. */
+  def gopherPredicate(text: org.apache.spark.sql.Column, cfg: Config): org.apache.spark.sql.Column =
+    if (!cfg.useGopherGate) lit(true)
+    else TextAnalysis
+      .gopherSignals(text, minWords = cfg.gopherMinWords)
+      .toMap.apply("pass_gopher")
+
   def run(input: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Outputs = {
     val n0 = input.count()
@@ -64,7 +77,8 @@ object CurationPipeline {
       .filter(
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&
-          col("n_tok") >= cfg.minTokens
+          col("n_tok") >= cfg.minTokens &&
+          gopherPredicate(col(textCol), cfg)
       )
       .cache()
     val n1 = gated.count()
