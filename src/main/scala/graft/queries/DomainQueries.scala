@@ -162,12 +162,75 @@ object DomainQueries {
               (uid, idx.toLong, seg.start, seg.end, (seg.end - seg.start) / 16000.0)
             }
           }
-          .toDF("user_id", "seg_idx", "start", "end", "dur_s")
+          .toDF("user_id", "seg_idx", "seg_start", "seg_end", "dur_s")
           .orderBy("user_id", "seg_idx")
       },
-      oracle = None,
+      // The whole VAD state machine IS oracle-checkable: frame flags
+      // are sqrt-exact with huge decision margins (amp 0.3/0.001 vs
+      // threshold 0.02 — last-ulp sin() divergence cannot flip them),
+      // raw runs are gaps-and-islands, the transitive short-silence
+      // merge is a cumulative-sum sessionize (runs are ordered and
+      // non-overlapping so lag(re) IS the extended end), drop/split/
+      // pad are integer arithmetic. All outputs are sample offsets
+      // (longs) + one exact double division.
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id,
+          |    list(CASE WHEN value > 50 THEN 0.3 ELSE 0.001 END ORDER BY event_id) AS amps
+          |  FROM events GROUP BY user_id),
+          |base AS (SELECT user_id, amps, 400 * len(amps) AS wlen FROM ev),
+          |fr AS (
+          |  SELECT user_id, wlen, amps, unnest(range(0, (wlen + 479) // 480)) AS f
+          |  FROM base),
+          |sp AS (
+          |  SELECT user_id, wlen, f,
+          |    sqrt(list_sum(list_transform(range(480 * f, least(wlen, 480 * f + 480)),
+          |      k -> pow(amps[CAST(k // 400 + 1 AS INTEGER)]
+          |               * sin(2 * pi() * 440 * (CAST(k % 400 AS DOUBLE) / 16000.0)), 2)))
+          |      / (least(wlen, 480 * f + 480) - 480 * f)) > 0.02 AS speech
+          |  FROM fr),
+          |runs0 AS (
+          |  SELECT user_id, wlen, f,
+          |    f - row_number() OVER (PARTITION BY user_id ORDER BY f) AS grp
+          |  FROM sp WHERE speech),
+          |runs AS (
+          |  SELECT user_id, any_value(wlen) AS wlen, 480 * min(f) AS rs,
+          |    least(any_value(wlen), 480 * (max(f) + 1)) AS re
+          |  FROM runs0 GROUP BY user_id, grp),
+          |m0 AS (
+          |  SELECT user_id, wlen, rs, re,
+          |    CASE WHEN lag(re) OVER (PARTITION BY user_id ORDER BY rs) IS NULL
+          |         OR rs - lag(re) OVER (PARTITION BY user_id ORDER BY rs) >= 2400
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM runs),
+          |m1 AS (
+          |  SELECT user_id, wlen, rs, re,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY rs) AS sess
+          |  FROM m0),
+          |merged AS (
+          |  SELECT user_id, any_value(wlen) AS wlen, min(rs) AS ms, max(re) AS me
+          |  FROM m1 GROUP BY user_id, sess
+          |  HAVING max(re) - min(rs) >= 8000),
+          |pieces0 AS (
+          |  SELECT user_id, wlen, ms, me,
+          |    unnest(range(0, (me - ms + 239999) // 240000)) AS i
+          |  FROM merged),
+          |pieces AS (
+          |  SELECT user_id, wlen, ms + 240000 * i AS ss,
+          |    least(me, ms + 240000 * (i + 1)) AS se
+          |  FROM pieces0),
+          |kept AS (SELECT * FROM pieces WHERE se - ss >= 8000)
+          |SELECT user_id,
+          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ss) - 1 AS BIGINT) AS seg_idx,
+          |  CAST(greatest(0, ss - 480) AS BIGINT) AS seg_start,
+          |  CAST(least(wlen, se + 480) AS BIGINT) AS seg_end,
+          |  CAST(least(wlen, se + 480) - greatest(0, ss - 480) AS DOUBLE) / 16000.0 AS dur_s
+          |FROM kept ORDER BY user_id, seg_idx""".stripMargin
+      ),
       doc = "1→N VAD generator (audio_vad.py:17-67) as a typed " +
-        "flatMapGroups — waveforms never leave the partition"
+        "flatMapGroups — waveforms never leave the partition; the full " +
+        "merge/drop/split/pad state machine is replayed relationally " +
+        "in the DuckDB oracle (gaps-and-islands + sessionize)"
     ),
     // ----------------------------------------------------------------
     QueryDef(
