@@ -99,9 +99,45 @@ object SimilarityQueries {
           .topKLsh(e, e.filter(col("vec_id") < 8L), "vec_id", "embedding", k = 5, bits = 4)
           .orderBy("probe_id", "rank")
       },
-      oracle = None, // hyperplanes from engine xxhash64; recall < 1 by design
+      // Oracle-checkable since the bucketing went quantized-exact: the
+      // integer plane matrix (2·pmod(xxhash64(i,j),1000003) − 1000003,
+      // generated from the same code the executors run) is embedded as
+      // a literal; buckets are long-dot sign bits and in-bucket cosines
+      // reuse the proven ×2^20 integer recipe, so ranks are bit-stable.
+      oracle = Some {
+        val planes = (0 until 4)
+          .map(i => (0 until 64).map(j => Ann.planeInt(i, j)).mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        s"""WITH qe AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |pl AS (SELECT $planes AS p),
+           |bk AS (
+           |  SELECT vec_id, q,
+           |    list_sum(list_transform(range(1, 5),
+           |      i -> CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+           |             j -> q[j] * p[i][j])) >= 0
+           |           THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+           |           ELSE CAST(0 AS BIGINT) END)) AS bucket,
+           |    sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+           |  FROM qe, pl),
+           |cos AS (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |    CAST(CAST(list_sum(list_transform(range(1, len(p.q) + 1),
+           |      j -> p.q[j] * c.q[j])) AS BIGINT) AS DOUBLE) / (p.nrm * c.nrm) AS cos
+           |  FROM bk p JOIN bk c ON p.bucket = c.bucket
+           |    AND p.vec_id < 8 AND p.vec_id != c.vec_id)
+           |SELECT probe_id, rank, cand_id, cos FROM (
+           |  SELECT probe_id, cand_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+           |  FROM cos)
+           |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      },
       doc = "sign-random-projection LSH top-k: probe scans ~1/2^bits of " +
-        "the corpus — the 100 TB path"
+        "the corpus — the 100 TB path; quantized-exact buckets + " +
+        "cosines make even this approximate path oracle-checkable"
     ),
     // ----------------------------------------------------------------
     QueryDef(
@@ -165,9 +201,35 @@ object SimilarityQueries {
             minCos = 0.38, bits = 4
           )
           .orderBy("a", "b"),
-      oracle = None,
+      oracle = Some {
+        val planes = (0 until 4)
+          .map(i => (0 until 64).map(j => Ann.planeInt(i, j)).mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        s"""WITH qe AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |pl AS (SELECT $planes AS p),
+           |bk AS (
+           |  SELECT vec_id, q,
+           |    list_sum(list_transform(range(1, 5),
+           |      i -> CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+           |             j -> q[j] * p[i][j])) >= 0
+           |           THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+           |           ELSE CAST(0 AS BIGINT) END)) AS bucket,
+           |    sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+           |  FROM qe, pl)
+           |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+           |  CAST(CAST(list_sum(list_transform(range(1, len(l.q) + 1),
+           |    j -> l.q[j] * r.q[j])) AS BIGINT) AS DOUBLE) / (l.nrm * r.nrm) AS cos
+           |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           |WHERE CAST(CAST(list_sum(list_transform(range(1, len(l.q) + 1),
+           |    j -> l.q[j] * r.q[j])) AS BIGINT) AS DOUBLE) / (l.nrm * r.nrm) >= 0.38
+           |ORDER BY a, b""".stripMargin
+      },
       doc = "embedding-cosine near-dup pairs via LSH buckets + in-bucket " +
-        "verification"
+        "verification — quantized-exact buckets and cosines, fully " +
+        "oracle-checked"
     )
   )
 }

@@ -144,49 +144,66 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is
     * a fixed integer hash mapped into [-0.5, 0.5). Same plane set on
-    * every executor without shipping state. Bit-identical to the SQL
-    * formulation `pmod(xxhash64(i, j), 1000003)/1000003 - 0.5` —
-    * computed through catalyst's own XXH64 (seed 42, int widening),
-    * asserted against the relational expression in AnnSpec.
+    * every executor without shipping state; hashed through catalyst's
+    * own XXH64 (seed 42, int widening) so the SQL face
+    * `pmod(xxhash64(i, j), 1000003)/1000003 - 0.5` is the same number
+    * (AnnLshSpec asserts the grid).
     */
-  private[graft] def planeComponent(i: Int, j: Int): Double = {
+  private[graft] def planeComponent(i: Int, j: Int): Double =
+    planeInt(i, j).toDouble / (2.0d * 1000003.0d)
+
+  /** The same hyperplane as an exact INTEGER: 2·m − 1000003 where
+    * m = pmod(xxhash64(i, j), 1000003). sign(Σ x_j·(m/1000003 − 0.5))
+    * equals sign(Σ x_j·planeInt) — scaling by the positive constant
+    * 2·1000003 never flips a sign.
+    */
+  private[graft] def planeInt(i: Int, j: Int): Long = {
     val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
-    (((h % 1000003L) + 1000003L) % 1000003L).toDouble / 1000003.0d - 0.5d
+    2L * (((h % 1000003L) + 1000003L) % 1000003L) - 1000003L
   }
 
-  /** All `bits` sign projections as ONE compiled per-row loop. The
-    * previous formulation built `bits` separate interpreted
-    * zip_with/aggregate HOF columns — bits× lambda interpretation per
-    * vector element (the same interpreted-HOF cost shingling had
-    * before Dedup.shingleHashesUdf). Accumulation order (j ascending,
-    * double adds) matches the HOF fold exactly, so bucket ids are
-    * unchanged.
+  /** All `bits` sign projections as ONE compiled per-row loop, in
+    * EXACT integer arithmetic: the vector quantizes to the ×2^20 grid
+    * (the same HALF_UP quantizer as quantizeUdf — round() in every
+    * engine) and each projection is a long dot against the integer
+    * planes. |q| < 2^36 keeps every term below 2^57 and 64-term sums
+    * below 2^63, so bucket ids are engine-portable and oracle-checkable
+    * — no float sign decision anywhere (an FMA-contracting compiler
+    * cannot flip a near-zero projection).
     */
   private val bucketUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bits: Int, v: Seq[Float]) =>
       val n = v.length
+      val q = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        val x = v(j).toDouble * QuantScale
+        q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+        j += 1
+      }
       var bucket = 0L
       var i = 0
       while (i < bits) {
-        var s = 0.0d
-        var j = 0
-        while (j < n) {
-          s += v(j).toDouble * planeComponent(i, j)
-          j += 1
-        }
-        if (s >= 0.0d) bucket |= (1L << i)
+        var s = 0L
+        j = 0
+        while (j < n) { s += q(j) * planeInt(i, j); j += 1 }
+        if (s >= 0L) bucket |= (1L << i)
         i += 1
       }
       bucket
     }
 
-  /** Sign-random-projection bucket id over `bits` hyperplanes. */
+  /** Sign-random-projection bucket id over `bits` hyperplanes
+    * (quantized-exact — see bucketUdf).
+    */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
     df.withColumn("bucket", bucketUdf(lit(bits), col(vecCol)))
 
   /** LSH-bucketed top-k: probes only compare against candidates in the
     * same bucket. Recall < 1; bucket count 2^bits controls the
-    * scan-fraction / recall trade-off.
+    * scan-fraction / recall trade-off. In-bucket scoring uses the
+    * quantized-exact cosine (same machinery as topKExact), so ranks
+    * are bit-stable and the whole query is oracle-checkable.
     */
   def topKLsh(
       df: DataFrame,
@@ -197,13 +214,17 @@ object Ann {
       bits: Int = 8
   ): DataFrame = {
     val bucketed = signLshBuckets(df, idCol, vecCol, bits)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("vb"), col("bucket"))
+      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"), col("bucket"))
+      .withColumn("nb", quantDot(col("qb"), col("qb")))
     val pb = signLshBuckets(probes, idCol, vecCol, bits)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("va"), col("bucket"))
+      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"), col("bucket"))
+      .withColumn("na", quantDot(col("qa"), col("qa")))
     val scored = bucketed
       .join(broadcast(pb), Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosineFast(col("va"), col("vb")))
+      .withColumn(
+        "cos",
+        quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -373,7 +394,9 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
-    * exact verification within bucket.
+    * exact verification within bucket. Verification is the
+    * quantized-exact cosine, so the threshold decision is bit-stable
+    * and the whole pair set oracle-checkable.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -383,11 +406,15 @@ object Ann {
       bits: Int = 6
   ): DataFrame = {
     val b = signLshBuckets(df, idCol, vecCol, bits)
-    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
-    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+      .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"), col("bucket"))
+      .withColumn("nsq", quantDot(col("qv"), col("qv")))
+    val l = b.select(col(idCol).as("a"), col("qv").as("qva"), col("nsq").as("na"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col("qv").as("qvb"), col("nsq").as("nb"), col("bucket"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", cosineFast(col("va"), col("vb")))
+      .withColumn(
+        "cos",
+        quantDot(col("qva"), col("qvb")) / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
       .distinct()

@@ -3,39 +3,40 @@ package graft
 import graft.similarity.Ann
 import org.apache.spark.sql.functions._
 
-/** Sign-LSH bucketing: the compiled per-row projection loop must emit
-  * bit-identical bucket ids to the relational HOF formulation it
-  * replaced (pmod(xxhash64(i, j), 1000003)/1000003 - 0.5 planes,
-  * j-ascending double accumulation).
+/** Sign-LSH bucketing: the compiled per-row projection loop computes
+  * EXACT integer projections — quantized vector (×2^20 HALF_UP, i.e.
+  * round()) dotted against integer planes 2·pmod(xxhash64(i,j),
+  * 1000003) − 1000003. The spec pins both the plane identity and
+  * bucket parity with an independent relational formulation.
   */
 class AnnLshSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** The round-2 relational formulation, kept here as the reference. */
+  /** Independent relational formulation of the same integer semantics. */
   private def relationalBuckets(
       df: org.apache.spark.sql.DataFrame,
       vecCol: String,
       bits: Int
   ): org.apache.spark.sql.DataFrame = {
-    def planeComponent(i: Int, j: org.apache.spark.sql.Column) =
-      (pmod(xxhash64(lit(i), j), lit(1000003L)).cast("double") / 1000003.0d) - 0.5d
     val proj = (0 until bits).map { i =>
       val s = aggregate(
         zip_with(
           col(vecCol),
           sequence(lit(0), size(col(vecCol)) - 1),
-          (x, j) => x.cast("double") * planeComponent(i, j)
+          (x, j) =>
+            round(x.cast("double") * 1048576.0d, 0).cast("long") *
+              (pmod(xxhash64(lit(i), j), lit(1000003L)) * 2L - 1000003L)
         ),
-        lit(0.0d),
+        lit(0L),
         (acc, v) => acc + v
       )
-      when(s >= 0.0d, shiftleft(lit(1L), i)).otherwise(0L)
+      when(s >= 0L, shiftleft(lit(1L), i)).otherwise(0L)
     }
     df.withColumn("bucket_ref", proj.reduce((a, b) => a.bitwiseOR(b)))
   }
 
-  test("compiled signLshBuckets matches the relational xxhash64 formulation bit-for-bit") {
+  test("compiled signLshBuckets matches the integer relational formulation bit-for-bit") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val got = Ann.signLshBuckets(e, "vec_id", "embedding", bits = 8)
       .select(col("vec_id"), col("bucket"))
@@ -47,16 +48,13 @@ class AnnLshSpec extends SparkTestBase {
     assert(diff == 0L, s"$diff rows bucketed differently")
   }
 
-  test("planeComponent matches catalyst xxhash64 on a scalar grid") {
+  test("planeInt matches catalyst xxhash64 on a scalar grid") {
     val pairs = for { i <- 0 until 8; j <- 0 until 64 } yield (i, j)
     val df = spark.createDataFrame(pairs).toDF("i", "j")
-      .withColumn(
-        "ref",
-        (pmod(xxhash64(col("i"), col("j")), lit(1000003L)).cast("double") / 1000003.0d) - 0.5d)
-    val rows = df.collect()
-    rows.foreach { r =>
-      val got = Ann.planeComponent(r.getInt(0), r.getInt(1))
-      assert(got == r.getDouble(2), s"(${r.getInt(0)},${r.getInt(1)}): $got vs ${r.getDouble(2)}")
+      .withColumn("ref", pmod(xxhash64(col("i"), col("j")), lit(1000003L)) * 2L - 1000003L)
+    df.collect().foreach { r =>
+      val got = Ann.planeInt(r.getInt(0), r.getInt(1))
+      assert(got == r.getLong(2), s"(${r.getInt(0)},${r.getInt(1)}): $got vs ${r.getLong(2)}")
     }
   }
 
@@ -65,5 +63,22 @@ class AnnLshSpec extends SparkTestBase {
     val b = Ann.signLshBuckets(e, "vec_id", "embedding", bits = 6)
     val bad = b.filter(col("bucket") < 0L || col("bucket") >= (1L << 6)).count()
     assert(bad == 0L)
+  }
+
+  test("LSH in-bucket cosines are bit-identical to the exact quantized cosine") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 4L)
+    val lsh = Ann.topKLsh(e, probes, "vec_id", "embedding", k = 5, bits = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // exact ranking over ALL candidates → every (probe, cand) pair
+    val exact = Ann.topKExact(
+      probes.withColumnRenamed("vec_id", "probe_id"),
+      e.withColumnRenamed("vec_id", "cand_id"),
+      "probe_id", "cand_id", "embedding", k = 1000
+    ).collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    lsh.foreach { case (pair, cos) =>
+      assert(exact(pair) == cos, s"$pair: lsh=$cos exact=${exact(pair)}")
+    }
   }
 }
