@@ -151,9 +151,108 @@ object SimilarityQueries {
             k = 5, nProbe = 4)
           .orderBy("probe_id", "rank")
       },
-      oracle = None, // k-means quantizer; recall < 1 by design
+      // Oracle-checkable since ivfBuild went integer-exact: centroid
+      // means are long sums / (2^20·count) (order-free), distances are
+      // identical-order double chains, and in-list cosines reuse the
+      // ×2^20 recipe. The oracle replays BOTH Lloyd iterations
+      // relationally (init = first 16 vectors by id).
+      oracle = Some(
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |c0 AS (
+          |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
+          |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
+          |a1 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c0)),
+          |m1 AS (
+          |  SELECT li, pos, sum(xq) AS m, count(*) AS cnt
+          |  FROM (
+          |    SELECT li, generate_subscripts(embedding, 1) AS pos,
+          |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
+          |    FROM a1)
+          |  GROUP BY li, pos),
+          |c1rows AS (
+          |  SELECT li,
+          |    list(CAST(CAST(m AS BIGINT) AS DOUBLE)
+          |         / (1048576.0 * CAST(cnt AS DOUBLE)) ORDER BY pos) AS cl
+          |  FROM m1 GROUP BY li),
+          |c1 AS (
+          |  SELECT list(coalesce(cr.cl, c0.c[i.i]) ORDER BY i.i) AS c
+          |  FROM range(1, 17) i(i) CROSS JOIN c0 LEFT JOIN c1rows cr ON cr.li = i.i),
+          |a2 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c1)),
+          |m2 AS (
+          |  SELECT li, pos, sum(xq) AS m, count(*) AS cnt
+          |  FROM (
+          |    SELECT li, generate_subscripts(embedding, 1) AS pos,
+          |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
+          |    FROM a2)
+          |  GROUP BY li, pos),
+          |c2rows AS (
+          |  SELECT li,
+          |    list(CAST(CAST(m AS BIGINT) AS DOUBLE)
+          |         / (1048576.0 * CAST(cnt AS DOUBLE)) ORDER BY pos) AS cl
+          |  FROM m2 GROUP BY li),
+          |c2 AS (
+          |  SELECT list(coalesce(cr.cl, c1.c[i.i]) ORDER BY i.i) AS c
+          |  FROM range(1, 17) i(i) CROSS JOIN c1 LEFT JOIN c2rows cr ON cr.li = i.i),
+          |qe AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+          |  FROM e),
+          |nm AS (
+          |  SELECT vec_id, q,
+          |    sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+          |  FROM qe),
+          |pd AS (
+          |  SELECT a.vec_id, i.i AS li, a.d[i.i] AS dist
+          |  FROM (
+          |    SELECT vec_id,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c2 WHERE vec_id < 8) a
+          |  CROSS JOIN range(1, 17) i(i)),
+          |plists AS (
+          |  SELECT vec_id AS probe_id, li FROM (
+          |    SELECT vec_id, li,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, li ASC) AS rn
+          |    FROM pd)
+          |  WHERE rn <= 4),
+          |cos AS (
+          |  SELECT pl.probe_id, a2.vec_id AS cand_id,
+          |    CAST(CAST(list_sum(list_transform(range(1, len(np.q) + 1),
+          |      j -> np.q[j] * nc.q[j])) AS BIGINT) AS DOUBLE) / (np.nrm * nc.nrm) AS cos
+          |  FROM plists pl
+          |  JOIN a2 ON a2.li = pl.li AND a2.vec_id != pl.probe_id
+          |  JOIN nm np ON np.vec_id = pl.probe_id
+          |  JOIN nm nc ON nc.vec_id = a2.vec_id)
+          |SELECT probe_id, rank, cand_id, cos FROM (
+          |  SELECT probe_id, cand_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          |  FROM cos)
+          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      ),
       doc = "IVF (k-means coarse quantizer) top-k: probes scan " +
-        "~nProbe/nLists of the corpus — FAISS-style scale path"
+        "~nProbe/nLists of the corpus — FAISS-style scale path; " +
+        "integer-exact centroid means make even the k-means " +
+        "iterations oracle-replayable"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -264,6 +264,14 @@ object Ann {
   /** Build an IVF index: deterministic init (the `nLists` smallest ids
     * seed the centroids), `iters` Lloyd steps computed relationally
     * (posexplode → per-(list,dim) mean), assignments as (id, list).
+    *
+    * Centroid means are INTEGER-EXACT: each component quantizes to the
+    * ×2^20 grid, the per-(list,dim) SUM is an exact long (order-free —
+    * a float avg() would depend on partial-aggregation order and make
+    * the index nondeterministic on a cluster), and the mean is one
+    * double division sum/(2^20·count). The whole index is therefore
+    * bit-reproducible at any parallelism AND replayable by a SQL
+    * oracle.
     */
   def ivfBuild(
       df: DataFrame,
@@ -288,15 +296,16 @@ object Ann {
         nearestCentroids(toDense(v), bc.value, 1).head
       }
       assignments = df.select(col(idCol), col(vecCol), assignUdf(col(vecCol)).as("list_id"))
-      val means = assignments
+      val sums = assignments
         .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("xq", round(col("x").cast("double") * QuantScale, 0).cast("long"))
         .groupBy("list_id", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(sum(col("xq")).as("m"), count(lit(1)).as("cnt"))
         .collect()
-      val dim = centroids.head.length
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (QuantScale * r.getLong(3).toDouble)
       }
       centroids = next
     }
@@ -321,14 +330,18 @@ object Ann {
       nearestCentroids(toDense(v), bc.value, nProbe)
     }
     val p = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("va"))
-      .withColumn("list_id", explode(probeLists(col("va"))))
+      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"),
+        explode(probeLists(col(vecCol))).as("list_id"))
+      .withColumn("na", quantDot(col("qa"), col("qa")))
     val cands = index.assignments
-      .select(col(idCol).as("cand_id"), col(vecCol).as("vb"), col("list_id"))
+      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"), col("list_id"))
+      .withColumn("nb", quantDot(col("qb"), col("qb")))
     val scored = cands
       .join(broadcast(p), Seq("list_id"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosineFast(col("va"), col("vb")))
+      .withColumn(
+        "cos",
+        quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
