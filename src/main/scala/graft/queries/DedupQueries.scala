@@ -133,9 +133,55 @@ object DedupQueries {
             n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.12
           )
           .orderBy("a", "b"),
-      oracle = None, // xxhash64 permutations are engine-specific
+      // Fully replayable after all: shingle hashes are FNV-1a over the
+      // joined n-gram chars (HUGEINT mod 2^64 wraparound, signed via
+      // the 2^63 fold-down), permutations are plain modular arithmetic
+      // below 2^53, and the oracle bands on the raw signature QUADS
+      // instead of Spark's xxhash64 band key — band-hash collisions
+      // can only ADD candidates, which exact verification removes, so
+      // the verified pair set is identical.
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      list_transform(range(1, len(toks) - 1),
+          |        i -> list_reduce(
+          |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |            list_transform(range(1, length(array_to_string(toks[i:i+2], ' ')) + 1),
+          |              k -> CAST(unicode(array_to_string(toks[i:i+2], ' ')[k:k]) AS HUGEINT))),
+          |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)),
+          |      hu -> CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+          |            THEN hu - 18446744073709551616 ELSE hu END AS BIGINT))) AS xs
+          |  FROM d WHERE len(toks) >= 3),
+          |sg AS (
+          |  SELECT doc_id, xs, len(xs) AS n_sh,
+          |    list_transform(range(0, 32),
+          |      i -> list_min(list_transform(xs,
+          |        x -> ((((x % 2147483647) + 2147483647) % 2147483647)
+          |              * (104729 * i + 12345) + 15485863 * (i + 1)) % 2147483647))) AS sig
+          |  FROM g WHERE len(xs) > 0),
+          |bd AS (
+          |  SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM bd x JOIN bd y ON x.band = y.band AND x.doc_id < y.doc_id
+          |    AND x.sig[4 * x.band + 1] = y.sig[4 * y.band + 1]
+          |    AND x.sig[4 * x.band + 2] = y.sig[4 * y.band + 2]
+          |    AND x.sig[4 * x.band + 3] = y.sig[4 * y.band + 3]
+          |    AND x.sig[4 * x.band + 4] = y.sig[4 * y.band + 4])
+          |SELECT a, b,
+          |  CAST(len(list_intersect(ga.xs, gb.xs)) AS DOUBLE)
+          |    / CAST(ga.n_sh + gb.n_sh - len(list_intersect(ga.xs, gb.xs)) AS DOUBLE) AS jaccard
+          |FROM cand JOIN sg ga ON ga.doc_id = a JOIN sg gb ON gb.doc_id = b
+          |WHERE CAST(len(list_intersect(ga.xs, gb.xs)) AS DOUBLE)
+          |    / CAST(ga.n_sh + gb.n_sh - len(list_intersect(ga.xs, gb.xs)) AS DOUBLE) >= 0.12
+          |ORDER BY a, b""".stripMargin
+      ),
       doc = "MinHash(32 perms) + 8-band LSH candidates, exact-Jaccard " +
-        "verified (Broder '97 / MMDS ch.3)"
+        "verified (Broder '97 / MMDS ch.3) — FNV shingles and modular " +
+        "permutations replayed in DuckDB, banding on signature quads"
     ),
     // ----------------------------------------------------------------
     QueryDef(
