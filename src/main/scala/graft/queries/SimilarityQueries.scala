@@ -256,6 +256,80 @@ object SimilarityQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_ann_topk_pq",
+      covers = "ann-pq",
+      fn = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val idx = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding",
+          m = 4, k = 16, iters = 1)
+        graft.similarity.Pq
+          .pqTopK(idx, e.filter(col("vec_id") < 8L), "vec_id", "embedding", kNn = 5)
+          .orderBy("probe_id", "rank")
+      },
+      // Replayable like IVF: codebook init = first 16 vectors'
+      // subvectors, assignment = identical-order double distance
+      // chains (argmin, smallest-code ties), means = exact long sums /
+      // (2^20·count), ADC tables and candidate sums rebuilt with
+      // ORDER BY-controlled list_sum so addition order matches the
+      // Scala loops exactly.
+      oracle = Some(
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |c0 AS (
+          |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
+          |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
+          |a1 AS (
+          |  SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code
+          |  FROM (
+          |    SELECT E.vec_id, s.s AS s,
+          |      list_transform(range(1, 17),
+          |        c -> list_sum(list_transform(range(1, 17),
+          |          d -> (CAST(E.embedding[16 * (s.s - 1) + d] AS DOUBLE) - vs[c][16 * (s.s - 1) + d])
+          |             * (CAST(E.embedding[16 * (s.s - 1) + d] AS DOUBLE) - vs[c][16 * (s.s - 1) + d])))) AS ds
+          |    FROM e E CROSS JOIN range(1, 5) s(s) CROSS JOIN c0)),
+          |m1 AS (
+          |  SELECT a1.s, a1.code, d.d,
+          |    sum(CAST(round(CAST(E.embedding[16 * (a1.s - 1) + d.d] AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS mq,
+          |    count(*) AS cnt
+          |  FROM a1 JOIN e E USING (vec_id) CROSS JOIN range(1, 17) d(d)
+          |  GROUP BY 1, 2, 3),
+          |c1 AS (
+          |  SELECT s.s, c.c, d.d,
+          |    coalesce(
+          |      CAST(CAST(m1.mq AS BIGINT) AS DOUBLE) / (1048576.0 * CAST(m1.cnt AS DOUBLE)),
+          |      c0.vs[c.c][16 * (s.s - 1) + d.d]) AS v
+          |  FROM range(1, 5) s(s)
+          |  CROSS JOIN range(1, 17) c(c)
+          |  CROSS JOIN range(1, 17) d(d)
+          |  CROSS JOIN c0
+          |  LEFT JOIN m1 ON m1.s = s.s AND m1.code = c.c - 1 AND m1.d = d.d),
+          |pt AS (
+          |  SELECT P.vec_id AS probe_id, c1.s, c1.c,
+          |    list_sum(list(
+          |      (CAST(P.embedding[16 * (c1.s - 1) + c1.d] AS DOUBLE) - c1.v)
+          |      * (CAST(P.embedding[16 * (c1.s - 1) + c1.d] AS DOUBLE) - c1.v)
+          |      ORDER BY c1.d)) AS t
+          |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 8) P CROSS JOIN c1
+          |  GROUP BY 1, 2, 3),
+          |dist AS (
+          |  SELECT pt.probe_id, a1.vec_id AS cand_id,
+          |    list_sum(list(pt.t ORDER BY pt.s)) AS dist
+          |  FROM a1 JOIN pt ON pt.s = a1.s AND pt.c = a1.code + 1
+          |  WHERE a1.vec_id != pt.probe_id
+          |  GROUP BY 1, 2)
+          |SELECT probe_id, rank, cand_id, dist FROM (
+          |  SELECT probe_id, cand_id, dist,
+          |    CAST(row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY dist ASC, cand_id ASC) AS BIGINT) AS rank
+          |  FROM dist)
+          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      ),
+      doc = "product-quantization ANN (Jégou '11 / FAISS PQ): 4×16 " +
+        "codebooks, vectors stored as 4 codes (64× compression), " +
+        "asymmetric-distance top-k — integer-exact k-means makes the " +
+        "whole path oracle-replayable"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_embedding_cosine_exact",
       covers = "dedup-embedding",
       fn = (s, dir) => {

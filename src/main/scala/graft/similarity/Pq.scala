@@ -1,0 +1,163 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. TPAMI'11, the FAISS IVF-PQ
+  * building block): the vector splits into `m` subvectors, each
+  * subspace learns a `k`-entry codebook by k-means, and a vector is
+  * stored as `m` small codes — 64 float dims (256 B) become m bytes.
+  * THIS is the ANN memory story at 100 TB: the corpus compresses
+  * ~64×, codebooks are metadata (m·k·subDim doubles, broadcast), and
+  * search is asymmetric distance computation (ADC): each probe builds
+  * an m×k lookup table once, then every candidate costs m table adds.
+  *
+  * Determinism discipline matches ivfBuild: codebook means are exact
+  * long sums of ×2^20-quantized components divided once (order-free →
+  * bit-reproducible at any parallelism), every distance is an
+  * identical-order double chain, ties break on the smallest code /
+  * candidate id. The whole path — both the k-means and the ADC
+  * ranking — is replayable by a SQL oracle.
+  */
+object Pq {
+
+  /** codebooks(s)(c)(d): subspace s, code c, local dim d. */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  private def subDim(dim: Int, m: Int): Int = {
+    require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
+    dim / m
+  }
+
+  /** Nearest code for one subvector: argmin of the identical-order
+    * squared-distance chain, ties to the smallest code.
+    */
+  private def nearestCode(
+      v: Seq[Float], s: Int, sd: Int, cb: Array[Array[Array[Double]]]): Int = {
+    val base = s * sd
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb(s).length) {
+      var d = 0.0
+      var j = 0
+      val cv = cb(s)(c)
+      while (j < sd) {
+        val t = v(base + j).toDouble - cv(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train codebooks (init: the `k` smallest-id vectors' subvectors)
+    * and encode every vector. Codes are the assignment of the LAST
+    * iteration; `codebooks` carries the post-iteration means (the
+    * table side of ADC) — mirroring ivfBuild's contract.
+    */
+  def pqBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 1
+  ): PqIndex = {
+    require(k >= 1 && iters >= 1 && m >= 1, "pqBuild needs m, k, iters >= 1")
+    val spark = df.sparkSession
+    val init = df
+      .orderBy(col(idCol).asc)
+      .limit(k)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0))
+    val dim = init.head.length
+    val sd = subDim(dim, m)
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
+      Array.tabulate(sd)(j => init(c)(s * sd + j).toDouble)
+    }
+    var codes: DataFrame = null
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val codesUdf = udf { (v: Seq[Float]) =>
+        val out = new Array[Int](m)
+        var s = 0
+        while (s < m) { out(s) = nearestCode(v, s, sd, bc.value); s += 1 }
+        out
+      }
+      codes = df.select(col(idCol), col(vecCol), codesUdf(col(vecCol)).as("codes"))
+      // per-(subspace, code, local-dim) integer-exact means
+      val sums = codes
+        .select(col("codes"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("s", (col("pos") / sd).cast("int"))
+        .withColumn("d", (col("pos") % sd).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("s") + 1))
+        .withColumn("xq", round(col("x").cast("double") * Ann.QuantScale, 0).cast("long"))
+        .groupBy("s", "code", "d")
+        .agg(sum(col("xq")).as("mq"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / (Ann.QuantScale * r.getLong(4).toDouble)
+      }
+      codebooks = next
+    }
+    PqIndex(codebooks, codes.select(col(idCol), col("codes")))
+  }
+
+  /** ADC top-k: every probe materializes its m×k distance table once
+    * (a per-row compiled loop over the broadcast codebooks), then a
+    * candidate's approximate squared L2 is m table adds in subspace
+    * order. Ranks ascend by distance with cand-id ties — bit-stable.
+    */
+  def pqTopK(
+      index: PqIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    val cb = index.codebooks
+    val m = cb.length
+    val sd = cb(0)(0).length
+    val bc = spark.sparkContext.broadcast(cb)
+    val tableUdf = udf { (v: Seq[Float]) =>
+      val cbv = bc.value
+      Array.tabulate(m, cbv(0).length) { (s, c) =>
+        var d = 0.0
+        var j = 0
+        val cv = cbv(s)(c)
+        val base = s * sd
+        while (j < sd) {
+          val t = v(base + j).toDouble - cv(j)
+          d += t * t
+          j += 1
+        }
+        d
+      }.map(_.toSeq).toSeq
+    }
+    val distUdf = udf { (table: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += table(s)(codes(s)); s += 1 }
+      acc
+    }
+    val p = probes.select(col(idCol).as("probe_id"), tableUdf(col(vecCol)).as("t"))
+    val scored = index.codes
+      .select(col(idCol).as("cand_id"), col("codes"))
+      .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dist", distUdf(col("t"), col("codes")))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNn)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
+  }
+}

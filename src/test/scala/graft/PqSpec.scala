@@ -1,0 +1,55 @@
+package graft
+
+import graft.similarity.{Ann, Pq}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: build determinism, code ranges, compression
+  * shape, and ADC ranking sanity against the exact ranking.
+  */
+class PqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pqBuild: m codes per vector, all within [0, k)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    assert(idx.codebooks.length == 4)
+    assert(idx.codebooks.forall(_.length == 16))
+    assert(idx.codebooks.forall(_.forall(_.length == 16))) // 64 / 4
+    val rows = idx.codes.collect()
+    assert(rows.length == e.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("pqBuild is deterministic across invocations") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val b = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      b.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val ca = a.codes.orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    val cb = b.codes.orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    assert(ca == cb)
+  }
+
+  test("ADC top-k overlaps the exact cosine ranking (recall sanity)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 8L)
+    val idx = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val pq = Pq.pqTopK(idx, probes, "vec_id", "embedding", kNn = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Ann.topKExact(
+      probes.withColumnRenamed("vec_id", "probe_id"),
+      e.withColumnRenamed("vec_id", "cand_id"),
+      "probe_id", "cand_id", "embedding", 10
+    ).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 4×16 codes over random 64-dim data is a coarse quantizer — just
+    // require meaningful overlap, not high recall
+    val overlap = pq.intersect(exact).size.toDouble / exact.size
+    assert(overlap > 0.1, s"overlap=$overlap")
+  }
+}
