@@ -112,10 +112,8 @@ object Incremental {
       watermarkDelay: String = "1 hour"
   ): DataFrame = {
     import graft.text.TextAnalysis
-    docs
-      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("n_tok", TextAnalysis.tokenCountWs(col(textCol)))
+    TextAnalysis
+      .withGateSignals(docs, textCol)
       .filter(
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&

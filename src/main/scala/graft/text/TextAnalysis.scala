@@ -105,6 +105,101 @@ object TextAnalysis {
     )
   }
 
+  /** ONE-PASS fused gate signals: (lang_pred, quality, n_tok) from a
+    * single walk over the text. The composed column formulation
+    * (langId + qualityScore + tokenCountWs) traverses each document
+    * ~8× — five stopword probes, two regex scans, two length scans;
+    * at corpus scale the gate is a full-table scan and the traversal
+    * count is the cost. This UDF reproduces the EXACT same outputs
+    * (GateFusionSpec proves per-document equality on the corpus,
+    * including the double arithmetic association of qualityScore) in
+    * one character pass + one hash probe per token.
+    */
+  private val gateLangs: Array[String] = stopwords.keys.toArray.sorted // de, en, es, fr
+  private val gateEnIdx: Int = gateLangs.indexOf("en")
+  private val gateWordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    gateLangs.zipWithIndex.foreach { case (l, i) =>
+      stopwords(l).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  val gateSignalsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      // null text: langId's stopwordHits returns 0 for null and the
+      // CJK when() falls through → "und"; the numeric columns stay
+      // null (boxed types carry the nulls through the struct)
+      if (text == null)
+        ("und", null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Long])
+      else {
+        val len = text.length
+        var spaces = 0
+        var punct = 0
+        var cjk = 0
+        val counts = new Array[Int](gateLangs.length)
+        var from = 0
+        var i = 0
+        while (i <= len) {
+          val atEnd = i == len
+          val ch = if (atEnd) ' ' else text.charAt(i)
+          if (!atEnd) {
+            if (ch == ' ') spaces += 1
+            else {
+              if (ch == '.' || ch == ',' || ch == '!' || ch == '?' || ch == ';' || ch == ':')
+                punct += 1
+              if (ch >= 0x4e00 && ch <= 0x9fff) cjk += 1
+            }
+          }
+          if (atEnd || ch == ' ') {
+            val mask = gateWordMask.get(text.substring(from, i))
+            if (mask != null) {
+              var b = 0
+              while (b < counts.length) {
+                if ((mask.intValue() & (1 << b)) != 0) counts(b) += 1
+                b += 1
+              }
+            }
+            from = i + 1
+          }
+          i += 1
+        }
+        val nTok = (spaces + 1).toLong
+        // langId: CJK short-circuit, then first (alphabetical) language
+        // holding the max hit count, if any hits at all
+        var best = 0
+        var b = 0
+        while (b < counts.length) { if (counts(b) > best) best = counts(b); b += 1 }
+        val lang =
+          if (cjk > 0) "zh"
+          else if (best == 0) "und"
+          else gateLangs(counts.indexOf(best))
+        // qualityScore, same double association:
+        // ((stop*2 + (1 - punct)) + lenOk) / 4
+        val nTokD = nTok.toDouble
+        val stopRatio = counts(gateEnIdx).toLong.toDouble / nTokD
+        val punctRatio = punct.toLong.toDouble / nTokD
+        val meanLen = (len - spaces).toLong.toDouble / nTokD
+        val lenOk = if (meanLen >= 3.0d && meanLen <= 10.0d) 1.0d else 0.5d
+        val quality = (stopRatio * 2.0d + (1.0d - punctRatio) + lenOk) / 4.0d
+        (lang, java.lang.Double.valueOf(quality), java.lang.Long.valueOf(nTok))
+      }
+    }
+
+  /** Attach the fused gate columns (lang_pred, quality, n_tok). */
+  def withGateSignals(
+      df: DataFrame,
+      textCol: String
+  ): DataFrame =
+    df.withColumn("__gate", gateSignalsUdf(col(textCol)))
+      .withColumn("lang_pred", col("__gate._1"))
+      .withColumn("quality", col("__gate._2"))
+      .withColumn("n_tok", col("__gate._3"))
+      .drop("__gate")
+
   /** Gopher-style quality GATE (Rae et al. '21, Table A1 — the
     * engine-portable subset): word-count bounds, mean-word-length
     * bounds, symbol-to-word ratio cap (#/ellipsis), alphabetic-word
