@@ -20,7 +20,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     row_number/len/count all yield BIGINT);
   *  5. per-row double arithmetic (+,*,/ of the same operands in the
   *     same association order) is IEEE-identical across engines and
-  *     is safe without rounding.
+  *     is safe without rounding — list_sum over an ORDER BY-built
+  *     list pins the addition order when a sum must mirror a Scala
+  *     accumulation loop;
+  *  6. DuckDB integer aggregates return HUGEINT, which pandas
+  *     materializes as float64 and the driver hash then mismatches
+  *     int64 — CAST(sum(...) AS BIGINT) in every oracle;
+  *  7. 64-bit wraparound hashing (FNV-1a et al.) replays in DuckDB
+  *     as HUGEINT arithmetic mod 2^64, folded to signed via
+  *     `CASE WHEN h >= 1<<63 THEN h - 2^64`; list_reduce seeds with
+  *     the FIRST element, which equals a zero-seeded fold's first
+  *     step for h = (h·B + b) mod p shapes;
+  *  8. ratio thresholds compare integers after cross-multiplication
+  *     (n_chars >= 3·n_words, never n_chars/n_words >= 3.0) so gate
+  *     decisions carry no float at all;
+  *  9. engine-library floats (libm log/exp, k-means means) never
+  *     reach an oracle column directly — but INTEGER decisions
+  *     derived from them (table-lookup indices, argmin assignments,
+  *     sign bits) are checkable when the decision inputs are
+  *     identical-order double chains over exactly-representable
+  *     operands (see q_g2_wada_table, q_ann_topk_ivf/pq, the
+  *     quantized sign-LSH).
   */
 final case class QueryDef(
     name: String,
