@@ -460,6 +460,112 @@ object Dedup {
     out
   }
 
+  /** Rolling 64-bit polynomial window hashes: h(w) = Σ c_j·B^(L-1-j)
+    * mod 2^64 for every L-char window, computed in O(n) by the
+    * Karp-Rabin recurrence on wrapping longs. Mod-2^64 with an odd
+    * base is collision-safe at n²/2^64 for non-adversarial corpora
+    * (document-scale: ~10^12 windows → a handful of collisions, each
+    * costing one L-char span — negligible).
+    */
+  private[graft] def rollingWindowHashesUdf(
+      l: Int): org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null || text.length < l) Array.empty[Long]
+      else {
+        val b = 0x100000001b3L
+        var pw = 1L
+        var i = 0
+        while (i < l - 1) { pw *= b; i += 1 }
+        val n = text.length
+        val out = new Array[Long](n - l + 1)
+        var h = 0L
+        i = 0
+        while (i < l) { h = h * b + text.charAt(i).toLong; i += 1 }
+        out(0) = h
+        i = l
+        while (i < n) {
+          h = (h - text.charAt(i - l).toLong * pw) * b + text.charAt(i).toLong
+          out(i - l + 1) = h
+          i += 1
+        }
+        out
+      }
+  }
+
+  /** EXACT substring deduplication (Lee et al. '22, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * variant, window-hash formulation): every L-char window that
+    * occurs more than once in the corpus is removed from every
+    * occurrence EXCEPT the canonical one (smallest (doc, pos));
+    * overlapping/adjacent removed windows merge into spans, and each
+    * document's cleaned text is the original with those spans cut.
+    *
+    * Dataflow: one compiled rolling-hash pass per document → explode
+    * (doc, pos, h) → rank occurrences per hash (one shuffle on the
+    * 8-byte hash — ~16 bytes/char of shuffle, the honest cost of
+    * corpus-wide substring dedup; suffix-array builds move comparable
+    * volume) → per-doc interval merge (gaps-and-islands) → one
+    * compiled cut per document. Nothing is ever pairwise.
+    *
+    * Returns one row per input document:
+    * (id, n_dup_spans, removed_chars, clean_len, clean_md5, clean_text).
+    */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int = 20
+  ): DataFrame = {
+    val occ = df.select(
+      col(idCol),
+      posexplode(rollingWindowHashesUdf(l)(col(textCol))).as(Seq("pos", "h")))
+    val wH = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
+    val dups = occ
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") > 1)
+      .select(col(idCol), col("pos"))
+    val wD = Window.partitionBy(idCol).orderBy("pos")
+    val spans = dups
+      .withColumn(
+        "brk",
+        when(lag("pos", 1).over(wD).isNull || col("pos") - lag("pos", 1).over(wD) > l, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum("brk").over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("sess"))
+      .agg(min("pos").as("s"), (max("pos") + l).as("e"))
+      .groupBy(idCol)
+      .agg(
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val cutUdf = udf { (text: String, ss: Seq[Int], es: Seq[Int]) =>
+      val sb = new java.lang.StringBuilder(text.length)
+      var prev = 0
+      var i = 0
+      while (i < ss.length) {
+        sb.append(text, prev, ss(i))
+        prev = es(i)
+        i += 1
+      }
+      sb.append(text, prev, text.length)
+      sb.toString
+    }
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(
+        "clean_text",
+        when(col("spans").isNull, col(textCol))
+          .otherwise(cutUdf(
+            col(textCol),
+            transform(col("spans"), _.getField("s")),
+            transform(col("spans"), _.getField("e")))))
+      .select(
+        col(idCol),
+        coalesce(size(col("spans")), lit(0)).cast("long").as("n_dup_spans"),
+        (length(col(textCol)) - length(col("clean_text"))).cast("long").as("removed_chars"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"),
+        col("clean_text"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per token h = FNV-1a(tok);
     * each bit contributes ±1; fingerprint bit j = sign of the sum.
     * ONE compiled loop per row — a pure scalar map with zero shuffle

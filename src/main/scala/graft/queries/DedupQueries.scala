@@ -242,6 +242,82 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_substring",
+      covers = "dedup-substring",
+      fn = (s, dir) =>
+        Dedup
+          .substringDedup(table(s, dir, "documents"), "doc_id", "text", l = 20)
+          .orderBy("doc_id"),
+      // The Spark side keys duplicate windows by a 64-bit Karp-Rabin
+      // hash; the oracle keys by the window TEXT itself (DuckDB holds
+      // the strings, so no hash replay is needed). The two agree unless
+      // two distinct 20-char windows collide in 64 bits — ~n²/2^64,
+      // vanishing at any SF and deterministic if it ever occurred.
+      // Span merge (gaps-and-islands) and the cut replay in SQL; the
+      // cleaned text is compared verbatim plus by md5.
+      oracle = Some(
+        """WITH occ AS (
+          |  SELECT doc_id, unnest(range(0, greatest(length(text) - 19, 0))) AS pos
+          |  FROM documents),
+          |keyed AS (
+          |  SELECT o.doc_id, o.pos, substr(d.text, CAST(o.pos + 1 AS BIGINT), 20) AS w
+          |  FROM occ o JOIN documents d USING (doc_id)),
+          |dups AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos,
+          |      row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+          |    FROM keyed) WHERE rn > 1),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+          |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM dups),
+          |sess AS (
+          |  SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          |  FROM isl),
+          |spans AS (
+          |  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+          |  FROM sess GROUP BY doc_id, sess),
+          |pieces AS (
+          |  SELECT sp.doc_id, sp.s,
+          |    substr(d.text,
+          |      CAST(coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) + 1 AS BIGINT),
+          |      CAST(sp.s - coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) AS BIGINT)) AS piece
+          |  FROM spans sp JOIN documents d USING (doc_id)),
+          |prefixes AS (
+          |  SELECT doc_id, string_agg(piece, '' ORDER BY s) AS prefix
+          |  FROM pieces GROUP BY doc_id),
+          |nsp AS (
+          |  SELECT doc_id, count(*) AS n_dup_spans, max(e) AS le
+          |  FROM spans GROUP BY doc_id),
+          |final AS (
+          |  SELECT d.doc_id,
+          |    coalesce(n.n_dup_spans, 0) AS n_dup_spans,
+          |    length(d.text) AS orig_len,
+          |    CASE WHEN n.doc_id IS NULL THEN d.text
+          |         ELSE p.prefix || substr(d.text, CAST(n.le + 1 AS BIGINT)) END AS clean_text
+          |  FROM documents d
+          |  LEFT JOIN nsp n USING (doc_id)
+          |  LEFT JOIN prefixes p USING (doc_id))
+          |SELECT doc_id,
+          |  CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+          |  CAST(orig_len - length(clean_text) AS BIGINT) AS removed_chars,
+          |  CAST(length(clean_text) AS BIGINT) AS clean_len,
+          |  md5(clean_text) AS clean_md5,
+          |  clean_text
+          |FROM final ORDER BY doc_id""".stripMargin
+      ),
+      doc = "EXACT substring dedup (Lee et al. '22 ExactSubstr, " +
+        "window-hash form): duplicated 20-char windows removed from all " +
+        "but the canonical occurrence, spans merged, cleaned text " +
+        "md5-compared — one shuffle on 8-byte window hashes, never " +
+        "pairwise"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_mm_binary_meta",
       covers = "multimodal-binary",
       fn = (s, dir) =>

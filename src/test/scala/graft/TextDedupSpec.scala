@@ -188,4 +188,97 @@ class TextDedupSpec extends SparkTestBase {
       .toSeq
     assert(got == Seq(2L, 4L))
   }
+
+  // ---- exact substring dedup (Lee et al. '22 ExactSubstr shape) ----
+
+  /** Brute-force reference: group every L-char window by its TEXT
+    * (no hashing), keep the (doc, pos)-minimal occurrence, merge the
+    * other occurrences' positions into spans (gap > L breaks), cut.
+    */
+  private def refSubstringDedup(
+      corpus: Seq[(Long, String)], l: Int): Map[Long, String] = {
+    val occ = for {
+      (id, t) <- corpus
+      p <- 0 to t.length - l
+    } yield (t.substring(p, p + l), id, p)
+    val canon = occ.groupBy(_._1).map { case (w, os) =>
+      w -> os.minBy(o => (o._2, o._3))
+    }
+    val dupPos = occ
+      .filter(o => canon(o._1) != o)
+      .groupBy(_._2)
+      .map { case (id, os) => id -> os.map(_._3).sorted }
+    corpus.map { case (id, t) =>
+      id -> dupPos.get(id).fold(t) { ps =>
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var s = ps.head
+        var prev = ps.head
+        for (p <- ps.tail) {
+          if (p - prev > l) { spans += ((s, prev + l)); s = p }
+          prev = p
+        }
+        spans += ((s, prev + l))
+        val sb = new StringBuilder
+        var at = 0
+        for ((a, b) <- spans) { sb.append(t.substring(at, a)); at = b }
+        sb.append(t.substring(at)).toString
+      }
+    }.toMap
+  }
+
+  test("substring dedup: canonical kept, later copies cut, exact dup emptied") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, s"unique one $shared tail one"),
+      (2L, s"prefix two $shared other tail"),
+      (3L, "totally distinct text with no repeats at all"),
+      (4L, "totally distinct text with no repeats at all"),
+      (5L, "tiny")
+    )
+    val out = Dedup
+      .substringDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", l = 20)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(5)))
+      .toMap
+    assert(out(1L)._2 == corpus.head._2)           // canonical: untouched
+    assert(out(1L)._1 == 0L)
+    assert(out(2L)._1 == 1L)                       // one merged span
+    assert(!out(2L)._2.contains("gamma delta"))    // shared run removed
+    assert(out(3L)._2 == corpus(2)._2)             // canonical exact copy
+    assert(out(4L)._2.isEmpty)                     // full-dup doc → empty
+    assert(out(5L)._2 == "tiny")                   // shorter than L → kept
+    val expect = refSubstringDedup(corpus, 20)
+    corpus.foreach { case (id, _) => assert(out(id)._2 == expect(id)) }
+  }
+
+  test("substring dedup matches brute-force reference on a repetitive corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("spark", "data", "dedup", "corpus", "window", "hash")
+    def sentence() =
+      (1 to (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val phrases = Vector.fill(4)(sentence())
+    val corpus = (1L to 25L).map { id =>
+      val parts = (1 to (1 + rnd.nextInt(4))).map { _ =>
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(phrases.size)) else sentence()
+      }
+      (id, parts.mkString(" "))
+    }
+    val expect = refSubstringDedup(corpus, 20)
+    val got = Dedup
+      .substringDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", l = 20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(5))
+      .toMap
+    corpus.foreach { case (id, _) => assert(got(id) == expect(id)) }
+    // integrity columns are consistent with the text
+    val rows = Dedup
+      .substringDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", l = 20)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getString(5).length.toLong)           // clean_len
+      assert(r.getLong(2) ==
+        corpus.find(_._1 == r.getLong(0)).get._2.length - r.getLong(3)) // removed
+    }
+  }
 }
