@@ -98,6 +98,52 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_lm_quality",
+      covers = "text-lm-quality",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // reference LM = every 10th document, bigrams kept at count ≥ 2
+        val model = TextAnalysis
+          .bigramModel(d.filter(col("doc_id") % 10 === 0), "text", minCount = 2L)
+        TextAnalysis
+          .lmQuality(d, "doc_id", "text", model, minHitPermille = 500)
+          // mean_logp (libm ln over hit probabilities) stays out of the
+          // oracle face per determinism rule 9; the integer tally and
+          // the cross-multiplied keep decision are checked exactly
+          .select("doc_id", "n_bigrams", "n_hits", "n_oov", "keep")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |bg AS (
+          |  SELECT doc_id,
+          |    unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+          |  FROM tok WHERE len(t) >= 2),
+          |model AS (
+          |  SELECT bigram, count(*) AS c2
+          |  FROM bg WHERE doc_id % 10 = 0
+          |  GROUP BY bigram HAVING count(*) >= 2),
+          |per AS (
+          |  SELECT b.doc_id, count(*) AS n_bigrams, count(m.c2) AS n_hits
+          |  FROM bg b LEFT JOIN model m USING (bigram)
+          |  GROUP BY b.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+          |  CAST(coalesce(p.n_bigrams, 0) - coalesce(p.n_hits, 0) AS BIGINT) AS n_oov,
+          |  coalesce(p.n_bigrams, 0) > 0
+          |    AND coalesce(p.n_hits, 0) * 1000 >= coalesce(p.n_bigrams, 0) * 500 AS keep
+          |FROM documents d LEFT JOIN per p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "CCNet-style LM quality filter (Wenzek et al. '20): " +
+        "bigram hit/OOV tally against a reference counts model, " +
+        "integer-exact keep decision via cross-multiplication; " +
+        "mean-logp companion rides outside the oracle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_langid",
       covers = "lang-id",
       fn = (s, dir) => {

@@ -468,6 +468,74 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared") > 0L)
   }
 
+  /** Reference bigram LM counts: (bigram, c2) with multiplicity over
+    * the reference corpus, pruned by minCount (Zipf concentration
+    * makes the pruned model orders of magnitude smaller than its V²
+    * worst case). One explode + one count shuffle over the reference.
+    */
+  def bigramModel(
+      reference: DataFrame,
+      textCol: String,
+      minCount: Long = 1L
+  ): DataFrame =
+    reference
+      .select(explode(ngramsUdf(2, distinct = false)(col(textCol))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+
+  /** CCNet-style LM quality filter (Wenzek et al. '20, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score each document by how well a reference language
+    * model explains it, keep the well-explained ones. CCNet ranks by
+    * KenLM 5-gram perplexity; the engine ships the relational core
+    * against a bigram counts model — the per-document hit/OOV tally
+    * is integer-exact and the keep decision cross-multiplies
+    * (n_hits·1000 ≥ n_bigrams·minHitPermille), so no float reaches
+    * the gate. A float mean log-probability over hit bigrams rides
+    * along for perplexity-style ranking; any (bigram, c2) relation —
+    * e.g. a dumped KenLM vocabulary — plugs in unchanged.
+    *
+    * The model broadcasts when it fits (reference corpora prune to
+    * ~10⁷ rows at minCount cutoffs); pass broadcastModel = false to
+    * shuffle-join a huge model instead. The normalizing total is one
+    * scalar aggregate (metadata, like IVF centroids).
+    */
+  def lmQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      minHitPermille: Int = 500,
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    val total =
+      model.agg(sum(col("c2"))).collect()(0).getLong(0).max(1L).toDouble
+    val m = if (broadcastModel) broadcast(model) else model
+    val perDoc = docs
+      .select(
+        col(idCol),
+        explode(ngramsUdf(2, distinct = false)(col(textCol))).as("bigram"))
+      .join(m, Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("c2")).as("n_hits"),
+        avg(when(col("c2").isNotNull,
+          log(col("c2").cast("double") / lit(total)))).as("mean_logp")
+      )
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_oov", col("n_bigrams") - col("n_hits"))
+      .withColumn(
+        "keep",
+        col("n_bigrams") > 0L &&
+          col("n_hits") * 1000L >= col("n_bigrams") * minHitPermille.toLong)
+  }
+
   /** Gopher-style repetition metrics per document: distinct-token
     * ratio and the fraction of all word bigrams taken by the single
     * most frequent bigram. Ratios are long/long→double (exact, engine

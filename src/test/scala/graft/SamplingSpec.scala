@@ -142,4 +142,36 @@ class SamplingSpec extends SparkTestBase {
     assert(r2.getAs[Long]("top_2gram_n") == 1L)
     assert(r2.getAs[Double]("distinct_tok_ratio") == 1.0)
   }
+
+  test("lmQuality: hit tally, OOV, cross-multiplied keep, logp sign") {
+    val reference = Seq(
+      (10L, "the cat sat on the mat"),
+      (20L, "the cat sat on the rug")
+    ).toDF("doc_id", "text")
+    // model at minCount=2: bigrams shared by both refs
+    // "the cat", "cat sat", "sat on", "on the" (each c2=2)
+    val model = TextAnalysis.bigramModel(reference, "text", minCount = 2L)
+    val modelSet = model.collect().map(_.getString(0)).toSet
+    assert(modelSet == Set("the cat", "cat sat", "sat on", "on the"))
+
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // 5 bigrams, 4 hits → keep
+      (2L, "dogs bark at the moon"),  // 4 bigrams, 0 hits → drop
+      (3L, "word")                    // 0 bigrams → drop
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .lmQuality(docs, "doc_id", "text", model, minHitPermille = 500)
+      .orderBy("doc_id")
+      .collect()
+    assert(got(0).getAs[Long]("n_bigrams") == 5L)
+    assert(got(0).getAs[Long]("n_hits") == 4L)
+    assert(got(0).getAs[Long]("n_oov") == 1L)
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(got(0).getAs[Double]("mean_logp") < 0.0) // ln(2/8) per hit
+    assert(math.abs(got(0).getAs[Double]("mean_logp") - math.log(2.0 / 8.0)) < 1e-12)
+    assert(got(1).getAs[Long]("n_hits") == 0L)
+    assert(!got(1).getAs[Boolean]("keep"))
+    assert(got(2).getAs[Long]("n_bigrams") == 0L)
+    assert(!got(2).getAs[Boolean]("keep"))
+  }
 }
