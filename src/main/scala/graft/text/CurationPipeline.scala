@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** The composed training-data curation pass — the text counterpart of
   * the audio flagship (SURVEY §3.1): language gate → quality gate →
-  * exact dedup → near-dup dedup (keep cluster canonicals) → PII
-  * redaction → chunking → sequence packing. Every stage is one of the
-  * library's operators; the whole pass is a single lazy plan tree plus
-  * the dedup joins.
+  * [optional Gopher gate] → [optional CCNet LM gate] → exact dedup →
+  * near-dup dedup (keep cluster canonicals) → [optional exact
+  * substring dedup] → PII redaction → chunking → sequence packing.
+  * Every stage is one of the library's operators; the whole pass is a
+  * single lazy plan tree plus the dedup joins. Corpus-global optional
+  * stages (LM gate, substring dedup) are batch-only; the streaming
+  * face applies the stateless gates and keyed exact dedup only.
   */
 object CurationPipeline {
 
@@ -31,6 +34,21 @@ object CurationPipeline {
         */
       useGopherGate: Boolean = false,
       gopherMinWords: Long = 50L,
+      /** optional CCNet-style LM quality gate (TextAnalysis.lmQuality)
+        * against `lmModel` — corpus-global (needs a trained counts
+        * relation), so it is a BATCH-only stage: the streaming face
+        * applies only the stateless per-row gates
+        */
+      useLmGate: Boolean = false,
+      lmModel: Option[DataFrame] = None,
+      lmMinHitPermille: Int = 500,
+      /** optional EXACT substring dedup (Dedup.substringDedup, Lee et
+        * al. '22) after near-dup: duplicated windows are cut from all
+        * but their canonical occurrence and fully-emptied docs drop.
+        * Corpus-global (one shuffle on window hashes) — batch-only.
+        */
+      useSubstringDedup: Boolean = false,
+      substringL: Int = 20,
       chunkTokens: Int = 256,
       chunkOverlap: Int = 32,
       seqLen: Long = 2048L
@@ -85,6 +103,23 @@ object CurationPipeline {
       .cache()
     val n1 = gated.count()
 
+    // ---- optional CCNet LM gate: keep documents the reference model
+    // explains (integer cross-multiplied decision). The model join is
+    // a broadcast; the per-doc tally re-reads gated, which is cached.
+    val (lmGated, lmFunnel) = cfg.lmModel match {
+      case Some(model) if cfg.useLmGate =>
+        val keepIds = TextAnalysis
+          .lmQuality(gated.select(col(idCol), col(textCol)), idCol, textCol,
+            model, cfg.lmMinHitPermille)
+          .filter(col("keep"))
+          .select(idCol)
+        val kept = gated.join(keepIds, Seq(idCol), "left_semi").cache()
+        val nLm = kept.count()
+        gated.unpersist()
+        (kept, Seq("lm_gate" -> nLm))
+      case _ => (gated, Nil)
+    }
+
     // ---- exact dedup: keep the min-id representative. Same keep rule
     // as Dedup.exact, but as ONE window over the content digest — one
     // shuffle, versus the digest groupBy + id semi-join's two (the
@@ -93,13 +128,13 @@ object CurationPipeline {
     val wDigest = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(textCol)))
       .orderBy(col(idCol).asc)
-    val exactDeduped = gated
+    val exactDeduped = lmGated
       .withColumn("__rn", row_number().over(wDigest))
       .filter(col("__rn") === 1)
       .drop("__rn")
       .cache()
     val n2 = exactDeduped.count()
-    gated.unpersist()
+    lmGated.unpersist()
 
     // ---- near-dup dedup: drop non-canonical cluster members
     val clusters =
@@ -110,9 +145,26 @@ object CurationPipeline {
     val drop = clusters.filter(!col("is_canonical")).select(idCol)
     val nearDeduped = exactDeduped.join(drop, Seq(idCol), "left_anti")
 
+    // ---- optional EXACT substring dedup: cut duplicated windows from
+    // non-canonical occurrences; docs emptied by the cut drop out (the
+    // inner join). Runs on the cached exactDeduped's anti-join output.
+    val subDeduped =
+      if (!cfg.useSubstringDedup) nearDeduped
+      else {
+        val cut = Dedup
+          .substringDedup(nearDeduped.select(col(idCol), col(textCol)),
+            idCol, textCol, cfg.substringL)
+          .filter(col("clean_len") > 0L)
+          .select(col(idCol), col("clean_text").as("__substr_text"))
+        nearDeduped
+          .join(cut, Seq(idCol))
+          .withColumn(textCol, col("__substr_text"))
+          .drop("__substr_text")
+      }
+
     // ---- PII redaction on the survivors; this is the surface every
     // output reads, so it is the one cache that outlives the call
-    val clean = nearDeduped
+    val clean = subDeduped
       .withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
       .cache()
     val n3 = clean.count()
@@ -131,9 +183,10 @@ object CurationPipeline {
       packing = packing,
       funnel = Seq(
         "input" -> n0,
-        "lang_quality_gate" -> n1,
+        "lang_quality_gate" -> n1
+      ) ++ lmFunnel ++ Seq(
         "exact_dedup" -> n2,
-        "near_dedup" -> n3
+        (if (cfg.useSubstringDedup) "near_substring_dedup" else "near_dedup") -> n3
       )
     )
   }

@@ -57,4 +57,46 @@ class CurationPipelineSpec extends SparkTestBase {
       assert(r.getAs[Long]("first_seq") == r.getAs[Long]("start_off") / 16)
     }
   }
+
+  test("optional LM gate drops model-unexplained docs and records its funnel stage") {
+    // model trained on docs 1/3/7-style English: doc 4 (Spanish) would
+    // already fail langid; use a crafted model that only explains doc 7
+    val model = graft.text.TextAnalysis.bigramModel(
+      Seq((100L, "the data of the table in the hash and the sort of it is a thing"))
+        .toDF("doc_id", "text"),
+      "text", minCount = 1L)
+    val gated = CurationPipeline.run(
+      docs, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.25, minTokens = 8, nearDupJaccard = 0.6,
+        useLmGate = true, lmModel = Some(model), lmMinHitPermille = 900,
+        chunkTokens = 8, chunkOverlap = 2, seqLen = 16))
+    val f = gated.funnel.toMap
+    assert(f.contains("lm_gate"))
+    assert(f("lm_gate") <= f("lang_quality_gate"))
+    val ids = gated.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(7L)) // only the doc the model explains survives
+    gated.unpersist()
+  }
+
+  test("optional substring dedup cuts duplicated windows from non-canonical docs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"the first document says $shared and the rest of it is a thing"),
+      (2L, s"the second document says $shared but the tail here is different"),
+      (3L, "the third document is about the sort and the hash of the table")
+    ).toDF("doc_id", "text")
+    val outSub = CurationPipeline.run(
+      corpus, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.0, minTokens = 4, nearDupJaccard = 0.95,
+        useSubstringDedup = true,
+        chunkTokens = 8, chunkOverlap = 2, seqLen = 16))
+    val f = outSub.funnel.toMap
+    assert(f.contains("near_substring_dedup"))
+    val texts = outSub.docs.orderBy("doc_id")
+      .select("clean_text").as[String].collect()
+    assert(texts(0).contains("gamma delta"))  // canonical keeps the span
+    assert(!texts(1).contains("gamma delta")) // later copy loses it
+    assert(texts(2).contains("third document"))
+    outSub.unpersist()
+  }
 }

@@ -80,6 +80,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q_dedup_substring joins only on keys — no nested-loop/pairwise plan") {
+    val p = plan("q_dedup_substring")
+    // every join is keyed (hash or sort-merge); duplicate-window
+    // detection must stay a shuffle on the 8-byte hash, never pairwise
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_lm_quality broadcasts the LM counts model") {
+    val p = plan("q_text_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
