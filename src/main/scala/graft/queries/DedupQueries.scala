@@ -318,6 +318,42 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_bloom_anti",
+      covers = "dedup-bloom-membership",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // history = every 3rd doc's content digest; the new batch is the
+        // whole corpus keyed the same way. The Bloom front door has no
+        // false negatives and its false positives die in the exact
+        // verify join, so the result is BIT-IDENTICAL to a plain
+        // anti-join — which is exactly what the oracle computes.
+        val hist = d
+          .filter(col("doc_id") % 3 === 0)
+          .select(md5(col("text")).as("content_key"))
+        val fresh = d.select(col("doc_id"), md5(col("text")).as("content_key"))
+        Dedup
+          .bloomAntiJoin(fresh, hist, "content_key",
+            expectedItems = 1000L, fpp = 0.05)
+          .select("doc_id", "content_key")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH hist AS (
+          |  SELECT DISTINCT md5(text) AS content_key
+          |  FROM documents WHERE doc_id % 3 = 0)
+          |SELECT d.doc_id, md5(d.text) AS content_key
+          |FROM documents d
+          |LEFT JOIN hist h ON md5(d.text) = h.content_key
+          |WHERE h.content_key IS NULL
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "Bloom-prefiltered anti-join (resumability membership at " +
+        "scale): driver-metadata Bloom filter rejects definite " +
+        "novelties before the shuffle, exact anti-join verifies the " +
+        "rest — output equals the plain anti-join bit-for-bit"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_mm_binary_meta",
       covers = "multimodal-binary",
       fn = (s, dir) =>

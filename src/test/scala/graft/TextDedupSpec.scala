@@ -189,6 +189,20 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq(2L, 4L))
   }
 
+  test("bloomAntiJoin equals the plain anti-join, false positives included") {
+    val hist = (1L to 60L).filter(_ % 3 == 0)
+      .map(i => (s"key_$i", i)).toDF("k", "histv").select("k")
+    val fresh = (1L to 120L).map(i => (i, s"key_$i")).toDF("id", "k")
+    val expect = fresh.join(hist, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    // fpp 0.5 + tiny capacity forces real false positives through the
+    // verify join; the output must still be the exact anti-join
+    val got = Dedup.bloomAntiJoin(fresh, hist, "k", expectedItems = 10L, fpp = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+    assert(got.forall(i => i % 3 != 0 || i > 60L))
+  }
+
   // ---- exact substring dedup (Lee et al. '22 ExactSubstr shape) ----
 
   /** Brute-force reference: group every L-char window by its TEXT
