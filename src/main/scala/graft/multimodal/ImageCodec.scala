@@ -69,6 +69,128 @@ object ImageCodec {
     }
     encodePng(img)
   }
+
+  /** Deterministic ANIMATED GIF fixture: frame count, dimensions, and
+    * each frame's solid fill color are pure functions of `id`, so an
+    * oracle predicts the sampled-frame schedule and dimensions without
+    * decoding. Every frame carries a GraphicControlExtension with
+    * delayTime = 10 cs (100 ms).
+    *
+    *   k = 2 + id % 5 frames,  w = 8 + id % 13,  h = 8 + id % 11,
+    *   frame f color = ((7id+29f) % 256, (11id+31f) % 256, (13id+37f) % 256)
+    *
+    * Frames are TYPE_BYTE_INDEXED with an explicit palette holding the
+    * exact fill color, so the GIF round-trip is lossless (no writer
+    * quantization).
+    */
+  def fixtureGif(id: Long): Array[Byte] = {
+    init
+    val k = (2 + Math.floorMod(id, 5L)).toInt
+    val w = (8 + Math.floorMod(id, 13L)).toInt
+    val h = (8 + Math.floorMod(id, 11L)).toInt
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < k) {
+      def c(m: Long, a: Long) = Math.floorMod(id * m + a * f, 256L).toInt
+      val (r, g, b) = (c(7, 29), c(11, 31), c(13, 37))
+      val cm = new java.awt.image.IndexColorModel(
+        8, 2,
+        Array(r.toByte, 0.toByte),
+        Array(g.toByte, 0.toByte),
+        Array(b.toByte, 0.toByte))
+      val img =
+        new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      // raster defaults to index 0 = the fill color; nothing to draw
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        var n = root.getFirstChild
+        while (n != null && n.getNodeName != "GraphicControlExtension")
+          n = n.getNextSibling
+        if (n != null) n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val created =
+            new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(created)
+          created
+        }
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+}
+
+/** REAL frame sampler for animated GIFs via javax.imageio: decodes the
+  * frame sequence, evenly samples up to n distinct frame indices
+  * (floor(i·k/n) for i < n), and re-encodes each sampled frame as PNG.
+  * ts_ms = frame_idx × the frame's GraphicControlExtension delay
+  * (default 100 ms when absent). Frames are read as stored — no
+  * inter-frame composition, which matches the keyframe-sampling
+  * use-case (and the fixture writes full frames). Non-GIF payloads
+  * fall back to [[StubFrameSampler]]'s whole-payload frame so a mixed
+  * column keeps flowing.
+  */
+object GifFrameSampler extends FrameSampler {
+  private def gifDelayMs(reader: javax.imageio.ImageReader, fi: Int): Long =
+    try {
+      val meta = reader.getImageMetadata(fi)
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      var n = root.getFirstChild
+      var d = 10L
+      while (n != null) {
+        if (n.getNodeName == "GraphicControlExtension")
+          d = n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .getAttribute("delayTime").toLong
+        n = n.getNextSibling
+      }
+      d * 10L // centiseconds → ms
+    } catch { case _: Exception => 100L }
+
+  def sampleBatch(
+      payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]] =
+    payloads.map { bytes =>
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq((0, 0L, bytes))
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val k = reader.getNumImages(true)
+            if (k <= 0) Seq((0, 0L, bytes))
+            else {
+              (0 until n).map(i => i * k / n).distinct.map { fi =>
+                val img = reader.read(fi)
+                (fi, fi.toLong * gifDelayMs(reader, fi),
+                  ImageCodec.encodePng(img))
+              }
+            }
+          } finally reader.dispose()
+        }
+      } catch {
+        case _: Exception => Seq((0, 0L, bytes))
+      } finally iis.close()
+    }
 }
 
 /** REAL image features via javax.imageio. Layout (featureDim = 16):

@@ -19,6 +19,20 @@ object DedupQueries {
   private val fixturePngUdf =
     udf { (id: Long) => graft.multimodal.ImageCodec.fixturePng(id) }
 
+  /** Deterministic ANIMATED GIF fixture (ImageCodec.fixtureGif). */
+  private val fixtureGifUdf =
+    udf { (id: Long) => graft.multimodal.ImageCodec.fixtureGif(id) }
+
+  /** Decode (width, height) of an image payload — re-reads the REAL
+    * encoded bytes, so a broken sampler/encoder cannot pass.
+    */
+  private val decodeWhUdf = udf { (bytes: Array[Byte]) =>
+    graft.multimodal.ImageCodec.decode(bytes) match {
+      case Some(i) => Array(i.getWidth.toLong, i.getHeight.toLong)
+      case None    => Array(-1L, -1L)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
@@ -416,6 +430,53 @@ object DedupQueries {
         "partition-local extraction, frames digest-compared (sampler " +
         "stubbed as char slices; a real one seeks keyframes behind the " +
         "same trait)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_mm_gif_frames",
+      covers = "multimodal-frames-real",
+      fn = (s, dir) => {
+        // REAL video-style frame sampling end-to-end: deterministic
+        // ANIMATED GIF fixtures (javax.imageio writer, per-frame
+        // GraphicControlExtension delay) → GifFrameSampler decodes the
+        // sequence, evenly samples 3 frames, re-encodes each as PNG →
+        // the emitted frame bytes are re-DECODED and their dimensions
+        // checked against the fixture recipe. The oracle predicts the
+        // sampling schedule (distinct floor(i·k/3)), timestamps
+        // (100 ms/frame), and dimensions arithmetically.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("payload", fixtureGifUdf(col("doc_id")))
+        graft.multimodal.Multimodal
+          .sampleFrames(d, "doc_id", "payload",
+            graft.multimodal.GifFrameSampler, n = 3, batchSize = 64)
+          .withColumn("wh", decodeWhUdf(col("frame")))
+          .select(
+            col("id").as("doc_id"),
+            col("frame_idx"),
+            col("ts_ms"),
+            element_at(col("wh"), 1).as("w"),
+            element_at(col("wh"), 2).as("h"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    2 + doc_id % 5 AS k, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+          |  FROM documents),
+          |fr AS (
+          |  SELECT DISTINCT doc_id, (i * k) // 3 AS frame_idx, w, h
+          |  FROM p CROSS JOIN range(0, 3) r(i))
+          |SELECT doc_id,
+          |  CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+          |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "REAL animated-GIF frame sampling (javax.imageio sequence " +
+        "reader): fixture GIFs decoded, evenly sampled, re-encoded; " +
+        "schedule/timestamps/dimensions oracle-checked against the " +
+        "fixture recipe"
     ),
     // ----------------------------------------------------------------
     QueryDef(

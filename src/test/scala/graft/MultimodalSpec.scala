@@ -92,4 +92,49 @@ class MultimodalSpec extends SparkTestBase {
       assert(f(0) == (8 + id % 25).toFloat && f(1) == (8 + id % 17).toFloat)
     }
   }
+
+  test("GIF fixture round-trips: frame count, dims, per-frame pixel colors exact") {
+    for (id <- Seq(0L, 3L, 7L, 11L)) {
+      val k = (2 + id % 5).toInt
+      val w = (8 + id % 13).toInt
+      val h = (8 + id % 11).toInt
+      val gif = ImageCodec.fixtureGif(id)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == k, s"id=$id")
+      for (f <- 0 until k) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        def c(m: Long, a: Long) = Math.floorMod(id * m + a * f, 256L).toInt
+        val px = img.getRGB(w / 2, h / 2)
+        assert(((px >> 16) & 0xff) == c(7, 29), s"id=$id f=$f r")
+        assert(((px >> 8) & 0xff) == c(11, 31), s"id=$id f=$f g")
+        assert((px & 0xff) == c(13, 37), s"id=$id f=$f b")
+      }
+      reader.dispose(); iis.close()
+    }
+  }
+
+  test("GifFrameSampler samples the even schedule with 100ms timestamps") {
+    val id = 13L // k = 2 + 13%5 = 5 frames
+    val got = GifFrameSampler.sampleBatch(Seq(ImageCodec.fixtureGif(id)), 3).head
+    assert(got.map(_._1) == Seq(0, 1, 3)) // floor(i*5/3)
+    assert(got.map(_._2) == Seq(0L, 100L, 300L))
+    got.foreach { case (f, _, png) =>
+      val img = ImageCodec.decode(png).get
+      assert(img.getWidth == (8 + id % 13).toInt)
+      def c(m: Long, a: Long) = Math.floorMod(id * m + a * f, 256L).toInt
+      val px = img.getRGB(0, 0)
+      assert(((px >> 16) & 0xff) == c(7, 29) &&
+        ((px >> 8) & 0xff) == c(11, 31) && (px & 0xff) == c(13, 37))
+    }
+    // k=2 case: fewer than n distinct frames
+    val short = GifFrameSampler.sampleBatch(Seq(ImageCodec.fixtureGif(5L)), 3).head
+    assert(short.map(_._1) == Seq(0, 1)) // k = 2+5%5 = 2
+    // non-GIF payload falls back to one whole-payload frame
+    val junk = Array[Byte](9, 9, 9)
+    assert(GifFrameSampler.sampleBatch(Seq(junk), 3).head.map(_._1) == Seq(0))
+  }
 }
