@@ -480,6 +480,55 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_mm_video_meta",
+      covers = "multimodal-video-meta",
+      fn = (s, dir) => {
+        // REAL ISO-BMFF (MP4) metadata: a pure-byte box walker parses
+        // ftyp brand + mvhd timescale/duration from fixture containers
+        // whose values the oracle predicts arithmetically. Probing
+        // duration without decoding is the first pass over a video
+        // corpus; only parsed metadata ever shuffles.
+        val parseUdf = udf { (bytes: Array[Byte]) =>
+          graft.multimodal.VideoMeta.parseMp4(bytes).map { i =>
+            (i.brand, i.timescale, i.duration, i.durationMs)
+          }
+        }
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("payload",
+            udf { (id: Long) => graft.multimodal.VideoMeta.fixtureMp4(id) }
+              .apply(col("doc_id")))
+        d.withColumn("kind", graft.multimodal.Multimodal.sniffKind("payload"))
+          .withColumn("meta", parseUdf(col("payload")))
+          .select(
+            col("doc_id"),
+            col("kind"),
+            col("meta._1").as("brand"),
+            col("meta._2").as("timescale"),
+            col("meta._3").as("duration"),
+            col("meta._4").as("duration_ms"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT doc_id, 600 * (1 + doc_id % 5) AS ts FROM documents),
+          |q AS (
+          |  SELECT doc_id, ts,
+          |    ts * (1 + doc_id % 120) + doc_id % ts AS dur FROM p)
+          |SELECT doc_id,
+          |  'video/mp4' AS kind, 'isom' AS brand,
+          |  CAST(ts AS BIGINT) AS timescale,
+          |  CAST(dur AS BIGINT) AS duration,
+          |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms
+          |FROM q ORDER BY doc_id""".stripMargin
+      ),
+      doc = "REAL MP4 metadata probe (ISO-BMFF box walker, pure byte " +
+        "arithmetic): ftyp brand + mvhd timescale/duration parsed from " +
+        "fixture containers, all values oracle-predicted; the magic " +
+        "sniff heuristic is cross-checked on real bytes"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_mm_resize",
       covers = "multimodal-transform",
       fn = (s, dir) => {

@@ -137,4 +137,41 @@ class MultimodalSpec extends SparkTestBase {
     val junk = Array[Byte](9, 9, 9)
     assert(GifFrameSampler.sampleBatch(Seq(junk), 3).head.map(_._1) == Seq(0))
   }
+
+  test("MP4 box walker parses fixtures, v1 mvhd, largesize, and rejects junk") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val info = VideoMeta.parseMp4(VideoMeta.fixtureMp4(id)).get
+      val ts = 600L * (1 + id % 5)
+      val dur = ts * (1 + id % 120) + id % ts
+      assert(info.brand == "isom")
+      assert(info.timescale == ts && info.duration == dur)
+      assert(info.durationMs == dur * 1000L / ts)
+    }
+    // hand-built v1 mvhd (64-bit duration) after a largesize ftyp
+    val v1 = {
+      val b = new Array[Byte](16 + 8 + 8 + 120)
+      def u32(o: Int, v: Long): Unit = {
+        b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+        b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+      }
+      def t(o: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("ISO-8859-1"), 0, b, o, 4)
+      u32(0, 1L); t(4, "ftyp"); u32(8, 0L); u32(12, 24L) // largesize=24
+      t(16, "isom"); u32(20, 0L)
+      val m = 24
+      u32(m, (8 + 120).toLong); t(m + 4, "moov")
+      u32(m + 8, 120L); t(m + 12, "mvhd")
+      b(m + 16) = 1 // version 1
+      u32(m + 36, 90000L)           // timescale at 8 hdr + 4 + 16
+      u32(m + 40, 1L); u32(m + 44, 500L) // duration u64 = 2^32 + 500
+      b
+    }
+    val i1 = VideoMeta.parseMp4(v1).get
+    assert(i1.timescale == 90000L && i1.duration == (1L << 32) + 500L)
+    assert(VideoMeta.parseMp4(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)).isEmpty)
+    assert(VideoMeta.parseMp4("not a container at all".getBytes).isEmpty)
+    // the fixture's leading bytes satisfy the mp4 sniff heuristic
+    val fx = VideoMeta.fixtureMp4(3L)
+    assert(fx(3) == 0x18.toByte && fx(0) == 0 && fx(1) == 0 && fx(2) == 0)
+  }
 }
