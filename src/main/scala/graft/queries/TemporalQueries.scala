@@ -111,6 +111,49 @@ object TemporalQueries {
       oracle = None,
       doc = "HLL++ approximate distinct + approximate quantiles — " +
         "sketch path for cardinalities too big to count exactly"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_profile_columns",
+      covers = "data-profiling",
+      fn = (s, dir) =>
+        graft.ops.Profile
+          .profile(table(s, dir, "documents"),
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy("col_name"),
+      oracle = Some(
+        """SELECT * FROM (
+          |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+          |    CAST(min(doc_id) AS VARCHAR) AS min_val,
+          |    CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+          |  UNION ALL
+          |  SELECT 'text', CAST(count(*) AS BIGINT),
+          |    CAST(count(*) - count(text) AS BIGINT),
+          |    CAST(count(DISTINCT text) AS BIGINT),
+          |    min(text), max(text) FROM documents
+          |  UNION ALL
+          |  SELECT 'lang', CAST(count(*) AS BIGINT),
+          |    CAST(count(*) - count(lang) AS BIGINT),
+          |    CAST(count(DISTINCT lang) AS BIGINT),
+          |    min(lang), max(lang) FROM documents
+          |  UNION ALL
+          |  SELECT 'source', CAST(count(*) AS BIGINT),
+          |    CAST(count(*) - count(source) AS BIGINT),
+          |    CAST(count(DISTINCT source) AS BIGINT),
+          |    min(source), max(source) FROM documents
+          |  UNION ALL
+          |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+          |    CAST(count(*) - count(n_chars) AS BIGINT),
+          |    CAST(count(DISTINCT n_chars) AS BIGINT),
+          |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+          |  FROM documents)
+          |ORDER BY col_name""".stripMargin
+      ),
+      doc = "column profiling: per-column null/distinct counts and " +
+        "native-order min/max in ONE wide aggregation pass, exploded " +
+        "to a row per column"
     )
   )
 }

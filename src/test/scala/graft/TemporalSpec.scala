@@ -83,4 +83,23 @@ class TemporalSpec extends SparkTestBase {
     val s = plan.toString
     assert(!s.contains("CartesianProduct"))
   }
+
+  test("profile: nulls, exact distincts, native-order min/max, one row per column") {
+    val d = Seq(
+      (Option(1L), Option("b")),
+      (Option(2L), None),
+      (Option.empty[Long], Option("a")),
+      (Option(10L), Option("a"))
+    ).toDF("k", "s")
+    val p = graft.ops.Profile.profile(d, Seq("k", "s"))
+      .orderBy("col_name").collect()
+    assert(p.length == 2)
+    val k = p(0); val s = p(1)
+    assert(k.getString(0) == "k" && s.getString(0) == "s")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 1L && k.getLong(3) == 3L)
+    // native numeric order: max is "10", not the lexicographic "2"
+    assert(k.getString(4) == "1" && k.getString(5) == "10")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+  }
 }
