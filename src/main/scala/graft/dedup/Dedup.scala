@@ -393,6 +393,12 @@ object Dedup {
   /** Components + canonical (min id) + cluster size from any near-dup
     * pair relation (columns a, b) — the keep/drop decision surface of
     * a corpus-dedup pass, shared by the exact-Jaccard and LSH paths.
+    *
+    * The RETURNED relation is cached (it is consumed at least twice in
+    * every caller: drop-set build + funnel count) and ownership
+    * transfers to the caller — unpersist it once its consumers have
+    * materialized, as CurationPipeline.run does after the clean corpus
+    * count. Internal iteration caches are released before returning.
     */
   def clusterize(pairs: DataFrame, idCol: String): DataFrame = {
     val comps = connectedComponents(pairs)

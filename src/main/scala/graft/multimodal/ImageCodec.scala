@@ -82,8 +82,12 @@ object ImageCodec {
     * Frames are TYPE_BYTE_INDEXED with an explicit palette holding the
     * exact fill color, so the GIF round-trip is lossless (no writer
     * quantization).
+    *
+    * `delaysCs` overrides the per-frame delay (centiseconds, frame f
+    * gets delaysCs(f % delaysCs.length)) to build VARIABLE-delay GIFs
+    * for timestamp tests; empty = the constant 10 cs default.
     */
-  def fixtureGif(id: Long): Array[Byte] = {
+  def fixtureGif(id: Long, delaysCs: Seq[Int] = Nil): Array[Byte] = {
     init
     val k = (2 + Math.floorMod(id, 5L)).toInt
     val w = (8 + Math.floorMod(id, 13L)).toInt
@@ -125,7 +129,9 @@ object ImageCodec {
       gce.setAttribute("disposalMethod", "none")
       gce.setAttribute("userInputFlag", "FALSE")
       gce.setAttribute("transparentColorFlag", "FALSE")
-      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("delayTime",
+        if (delaysCs.isEmpty) "10"
+        else delaysCs(f % delaysCs.length).toString)
       gce.setAttribute("transparentColorIndex", "0")
       meta.setFromTree(fmt, root)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
@@ -141,8 +147,11 @@ object ImageCodec {
 /** REAL frame sampler for animated GIFs via javax.imageio: decodes the
   * frame sequence, evenly samples up to n distinct frame indices
   * (floor(i·k/n) for i < n), and re-encodes each sampled frame as PNG.
-  * ts_ms = frame_idx × the frame's GraphicControlExtension delay
-  * (default 100 ms when absent). Frames are read as stored — no
+  * ts_ms = the cumulative sum of the PRECEDING frames'
+  * GraphicControlExtension delays (default 100 ms when absent) — the
+  * instant frame fi appears on screen, correct for variable-delay
+  * GIFs, and equal to fi × delay for constant-delay ones (which is
+  * what the arithmetic oracle predicts). Frames are read as stored — no
   * inter-frame composition, which matches the keyframe-sampling
   * use-case (and the fixture writes full frames). Non-GIF payloads
   * fall back to [[StubFrameSampler]]'s whole-payload frame so a mixed
@@ -179,10 +188,18 @@ object GifFrameSampler extends FrameSampler {
             val k = reader.getNumImages(true)
             if (k <= 0) Seq((0, 0L, bytes))
             else {
-              (0 until n).map(i => i * k / n).distinct.map { fi =>
-                val img = reader.read(fi)
-                (fi, fi.toLong * gifDelayMs(reader, fi),
-                  ImageCodec.encodePng(img))
+              // display time of frame fi = sum of delays of frames
+              // 0..fi-1 (one metadata pass; payload decode only for
+              // the sampled frames)
+              val startMs = new Array[Long](k)
+              var fi = 1
+              while (fi < k) {
+                startMs(fi) = startMs(fi - 1) + gifDelayMs(reader, fi - 1)
+                fi += 1
+              }
+              (0 until n).map(i => i * k / n).distinct.map { s =>
+                val img = reader.read(s)
+                (s, startMs(s), ImageCodec.encodePng(img))
               }
             }
           } finally reader.dispose()

@@ -75,6 +75,8 @@ object Pq {
       .select(vecCol)
       .collect()
       .map(_.getSeq[Float](0))
+    require(init.length == k,
+      s"pqBuild needs >= $k vectors to seed the codebooks, got ${init.length}")
     val dim = init.head.length
     val sd = subDim(dim, m)
     var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>

@@ -79,6 +79,9 @@ object CurationPipeline {
 
   def run(input: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Outputs = {
+    require(!cfg.useLmGate || cfg.lmModel.isDefined,
+      "useLmGate requires lmModel: a run with useLmGate=true and no model " +
+        "would silently skip the LM quality gate")
     val n0 = input.count()
 
     // Each funnel stage is counted eagerly (the funnel is part of the
@@ -169,6 +172,9 @@ object CurationPipeline {
       .cache()
     val n3 = clean.count()
     exactDeduped.unpersist()
+    // clean is materialized, so the cluster-label cache (owned by the
+    // caller per clusterize's contract) is no longer reachable
+    clusters.unpersist()
 
     val chunks = TextAnalysis.chunkByTokens(
       clean.select(col(idCol), col("clean_text")),

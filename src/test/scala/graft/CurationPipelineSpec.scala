@@ -34,6 +34,14 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(ids.contains(1L)) // canonical survives
   }
 
+  test("useLmGate without a model is rejected, not silently skipped") {
+    val ex = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, "doc_id", "text",
+        CurationPipeline.Config(useLmGate = true, lmModel = None))
+    }
+    assert(ex.getMessage.contains("useLmGate requires lmModel"))
+  }
+
   test("PII is redacted in surviving text") {
     val t5 = out.docs.filter($"doc_id" === 5L).select("clean_text").as[String].head()
     assert(t5.contains("<EMAIL>"))

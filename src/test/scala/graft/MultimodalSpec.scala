@@ -138,6 +138,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(GifFrameSampler.sampleBatch(Seq(junk), 3).head.map(_._1) == Seq(0))
   }
 
+  test("GifFrameSampler timestamps are cumulative for variable-delay GIFs") {
+    // id=13 → k=5 frames; delays 5,20,10,40,30 cs = 50,200,100,400,300 ms
+    // frame start times: 0, 50, 250, 350, 750 ms
+    val gif = ImageCodec.fixtureGif(13L, delaysCs = Seq(5, 20, 10, 40, 30))
+    val got = GifFrameSampler.sampleBatch(Seq(gif), 5).head
+    assert(got.map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(got.map(_._2) == Seq(0L, 50L, 250L, 350L, 750L))
+    // sampled subset keeps absolute start times, not index×own-delay
+    val sub = GifFrameSampler.sampleBatch(Seq(gif), 3).head
+    assert(sub.map(_._1) == Seq(0, 1, 3))
+    assert(sub.map(_._2) == Seq(0L, 50L, 350L))
+  }
+
   test("MP4 box walker parses fixtures, v1 mvhd, largesize, and rejects junk") {
     for (id <- Seq(0L, 7L, 123L)) {
       val info = VideoMeta.parseMp4(VideoMeta.fixtureMp4(id)).get

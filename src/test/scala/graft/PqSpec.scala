@@ -25,6 +25,15 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("pqBuild rejects inputs with fewer than k vectors, with a clear message") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    }
+    assert(ex.getMessage.contains("needs >= 16 vectors"))
+    assert(ex.getMessage.contains("got 5"))
+  }
+
   test("pqBuild is deterministic across invocations") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val a = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 2)
