@@ -16,6 +16,9 @@ run / fork := true
 // sbt's default LoggedOutput would prefix every line with "[info] "
 // (this is why BENCH_r01/r02 recorded parsed=null).
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Keep "[success] Total time: ..." off stdout so the bench JSON record
+// stays the LAST line the driver's bounded tail capture sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

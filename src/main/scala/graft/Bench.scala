@@ -39,14 +39,40 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Driver captures a bounded tail of stdout: keep the JSON line
-    // compact (ms precision) and make it the LAST stdout line (after
-    // spark.stop()) so it survives the tail window intact and parses.
+    // Driver captures a bounded (~2000-char) tail of stdout — r1-r3 all
+    // recorded parsed=null because the one JSON line outgrew it as the
+    // query count grew. Emission contract, in order:
+    //   1. full per-query detail → BENCH_DETAIL.json (snapshot-committed)
+    //      and one PREFIXED stdout line (never a bare '{', so no parser
+    //      can confuse it for the record line);
+    //   2. LAST stdout line: the ONE parseable JSON record, per-query
+    //      entries sorted by descending time and truncated to a hard
+    //      char budget that fits the tail window with the expensive
+    //      queries always present; the omitted cheap remainder is
+    //      aggregated into omitted_n/omitted_sec so the total still
+    //      reconciles.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val detail = s"""{"total_sec":${f3(total)},"n_queries":${results.length},"queries_full":$qsFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] detail write: ${e.getMessage}") }
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println("BENCH_DETAIL " + detail)
+    val entryBudget = 1500 // chars for the queries map body; line stays < ~1.8k
+    val sb = new StringBuilder
+    var omittedN = 0
+    var omittedSec = 0.0
+    results.sortBy { case (_, v) => -v }.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + f2(v)
+      if (sb.length + ent.length + 1 <= entryBudget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(ent)
+      } else { omittedN += 1; omittedSec += v }
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{$sb},"omitted_n":$omittedN,"omitted_sec":${f2(omittedSec)},"n_queries":${results.length},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
   }
 }
