@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDotProduct, WadaSnrExpr}
+import graft.plans.{ArrayDotProduct, BottomKIds, WadaSnrExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wada_snr"),
       new ExpressionInfo(classOf[WadaSnrExpr].getName, "wada_snr"),
       (exprs: Seq[Expression]) => WadaSnrExpr(exprs.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_ids"),
+      new ExpressionInfo(classOf[BottomKIds].getName, "bottom_k_ids"),
+      (exprs: Seq[Expression]) => BottomKIds(exprs(0), exprs(1), exprs(2))
     ))
   }
 }

@@ -1,0 +1,104 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Physical corpus layout: hash-bucketed parquet tables so that every
+  * downstream key-equijoin and key-aggregation is EXCHANGE-FREE.
+  *
+  * Why this matters at 100 TB: the curation passes (exact dedup by
+  * digest, near-dup drop-set anti-join, embedding attach, incremental
+  * ingest anti-join) all join the corpus on its document key. Unbucketed,
+  * EVERY such pass re-shuffles the full corpus — at 100 TB that is the
+  * dominant cost of the whole pipeline, paid per pass. Written once as
+  * a bucketed table (`CLUSTERED BY (key) INTO n BUCKETS`), the corpus
+  * is born hash-partitioned on disk: Spark's scan reports
+  * HashPartitioning(key, n), Catalyst's EnsureRequirements sees the
+  * child already satisfies the join/agg distribution, and the shuffle
+  * disappears from the plan (LayoutSpec asserts zero
+  * ShuffleExchangeExec). Two tables bucketed the SAME way co-locate,
+  * so corpus⋈embeddings is a per-bucket merge with no data movement
+  * at all.
+  *
+  * Reference analog: the reference keeps per-channel directory trees
+  * and re-reads them per stage (data_pipeline.py's per-stage rglob);
+  * the bucketed table is the Spark-native replacement that also fixes
+  * the re-shuffle cost.
+  *
+  * Sizing guidance (SCALE.md): buckets ≈ corpus_bytes / 256 MB,
+  * rounded to a power of two — 100 TB → 2^18-2^19 buckets; bucket
+  * count is fixed at write time, so size for the corpus you intend to
+  * grow into (cheap over-bucketing beats a rewrite).
+  *
+  * The writer repartitions by the bucket key into exactly `buckets`
+  * partitions first: Spark's bucket-file hash and repartition hash are
+  * both Murmur3 pmod n, so each task owns exactly one bucket and each
+  * bucket lands in ONE file per write — keeping `sortBy` metadata
+  * usable (Spark only trusts per-bucket sort order when a bucket is a
+  * single file) and avoiding the small-files explosion of
+  * task-count × bucket-count outputs.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. Idempotent
+    * (overwrite). The table lives in the session catalog's warehouse;
+    * on a cluster this would be the shared metastore + object store.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      key: String,
+      buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    val spark = df.sparkSession
+    // Idempotence across SESSIONS, not just within one: the in-memory
+    // catalog forgets tables on restart but the managed-table directory
+    // survives, and saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS. Drop the catalog entry AND any orphaned
+    // location. (A cluster metastore remembers the table, making this a
+    // plain overwrite; the cleanup is for catalog/location drift.)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog
+        .defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .toString))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+    df.repartition(buckets, col(key))
+      .write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(tableName)
+  }
+
+  /** Read a bucketed table back. The scan's output partitioning is
+    * HashPartitioning(key, buckets) — joins and aggregations on the
+    * bucket key skip their Exchange.
+    */
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
+  /** Equijoin of two tables bucketed IDENTICALLY (same key semantics,
+    * same bucket count): a co-located per-bucket join. The plan
+    * contains no ShuffleExchangeExec (asserted by LayoutSpec /
+    * PlanShapeSpec) — the only movement is the scan itself.
+    */
+  def colocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      leftKey: String,
+      rightKey: String): DataFrame = {
+    val l = readTable(spark, leftTable)
+    val r = readTable(spark, rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

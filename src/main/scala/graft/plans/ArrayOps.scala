@@ -166,5 +166,8 @@ object ArrayOps {
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wada_snr", exprs => WadaSnrExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_ids", exprs => BottomKIds(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
 }

@@ -62,7 +62,8 @@ object Registry {
       SamplingQueries.defs ++
       DomainQueries.defs ++
       PipelineQueries.defs ++
-      TemporalQueries.defs
+      TemporalQueries.defs ++
+      LayoutQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

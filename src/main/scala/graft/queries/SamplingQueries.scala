@@ -217,6 +217,46 @@ object SamplingQueries {
       ),
       doc = "Gopher-style repetition filters: distinct-token ratio and " +
         "top-bigram fraction per document (long/long ratios, exact)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_bottomk_agg",
+      covers = "sampling,per-group,native-aggregate",
+      fn = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            graft.plans.BottomKIds
+              .bottomKIds(col("doc_id").cast("string"), "bk", 7)
+              .as("ids"),
+            count(lit(1)).as("n_docs"))
+          .select(
+            col("lang"), col("source"),
+            array_join(col("ids"), ",").as("sample_csv"),
+            size(col("ids")).cast("long").as("n_sample"),
+            col("n_docs"))
+          .orderBy("lang", "source"),
+      oracle = Some(
+        """WITH h AS (SELECT lang, source, CAST(doc_id AS VARCHAR) AS id,
+          |    md5('bk:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+          |rk AS (SELECT lang, source, id, hh,
+          |    row_number() OVER (PARTITION BY lang, source ORDER BY hh, id) AS rn
+          |  FROM h),
+          |n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY lang, source)
+          |SELECT lang, source,
+          |  string_agg(id, ',' ORDER BY hh, id) AS sample_csv,
+          |  CAST(count(*) AS BIGINT) AS n_sample, n_docs
+          |FROM rk JOIN n USING (lang, source)
+          |WHERE rn <= 7
+          |GROUP BY lang, source, n_docs ORDER BY lang, source""".stripMargin
+      ),
+      doc = "NATIVE TypedImperativeAggregate (plans.BottomKIds): exact " +
+        "k-per-group deterministic sample via a bounded k-element heap " +
+        "with map-side partial aggregation — the shuffle moves " +
+        "O(groups x k), never the corpus, vs the window formulation's " +
+        "full sort (the oracle replays that window formulation; both " +
+        "agree because the selection key is a pure salted md5)"
     )
   )
 }
