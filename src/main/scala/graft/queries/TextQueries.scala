@@ -480,6 +480,39 @@ object TextQueries {
       doc = "Karp-Rabin rolling-hash fingerprint + winnowing count " +
         "(Schleimer et al. SIGMOD'03) — byte fold replayed in DuckDB " +
         "via list_reduce for the oracle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_pairs",
+      covers = "bpe,tokenizer-training",
+      fn = (s, dir) => {
+        val wc = graft.text.Bpe.wordCounts(table(s, dir, "documents"), "text")
+        graft.text.Bpe.pairCounts(graft.text.Bpe.asSymbols(wc))
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
+          .filter(col("rank") <= 50L)
+          .select("rank", "pair", "cnt")
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
+          |p AS (SELECT unnest(list_transform(range(1, len(word)),
+          |        i -> substr(word, CAST(i AS INTEGER), 1) || ' ' ||
+          |             substr(word, CAST(i AS INTEGER) + 1, 1))) AS pair, n
+          |      FROM wc WHERE len(word) >= 2),
+          |pc AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pair)
+          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT)
+          |    AS rank, pair, cnt
+          |FROM pc ORDER BY rank LIMIT 50""".stripMargin
+      ),
+      doc = "BPE tokenizer training, round-1 surface (Sennrich et al. " +
+        "'16): frequency-weighted adjacent-symbol pair counts over the " +
+        "DISTINCT-word table — vocabulary-sized shuffle, corpus touched " +
+        "once for word counts; ranking is (cnt DESC, pair ASC) so the " +
+        "learned merge sequence is engine- and layout-independent " +
+        "(Bpe.train iterates this; BpeSpec covers multi-round + encode)"
     )
   )
 }

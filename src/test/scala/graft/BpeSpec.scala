@@ -1,0 +1,65 @@
+package graft
+
+import graft.text.Bpe
+
+/** BPE training loop: merge choice, greedy application, multi-round
+  * evolution, encode round-trip — on a corpus tiny enough to verify
+  * the merges by hand.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // "ab" appears 5x (3 in 'abab' words x2 pairs... kept hand-checkable):
+  //   low low low lower lower newest
+  private lazy val docs = Seq(
+    (1L, "low low low"),
+    (2L, "lower lower"),
+    (3L, "newest")
+  ).toDF("doc_id", "text")
+
+  test("round-1 top pair is the hand-computed winner with deterministic ties") {
+    // word counts: low:3 lower:2 newest:1
+    // pairs: l-o:5 o-w:5 w-e:3 e-r:2 n-e:1 e-w:1 w-s:1 s-t:1 e-s:1
+    val top = Bpe.pairCounts(Bpe.asSymbols(Bpe.wordCounts(docs, "text")))
+      .orderBy($"cnt".desc, $"pair".asc).limit(2)
+      .as[(String, Long)].collect().toSeq
+    // l-o and o-w tie at 5; "l o" < "o w" lexicographically
+    assert(top == Seq(("l o", 5L), ("o w", 5L)))
+  }
+
+  test("train learns the expected merge sequence and rewrites the vocab") {
+    val (merges, vocab) = Bpe.train(docs, "text", rounds = 3)
+    assert(merges.map(m => (m._2, m._3)) ==
+      Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    assert(merges.head._4 == 5L)
+    val syms = vocab.select("word", "sym").as[(String, String)]
+      .collect().toMap
+    assert(syms("low") == "low")
+    assert(syms("lower") == "low er") // round 3 merged (e, r)
+    assert(syms("newest") == "n e w e s t")
+    vocab.unpersist()
+  }
+
+  test("greedy merge application is left-to-right non-overlapping") {
+    val v = Seq(("aaa", 1L)).toDF("word", "n")
+    val merged = Bpe.applyMerge(Bpe.asSymbols(v), "a", "a")
+      .select("sym").as[String].head()
+    assert(merged == "aa a")
+  }
+
+  test("encode applies merges in learned order") {
+    val (merges, vocab) = Bpe.train(docs, "text", rounds = 3)
+    vocab.unpersist()
+    val toks = Bpe.encode(docs, "text", merges.map(m => (m._2, m._3)), spark)
+      .filter($"doc_id" === 2L)
+      .select("tokens").as[Seq[String]].head()
+    assert(toks == Seq("low", "er", "low", "er"))
+  }
+
+  test("train stops early when no pairs remain") {
+    val single = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(single, "text", rounds = 5)
+    assert(merges.isEmpty)
+    vocab.unpersist()
+  }
+}
