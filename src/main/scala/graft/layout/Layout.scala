@@ -86,6 +86,34 @@ object Layout {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Z-order (Morton) clustered parquet layout over two integer
+    * dimensions: range-partition by the interleaved key, sort within
+    * partitions by it, one file per range. Because z-proximity implies
+    * proximity in BOTH dimensions, every file's parquet min/max stats
+    * are tight for x AND y simultaneously — predicates on either
+    * dimension prune files/row-groups, where a plain sort clusters
+    * only its leading column. LayoutSpec quantifies this: per-file
+    * spans of both dims shrink vs the unsorted layout.
+    *
+    * At 100 TB this is the scan-side complement to bucketing: bucket
+    * for the JOIN key, z-order the big fact files for the two
+    * selective FILTER dimensions (e.g. time x channel).
+    */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      files: Int): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val z = graft.plans.ZOrderExpr.zorder(col(xCol), col(yCol))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Equijoin of two tables bucketed IDENTICALLY (same key semantics,
     * same bucket count): a co-located per-bucket join. The plan
     * contains no ShuffleExchangeExec (asserted by LayoutSpec /

@@ -76,6 +76,42 @@ object LayoutQueries {
       doc = "aggregation on the bucket key of a bucketed table: the " +
         "scan's HashPartitioning satisfies the aggregate's required " +
         "distribution, so no exchange at all (plan-asserted)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_layout_zorder",
+      covers = "layout,zorder,native-expression",
+      fn = (s, dir) =>
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            graft.plans.ZOrderExpr
+              .zorder(col("o_custkey"), col("o_orderkey")).as("z"))
+          .orderBy("z", "o_orderkey"),
+      // the oracle replays the 5-step shift-or-mask spread ladder on
+      // BIGINT; masks keep every intermediate non-negative, and the
+      // 31-bit input mask bounds z under 2^62
+      oracle = Some(
+        """WITH base AS (SELECT o_orderkey, o_custkey,
+          |    o_custkey & 2147483647 AS x0, o_orderkey & 2147483647 AS y0
+          |  FROM orders),
+          |s1 AS (SELECT *, (x0 | (x0 << 16)) & 281470681808895 AS x1,
+          |                 (y0 | (y0 << 16)) & 281470681808895 AS y1 FROM base),
+          |s2 AS (SELECT *, (x1 | (x1 << 8)) & 71777214294589695 AS x2,
+          |                 (y1 | (y1 << 8)) & 71777214294589695 AS y2 FROM s1),
+          |s3 AS (SELECT *, (x2 | (x2 << 4)) & 1085102592571150095 AS x3,
+          |                 (y2 | (y2 << 4)) & 1085102592571150095 AS y3 FROM s2),
+          |s4 AS (SELECT *, (x3 | (x3 << 2)) & 3689348814741910323 AS x4,
+          |                 (y3 | (y3 << 2)) & 3689348814741910323 AS y4 FROM s3),
+          |s5 AS (SELECT *, (x4 | (x4 << 1)) & 6148914691236517205 AS x5,
+          |                 (y4 | (y4 << 1)) & 6148914691236517205 AS y5 FROM s4)
+          |SELECT o_orderkey, o_custkey, x5 | (y5 << 1) AS z
+          |FROM s5 ORDER BY z, o_orderkey""".stripMargin
+      ),
+      doc = "Morton/Z-order interleave as a native codegen expression " +
+        "(plans.ZOrderExpr): the clustering key of Layout.zorderWrite, " +
+        "which makes parquet min/max stats tight on BOTH filter " +
+        "dimensions at once (LayoutSpec quantifies the per-file span " +
+        "shrink); bit-exact across engines, replayed in DuckDB"
     )
   )
 }

@@ -90,6 +90,49 @@ class LayoutSpec extends SparkTestBase {
     assert(ids.toSet == Set("x", "y"))
   }
 
+  test("z_order interleaves bits exactly (codegen path = scala path = hand values)") {
+    import graft.plans.ZOrderExpr
+    // hand-checked: x=0b101 on even bits -> 0b10001, y=0b11 on odd -> 0b1010
+    assert(ZOrderExpr.interleave(5L, 0L) == 17L)
+    assert(ZOrderExpr.interleave(0L, 3L) == 10L)
+    assert(ZOrderExpr.interleave(5L, 3L) == 27L)
+    assert(ZOrderExpr.interleave(0x7FFFFFFFL, 0x7FFFFFFFL) == (1L << 62) - 1)
+    // mask: bits above 31 are ignored
+    assert(ZOrderExpr.interleave(1L << 31 | 5L, 0L) == 17L)
+    val df = Seq((5L, 3L), (0L, 0L), (0x7FFFFFFFL, 0L)).toDF("x", "y")
+      .select(ZOrderExpr.zorder(col("x"), col("y")).as("z"))
+    assert(df.as[Long].collect().toSeq == Seq(27L, 0L, 0x1555555555555555L))
+  }
+
+  test("z-order layout clusters BOTH dimensions; a plain sort clusters only one") {
+    // 64x64 grid: x-major order is perfectly clustered in x, terrible
+    // in y. The z-order layout must be tight in both.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64L).cast("long").as("x"),
+        (col("id") % 64L).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graftz").toString
+    Layout.zorderWrite(grid, s"$dir/z", "x", "y", files = 16)
+    grid.orderBy("x").repartitionByRange(16, col("x"))
+      .write.mode("overwrite").parquet(s"$dir/x")
+    def spans(path: String): (Double, Double) = {
+      val f = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+      f
+    }
+    val (zx, zy) = spans(s"$dir/z")
+    val (sx, sy) = spans(s"$dir/x")
+    // z-order: a 256-row file is a ~16x16 tile (range boundaries are
+    // sampled, so a file can straddle a quadrant edge — hence the
+    // slack); both dims stay FAR below the 63 full-domain span
+    assert(zx < 40 && zy < 40, s"z spans: $zx, $zy")
+    // x-sort: x tight but y spans the whole 0..63 domain
+    assert(sx < 8, s"x-sort x span: $sx")
+    assert(sy > 60, s"x-sort y span: $sy")
+  }
+
   test("bottom_k_ids is callable from SQL once registered") {
     graft.plans.ArrayOps.register(spark)
     val got = spark.sql(
