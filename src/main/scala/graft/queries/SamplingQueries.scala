@@ -257,6 +257,34 @@ object SamplingQueries {
         "O(groups x k), never the corpus, vs the window formulation's " +
         "full sort (the oracle replays that window formulation; both " +
         "agree because the selection key is a pure salted md5)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_stratified_split",
+      covers = "sampling,stratified-split",
+      fn = (s, dir) =>
+        Sampling
+          .stratifiedExactSplit(table(s, dir, "documents"), "lang", "doc_id",
+            salt = "strat")
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH r AS (SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rk,
+          |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          |  FROM documents)
+          |SELECT doc_id, lang,
+          |  CASE WHEN rk * 1000 <= n * 800 THEN 'train'
+          |       WHEN rk * 1000 <= n * 900 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM r ORDER BY doc_id""".stripMargin
+      ),
+      doc = "EXACT stratified 80/10/10 split: per-stratum salted-md5 " +
+        "rank cut by cross-multiplied integer thresholds — split sizes " +
+        "exact per stratum (vs splitAssign's in-expectation sizes), " +
+        "decision float-free and engine-exact"
     )
   )
 }

@@ -120,4 +120,44 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** EXACT stratified train/val/test split: within each stratum, rank
+    * by (salted md5, id) and cut at floor(n·permille/1000) — every
+    * stratum's split sizes are exact to ±0 rows (vs [[splitAssign]]'s
+    * hash-proportional sizes, exact only in expectation). The cut is
+    * cross-multiplied (`rank·1000 <= n·permille`), so the decision
+    * carries no float and replays bit-exactly in any engine.
+    *
+    * Scale tiering: the rank window sorts each stratum — fine for
+    * strata up to billions of rows (one range exchange per stratum),
+    * but [[splitAssign]] remains the zero-shuffle path when
+    * hash-proportional sizes are acceptable. Membership here is NOT
+    * stable under corpus growth (ranks shift); use splitAssign when
+    * rows must never migrate between splits across snapshots.
+    */
+  def stratifiedExactSplit(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      salt: String,
+      trainPermille: Int = 800,
+      valPermille: Int = 100
+  ): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      "permille arguments must be non-negative and sum to <= 1000")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(saltedHex(salt, col(idCol)), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("__rank") * 1000 <= col("__n") * trainPermille, "train")
+          .when(col("__rank") * 1000 <= col("__n") * (trainPermille + valPermille),
+            "val")
+          .otherwise("test"))
+      .drop("__rank", "__n")
+  }
 }

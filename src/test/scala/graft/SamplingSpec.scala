@@ -29,6 +29,31 @@ class SamplingSpec extends SparkTestBase {
     assert(got("train") > 1300 && got("train") < 1700)
   }
 
+  test("stratifiedExactSplit sizes are EXACT per stratum, not just in expectation") {
+    // strata of deliberately awkward sizes: 997 (prime), 500, 3
+    val df = spark.range(0L, 1500L).toDF("id")
+      .withColumn("grp",
+        when($"id" < 997L, "a").when($"id" < 1497L, "b").otherwise("c"))
+    val got = Sampling
+      .stratifiedExactSplit(df, "grp", "id", salt = "t", 800, 100)
+      .groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // floor(997*.8)=797, floor(997*.9)=897 -> 797/100/100
+    assert(got(("a", "train")) == 797L && got(("a", "val")) == 100L &&
+      got(("a", "test")) == 100L)
+    assert(got(("b", "train")) == 400L && got(("b", "val")) == 50L &&
+      got(("b", "test")) == 50L)
+    // n=3: floor(2.4)=2 train, floor(2.7)=2 -> 0 val, 1 test
+    assert(got(("c", "train")) == 2L && got.getOrElse(("c", "val"), 0L) == 0L &&
+      got(("c", "test")) == 1L)
+    // determinism: same salt, same assignment
+    val a = Sampling.stratifiedExactSplit(df, "grp", "id", "t", 800, 100)
+      .orderBy("id").select("split").as[String].collect().toSeq
+    val b = Sampling.stratifiedExactSplit(df, "grp", "id", "t", 800, 100)
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(a == b)
+  }
+
   test("perGroupSample keeps exactly k per group, deterministically") {
     val d = spark.range(0L, 300L).toDF("id")
       .withColumn("grp", ($"id" % 3L).cast("string"))
