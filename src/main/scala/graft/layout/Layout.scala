@@ -114,6 +114,48 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Size a compaction: how many output files a directory of parquet
+    * should become at `targetBytes` per file. Listing is metadata-only
+    * (no data read); the answer is ceil(total/target), never 0.
+    *
+    * Why it matters at scale: incremental ingest (T2's per-batch
+    * appends) accretes files far smaller than a row group, and every
+    * downstream scan then pays per-file open/footer costs and tiny
+    * tasks. Periodic compaction to ~256 MB files restores scan
+    * efficiency; the planner makes the rewrite deterministic and
+    * right-sized instead of guess-partitioned.
+    */
+  def compactionPlan(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long): (Long, Long, Int) = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val files = new java.io.File(path)
+      .listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val totalBytes = files.map(_.length()).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    (files.length.toLong, totalBytes, nOut.toInt)
+  }
+
+  /** Rewrite a small-files directory as `ceil(bytes/target)` files.
+    * Round-robin repartition (not coalesce): coalesce glues existing
+    * partitions and inherits their skew, while the shuffle writes
+    * near-uniform files — the point of compacting. Row-preserving,
+    * order-free; callers needing an order compose with zorderWrite.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long): Int = {
+    val (_, _, nOut) = compactionPlan(spark, inPath, targetBytes)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nOut
+  }
+
   /** Equijoin of two tables bucketed IDENTICALLY (same key semantics,
     * same bucket count): a co-located per-bucket join. The plan
     * contains no ShuffleExchangeExec (asserted by LayoutSpec /

@@ -133,6 +133,26 @@ class LayoutSpec extends SparkTestBase {
     assert(sy > 60, s"x-sort y span: $sy")
   }
 
+  test("compaction plans ceil(bytes/target) files and preserves rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graftc").toString
+    // 64 tiny skewed files
+    spark.range(10000L).toDF("id")
+      .withColumn("pad", lpad(col("id").cast("string"), 64, "x"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val (nIn, bytes, nOut) = Layout.compactionPlan(spark, s"$dir/small", 64 * 1024L)
+    assert(nIn == 64)
+    assert(nOut == ((bytes + 64 * 1024 - 1) / (64 * 1024)).toInt && nOut < 64)
+    val written = Layout.compact(spark, s"$dir/small", s"$dir/big", 64 * 1024L)
+    assert(written == nOut)
+    val outFiles = new java.io.File(s"$dir/big")
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    assert(outFiles == nOut)
+    val a = spark.read.parquet(s"$dir/small").orderBy("id").collect().toSeq
+    val b = spark.read.parquet(s"$dir/big").orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bottom_k_ids is callable from SQL once registered") {
     graft.plans.ArrayOps.register(spark)
     val got = spark.sql(
