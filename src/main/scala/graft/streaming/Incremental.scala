@@ -126,6 +126,53 @@ object Incremental {
       .withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
   }
 
+  /** Streaming face of the native bottom-k sampler
+    * ([[graft.plans.BottomKIds]]): per-group k-element state of the
+    * lowest (salted-md5, id) pairs, folded across micro-batches and
+    * emitting each updated group's CURRENT sample (Update mode). The
+    * selection key is a pure function of (salt, id), so after any
+    * prefix of the stream the state equals the batch aggregate over
+    * the rows seen so far (StreamBatchParitySpec proves it across a
+    * real micro-batch split) — and because the state dedups by id,
+    * at-least-once replays cannot perturb the sample, which the batch
+    * aggregate does not guarantee under input duplication.
+    */
+  def streamingBottomK(
+      rows: DataFrame,
+      groupCol: String,
+      idCol: String,
+      salt: String,
+      k: Int): Dataset[GroupSample] = {
+    import rows.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    rows
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("string").as("id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, String)],
+            state: GroupState[BottomKState]) =>
+          val heap = scala.collection.mutable.SortedSet.empty[(String, String)]
+          state.getOption.foreach(s => heap ++= s.pairs)
+          val seen = scala.collection.mutable.Set.empty[String]
+          heap.foreach(p => seen += p._2)
+          it.foreach { case (_, id) =>
+            if (!seen.contains(id)) {
+              val h = org.apache.commons.codec.digest.DigestUtils
+                .md5Hex(salt + ":" + id)
+              heap += ((h, id)); seen += id
+              if (heap.size > k) {
+                val worst = heap.last
+                heap -= worst; seen -= worst._2
+              }
+            }
+          }
+          state.update(BottomKState(heap.toList))
+          Iterator.single(GroupSample(g, heap.toSeq.map(_._2)))
+      }
+  }
+
   /** T4 — per-channel early-abort counters as explicit streaming state:
     * counts premiere/offline statuses per channel; once the budget is
     * exceeded the channel emits an abort record and drops every later
@@ -135,6 +182,8 @@ object Incremental {
   final case class VideoStatus(channel_id: String, video_id: String, status: String)
   final case class AbortState(premieres: Int, aborted: Boolean)
   final case class Decision(channel_id: String, video_id: String, keep: Boolean, reason: String)
+  final case class BottomKState(pairs: List[(String, String)])
+  final case class GroupSample(group: String, sample_ids: Seq[String])
 
   def earlyAbort(
       videos: Dataset[VideoStatus],

@@ -165,4 +165,41 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(streamResult.size == batchResult.size)
     assert(streamResult == batchResult)
   }
+
+  test("streaming bottom-k sample equals the batch aggregate across micro-batches") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val full = spark.read.parquet(src)
+    val dir = Files.createTempDirectory("graftbk")
+    // two DISJOINT halves, one micro-batch each: state must carry the
+    // first half's heap into the second
+    full.filter($"doc_id" < 250L).coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("h1").toString)
+    full.filter($"doc_id" >= 250L).coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("h2").toString)
+    val stream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/{h1,h2}")
+    // capture the LAST emitted sample per group via foreachBatch
+    val last = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val q = Incremental
+      .streamingBottomK(stream, "source", "doc_id", salt = "sbk", k = 5)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Incremental.GroupSample], _: Long) =>
+        b.collect().foreach(r => last(r.group) = r.sample_ids)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = full
+      .groupBy($"source")
+      .agg(graft.plans.BottomKIds
+        .bottomKIds($"doc_id".cast("string"), "sbk", 5).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    assert(last.toMap == batch)
+    assert(batch.nonEmpty && batch.values.forall(_.length == 5))
+  }
 }
