@@ -573,13 +573,37 @@ object Dedup {
       fpp: Double = 0.01
   ): DataFrame = {
     val spark = newDf.sparkSession
-    val bf = hist.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf { (k: String) =>
-      k != null && bfB.value.mightContainString(k)
+    // Build and probe MUST hash the same representation: stat
+    // .bloomFilter hashes integral columns as longs and strings as
+    // bytes, so the probe is typed to match (a string probe against a
+    // long-built filter never hits -> every history row would leak
+    // through as "definitely novel"; caught by the refresh composite,
+    // regression-pinned in TextDedupSpec).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val mightContain = newDf.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val bc = spark.sparkContext.broadcast(
+          hist.select(col(keyCol).cast("long").as(keyCol))
+            .stat.bloomFilter(keyCol, expectedItems, fpp))
+        udf { (k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k)
+        }.apply(col(keyCol).cast("long"))
+      case StringType =>
+        val bc = spark.sparkContext.broadcast(
+          hist.stat.bloomFilter(keyCol, expectedItems, fpp))
+        udf { (k: String) =>
+          k != null && bc.value.mightContainString(k)
+        }.apply(col(keyCol))
+      case _ =>
+        val bc = spark.sparkContext.broadcast(
+          hist.select(col(keyCol).cast("string").as(keyCol))
+            .stat.bloomFilter(keyCol, expectedItems, fpp))
+        udf { (k: String) =>
+          k != null && bc.value.mightContainString(k)
+        }.apply(col(keyCol).cast("string"))
     }
-    val definitelyNovel = newDf.filter(!mightContain(col(keyCol)))
-    val candidates = newDf.filter(mightContain(col(keyCol)))
+    val definitelyNovel = newDf.filter(!mightContain)
+    val candidates = newDf.filter(mightContain)
     definitelyNovel.unionByName(
       candidates.join(
         hist.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))

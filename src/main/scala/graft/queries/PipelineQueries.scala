@@ -75,6 +75,45 @@ object PipelineQueries {
       oracle = None,
       doc = "channel quality-probe pipeline (filter_channel.py, SURVEY " +
         "§3.2): nested {url, snrss, acss} rows + within-array stats"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_corpus_refresh_e2e",
+      covers = "T2,dedup,curation,layout",
+      fn = (s, dir) => {
+        // The incremental-corpus story end to end: a new crawl batch
+        // arrives, already-ingested docs are dropped WITHOUT shuffling
+        // them (Bloom front door + exact anti-join), survivors run the
+        // curation funnel (exact-Jaccard near-dup path: deterministic,
+        // no LSH randomness surface), and the clean refresh lands as a
+        // BUCKETED corpus whose read-back aggregation is
+        // exchange-free. Rows-only by the e2e convention — every
+        // stage is oracle-checked alone (q_dedup_bloom_anti, the gate
+        // queries, q_dedup_clusters, q_layout_bucketed_agg).
+        val batch = table(s, dir, "documents")
+        val history = batch.filter(col("doc_id") % 3L === 0L)
+          .select("doc_id")
+        val novel = graft.dedup.Dedup
+          .bloomAntiJoin(batch, history, "doc_id")
+        val out = graft.text.CurationPipeline.run(
+          novel, "doc_id", "text",
+          graft.text.CurationPipeline.Config(nearDupUseLsh = false))
+        graft.layout.Layout.writeBucketed(
+          out.docs.select("doc_id", "lang", "clean_text"),
+          "graft_refresh_corpus", "doc_id", buckets = 8)
+        val summary = graft.layout.Layout
+          .readTable(s, "graft_refresh_corpus")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("clean_text"))).as("n_chars"))
+          .orderBy("lang")
+        out.docs.unpersist()
+        summary
+      },
+      oracle = None,
+      doc = "incremental corpus refresh: Bloom-prefiltered resume " +
+        "anti-join -> curation funnel -> bucketed corpus write -> " +
+        "exchange-free read-back rollup; the T2+dedup+layout composite"
     )
   )
 }

@@ -234,6 +234,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(got.forall(i => i % 3 != 0 || i > 60L))
   }
 
+  test("bloomAntiJoin filters LONG keys (build/probe hash the same representation)") {
+    // regression: the filter was built over longs but probed as
+    // strings — never hit, so every HISTORY row leaked through as
+    // "definitely novel"
+    val hist = (1L to 60L).filter(_ % 3 == 0).toDF("id")
+    val fresh = (1L to 120L).toDF("id")
+    val got = Dedup.bloomAntiJoin(fresh, hist, "id", expectedItems = 10L, fpp = 0.5)
+      .as[Long].collect().sorted.toSeq
+    val expect = (1L to 120L).filterNot(i => i <= 60L && i % 3 == 0).toSeq
+    assert(got == expect)
+    // and a non-string, non-integral key falls back to the string cast
+    val histD = Seq(Tuple1(java.sql.Date.valueOf("2026-01-03"))).toDF("d")
+    val freshD = Seq(
+      Tuple1(java.sql.Date.valueOf("2026-01-03")),
+      Tuple1(java.sql.Date.valueOf("2026-01-04"))).toDF("d")
+    val gotD = Dedup.bloomAntiJoin(freshD, histD, "d", 10L, 0.5).collect()
+    assert(gotD.map(_.getDate(0).toString).toSeq == Seq("2026-01-04"))
+  }
+
   // ---- exact substring dedup (Lee et al. '22 ExactSubstr shape) ----
 
   /** Brute-force reference: group every L-char window by its TEXT
