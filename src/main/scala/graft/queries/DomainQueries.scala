@@ -266,6 +266,59 @@ object DomainQueries {
       ),
       doc = "audio cut/trim as array slice (data_pipeline.py:442-449) — " +
         "no files, no mutation"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_g8_resample",
+      covers = "G8",
+      fn = (s, dir) => {
+        // G8's 48 kHz -> 16 kHz is ratio EXACTLY 3: resampleLinear's
+        // interpolation positions are integers (frac = 0), so the REAL
+        // resampler degenerates to decimation — out(i) = in(3i)
+        // bit-exactly for the positive event values (x·1.0 + y·0.0 = x
+        // for y > 0) — which an oracle can replay by list indexing.
+        // The general-ratio path stays property-tested (SignalSpec);
+        // this pins the library wiring and the length contract.
+        val resampleUdf = udf { (xs: Seq[Double]) =>
+          graft.signal.Signal.resampleLinear(xs.toArray, 48000, 16000).toSeq
+        }
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+            .as("evs"))
+          .withColumn("arr", transform(col("evs"), _.getField("value")))
+          .withColumn("res", resampleUdf(col("arr")))
+          .select(
+            col("user_id"),
+            size(col("arr")).cast("long").as("n_in"),
+            size(col("res")).cast("long").as("n_out"),
+            element_at(col("res"), 1).as("first_sample"),
+            element_at(col("res"), -1).as("last_sample"),
+            aggregate(
+              col("res"),
+              lit(0).cast(DecimalType(28, 6)),
+              (acc, x) => (acc + x.cast(DecimalType(28, 6))).cast(DecimalType(28, 6))
+            ).cast(DoubleType).as("res_total")
+          )
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH a AS (SELECT user_id, list(value ORDER BY event_id, value) AS arr
+          |           FROM events GROUP BY user_id),
+          |r AS (SELECT user_id, arr,
+          |        list_transform(range(0, greatest(1, len(arr) // 3)),
+          |          i -> arr[CAST(3 * i + 1 AS INTEGER)]) AS res
+          |      FROM a)
+          |SELECT user_id, len(arr) AS n_in, len(res) AS n_out,
+          |  res[1] AS first_sample, res[-1] AS last_sample,
+          |  CAST(list_sum(list_transform(res,
+          |    x -> CAST(CAST(x AS DECIMAL(28,6)) AS DECIMAL(28,6)))) AS DOUBLE) AS res_total
+          |FROM r ORDER BY user_id""".stripMargin
+      ),
+      doc = "REAL resampleLinear at the pipeline's 48k->16k ratio: " +
+        "integer positions make linear interpolation exact decimation, " +
+        "replayed in DuckDB by list indexing (length contract " +
+        "max(1, n//3) included); general ratios stay property-tested"
     )
   )
 }

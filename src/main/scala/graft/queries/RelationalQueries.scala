@@ -308,6 +308,60 @@ object RelationalQueries {
       ),
       doc = "JSON field access with N/A defaulting (filter_channel.py:49-54; " +
         "starngage_crawler c15 statistics.get defaults)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k1_csv_roundtrip",
+      covers = "K1,S1",
+      fn = (s, dir) => {
+        // the K1 sink verified through its own S1 face: write the
+        // table as headered CSV, read it back with the declared
+        // schema, and the oracle (the original table) must match —
+        // quoting, header, and type round-trip all under test
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k1_roundtrip").getPath
+        graft.io.Sinks.writeCsv(
+          table(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+          path)
+        s.read
+          .option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .csv(path)
+          .orderBy("n_nationkey")
+      },
+      oracle = Some(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      ),
+      doc = "K1 CSV sink round-trip: write headered CSV, re-scan with " +
+        "schema, compare against the source relation in DuckDB"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k2_jsonl_roundtrip",
+      covers = "K2,S2",
+      fn = (s, dir) => {
+        // K2 is an APPEND sink; idempotence for the repeated-run
+        // contract comes from clearing the target first (one fresh
+        // append = exactly one copy)
+        val f = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k2_roundtrip")
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm)
+          x.delete(): Unit
+        }
+        if (f.exists()) rm(f)
+        graft.io.Sinks.appendJsonl(
+          table(s, dir, "region").select("r_regionkey", "r_name"), f.getPath)
+        s.read
+          .schema("r_regionkey INT, r_name STRING")
+          .json(f.getPath)
+          .orderBy("r_regionkey")
+      },
+      oracle = Some(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      ),
+      doc = "K2 JSONL sink round-trip: append JSON lines, re-scan with " +
+        "schema, compare against the source relation in DuckDB"
     )
   )
 }
