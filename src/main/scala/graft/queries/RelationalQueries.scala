@@ -362,6 +362,73 @@ object RelationalQueries {
       ),
       doc = "K2 JSONL sink round-trip: append JSON lines, re-scan with " +
         "schema, compare against the source relation in DuckDB"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k7_skiplog_roundtrip",
+      covers = "K7",
+      fn = (s, dir) => {
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k7_roundtrip").getPath
+        val src = table(s, dir, "customer").select(
+          col("c_custkey").cast("string").as("channel_id"),
+          when(col("c_acctbal") < 0, "NEGATIVE_BALANCE")
+            .otherwise(lit(null).cast("string")).as("reason"))
+        graft.io.Sinks.writeSkipLog(src, "channel_id", "reason", path)
+        s.read.text(path)
+          .select(
+            substring_index(col("value"), "|", 1).as("channel_id"),
+            substring_index(col("value"), "|", -1).as("reason"))
+          .orderBy("channel_id")
+      },
+      oracle = Some(
+        """SELECT CAST(c_custkey AS VARCHAR) AS channel_id,
+          |  'NEGATIVE_BALANCE' AS reason
+          |FROM customer WHERE c_acctbal < 0
+          |ORDER BY channel_id""".stripMargin
+      ),
+      doc = "K7 skip-log round-trip: null reasons filtered, " +
+        "'id|reason' text lines written and re-parsed, oracle = the " +
+        "negative-balance channels (string order both sides)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k5_wav_sink",
+      covers = "K5,G7",
+      fn = (s, dir) => {
+        // WAV segment sink verified structurally: encoded payload size
+        // must be exactly 44 + 2·n for PCM16, and the filename scheme
+        // is the zero-padded reference layout — both oracle-predictable
+        // from the source relation alone
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k5_roundtrip").getPath
+        val segs = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+            .as("evs"))
+          .select(
+            concat(lit("vid_"), col("user_id")).as("video_id"),
+            (col("user_id") % 3L).cast("int").as("seg_idx"),
+            expr("transform(evs, e -> e.value)").as("samples"),
+            lit(true).as("selected"))
+        graft.io.Sinks.writeSegments(segs, path)
+        s.read.parquet(path)
+          .select(
+            col("file_name"),
+            length(col("wav")).cast("long").as("n_bytes"))
+          .orderBy("file_name")
+      },
+      oracle = Some(
+        """SELECT 'vid_' || CAST(user_id AS VARCHAR) || '_' ||
+          |    lpad(CAST(user_id % 3 AS VARCHAR), 8, '0') || '.wav' AS file_name,
+          |  44 + 2 * CAST(count(*) AS BIGINT) AS n_bytes
+          |FROM events GROUP BY user_id
+          |ORDER BY file_name""".stripMargin
+      ),
+      doc = "K5 WAV segment sink: per-channel sample arrays encoded to " +
+        "PCM16 WAV payloads in parquet; the oracle predicts the " +
+        "filename scheme and the exact 44+2n byte length from the " +
+        "source relation"
     )
   )
 }
