@@ -91,7 +91,10 @@ object PipelineQueries {
         // stage is oracle-checked alone (q_dedup_bloom_anti, the gate
         // queries, q_dedup_clusters, q_layout_bucketed_agg).
         val batch = table(s, dir, "documents")
-        val history = batch.filter(col("doc_id") % 3L === 0L)
+        // the realistic refresh shape: MOST of the batch is already
+        // ingested (2/3 here) and dies at the Bloom front door without
+        // shuffling; only the novel third runs the funnel
+        val history = batch.filter(col("doc_id") % 3L =!= 0L)
           .select("doc_id")
         val novel = graft.dedup.Dedup
           .bloomAntiJoin(batch, history, "doc_id")
