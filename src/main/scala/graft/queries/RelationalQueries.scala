@@ -429,6 +429,122 @@ object RelationalQueries {
         "PCM16 WAV payloads in parquet; the oracle predicts the " +
         "filename scheme and the exact 44+2n byte length from the " +
         "source relation"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_s3_url_scan",
+      covers = "S3,F5",
+      fn = (s, dir) => {
+        // the S3 face end to end: write a URL list with whitespace
+        // padding and blank lines, scan it back through urlList —
+        // trim + empty-filter must recover exactly the clean set
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s3_urls").getPath
+        table(s, dir, "customer")
+          .filter(col("c_custkey") % 100L === 0L)
+          .select(concat(lit("  https://yt/c/"), col("c_custkey"), lit("  "))
+            .as("value"))
+          .unionByName(s.range(3).select(lit("   ").as("value")))
+          .write.mode("overwrite").text(path)
+        graft.io.Sources.urlList(s, path).orderBy("url")
+      },
+      oracle = Some(
+        """SELECT 'https://yt/c/' || CAST(c_custkey AS VARCHAR) AS url
+          |FROM customer WHERE c_custkey % 100 = 0
+          |ORDER BY url""".stripMargin
+      ),
+      doc = "S3 text-line scan round-trip: padded lines trimmed, blank " +
+        "lines dropped, oracle = the clean URL set from the source " +
+        "relation (string order)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_s4_json_document",
+      covers = "S4",
+      fn = (s, dir) => {
+        // whole-file JSON document (multiLine array), the shape the
+        // reference's meta files use: built driver-side from the
+        // region relation (metadata-sized), scanned back through the
+        // S4 face
+        val f = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s4_doc.json")
+        val rows = table(s, dir, "region")
+          .select("r_regionkey", "r_name")
+          .orderBy("r_regionkey")
+          .collect()
+        val doc = rows.map(r =>
+          s"""{"r_regionkey": ${r.getInt(0)}, "r_name": "${r.getString(1)}"}""")
+          .mkString("[\n", ",\n", "\n]")
+        java.nio.file.Files.write(f.toPath,
+          doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.io.Sources.jsonDocument(s, f.getPath)
+          .select(col("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+      },
+      oracle = Some(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      ),
+      doc = "S4 whole-file JSON document scan (multiLine array) " +
+        "round-trip against the source relation"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_s9_wav_scan",
+      covers = "S9,G7",
+      fn = (s, dir) => {
+        // the S9 face end to end over REAL PCM16 files: per-user waves
+        // (value/1000, all in (0,1)) encoded to .wav fixtures
+        // driver-side (bounded: |users|/7 files), scanned back through
+        // binaryFile + wavDecode. The oracle replays the codec's
+        // integer core: encode quantizes to floor(v*32767+0.5) and
+        // decode's s/32767.0 round-trips back to s exactly, so the
+        // per-file quantized sum is engine-exact integer arithmetic.
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s9_wavs")
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm)
+          x.delete(): Unit
+        }
+        if (base.exists()) rm(base)
+        base.mkdirs()
+        table(s, dir, "events")
+          .filter(col("user_id") % 7L === 0L)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+            .as("evs"))
+          .select(col("user_id"),
+            expr("transform(evs, e -> e.value / 1000.0)").as("w"))
+          .collect()
+          .foreach { r =>
+            val uid = r.getLong(0)
+            val w = r.getSeq[Double](1).toArray
+            java.nio.file.Files.write(
+              new java.io.File(base, f"u$uid%06d.wav").toPath,
+              graft.signal.Signal.wavEncode(w, 16000))
+          }
+        graft.io.Sources.wavFiles(s, base.getPath)
+          .select(
+            regexp_extract(col("path"), "u(\\d+)\\.wav$", 1).cast("long")
+              .as("user_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            size(col("samples")).cast("long").as("n_samples"),
+            expr("aggregate(samples, 0L, " +
+              "(acc, x) -> acc + CAST(floor(x * 32767.0 + 0.5) AS LONG))")
+              .as("sum_q"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """SELECT user_id, 16000 AS sample_rate,
+          |  CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(sum(CAST(floor(value / 1000.0 * 32767.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+          |FROM events WHERE user_id % 7 = 0
+          |GROUP BY user_id ORDER BY user_id""".stripMargin
+      ),
+      doc = "S9 WAV file scan round-trip over REAL PCM16 fixtures: " +
+        "binaryFile + wavDecode recovers sample rate, length, and the " +
+        "exact quantized-integer sum predicted from the source " +
+        "relation (codec round-trip s = floor(v*32767+0.5) is " +
+        "integer-exact both ways)"
     )
   )
 }
