@@ -319,6 +319,64 @@ object DomainQueries {
         "integer positions make linear interpolation exact decimation, " +
         "replayed in DuckDB by list indexing (length contract " +
         "max(1, n//3) included); general ratios stay property-tested"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_g3_rms_gate",
+      covers = "G3",
+      fn = (s, dir) => {
+        // the G3 rms-threshold estimator's DECISION surface: frame
+        // powers are sequential x·x sums (order-pinned), the
+        // speech/noise split is sqrt(p) vs threshold — sqrt is
+        // IEEE-correctly-rounded in both engines, so the counts are
+        // exact. Only the final dB (log10) stays outside the oracle.
+        val powersUdf = udf { (w: Seq[Double]) =>
+          graft.signal.Signal.rmsFramePowers(w.toArray, 16).toSeq
+        }
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+            .as("evs"))
+          .select(col("user_id"),
+            powersUdf(expr("transform(evs, e -> e.value / 1000.0)")).as("pw"))
+          .select(
+            col("user_id"),
+            size(col("pw")).cast("long").as("n_frames"),
+            expr("aggregate(pw, 0L, (acc, p) -> " +
+              "acc + CASE WHEN sqrt(p) >= 0.066D THEN 1L ELSE 0L END)")
+              .as("speech_frames"),
+            expr("aggregate(pw, 0L, (acc, p) -> " +
+              "acc + CASE WHEN sqrt(p) < 0.066D THEN 1L ELSE 0L END)")
+              .as("noise_frames"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH a AS (SELECT user_id,
+          |    list(value / 1000.0 ORDER BY event_id, value) AS w
+          |  FROM events GROUP BY user_id),
+          |fr AS (SELECT user_id, unnest(range(0, len(w) // 16)) AS fi, w
+          |  FROM a WHERE len(w) >= 16),
+          |p AS (SELECT user_id,
+          |    list_sum(list_transform(range(1, 17),
+          |      j -> w[CAST(fi * 16 + j AS INTEGER)]
+          |         * w[CAST(fi * 16 + j AS INTEGER)])) / 16.0 AS pw
+          |  FROM fr),
+          |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(sum(CASE WHEN sqrt(pw) >= 0.066 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS speech_frames,
+          |    CAST(sum(CASE WHEN sqrt(pw) < 0.066 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS noise_frames
+          |  FROM p GROUP BY user_id)
+          |SELECT a.user_id, coalesce(c.n_frames, 0) AS n_frames,
+          |  coalesce(c.speech_frames, 0) AS speech_frames,
+          |  coalesce(c.noise_frames, 0) AS noise_frames
+          |FROM a LEFT JOIN c USING (user_id) ORDER BY user_id""".stripMargin
+      ),
+      doc = "G3 rms-threshold SNR estimator, decision core: per-frame " +
+        "power (sequential x*x accumulation, order replayed via " +
+        "list_sum) and the sqrt-vs-threshold speech/noise split — " +
+        "integer counts, engine-exact; the dB value (log10) stays " +
+        "property-tested like WADA"
     )
   )
 }

@@ -235,20 +235,35 @@ object Signal {
     * the rest speech; SNR = 10·log10(speechPower/noisePower). All-noise
     * or all-speech input → 0 (reference: NaN → 0).
     */
+  /** G3 core: mean power of each full non-overlapping frame, in frame
+    * order (sequential accumulation — the oracle replays it with an
+    * order-pinned list_sum). Split out of [[rmsThresholdSnr]] so the
+    * libm-free decision surface (x·x sums, /frame, sqrt compare — all
+    * IEEE-exact cross-engine) is oracle-checkable even though the
+    * final dB value (log10) is not.
+    */
+  def rmsFramePowers(wav: Array[Double], frame: Int = 512): Array[Double] = {
+    if (wav == null || wav.length < frame) return Array.empty
+    val out = new Array[Double](wav.length / frame)
+    var f = 0
+    while (f < out.length) {
+      var acc = 0.0
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { acc += wav(i) * wav(i); i += 1 }
+      out(f) = acc / frame
+      f += 1
+    }
+    out
+  }
+
   def rmsThresholdSnr(wav: Array[Double], threshold: Double = 0.02,
       frame: Int = 512): Double = {
-    if (wav == null || wav.length < frame) return 0.0
     var sSum = 0.0; var sN = 0L
     var nSum = 0.0; var nN = 0L
-    var s = 0
-    while (s + frame <= wav.length) {
-      var acc = 0.0
-      var i = s
-      while (i < s + frame) { acc += wav(i) * wav(i); i += 1 }
-      val p = acc / frame
+    rmsFramePowers(wav, frame).foreach { p =>
       if (math.sqrt(p) < threshold) { nSum += p; nN += 1 }
       else { sSum += p; sN += 1 }
-      s += frame
     }
     if (sN == 0 || nN == 0 || nSum == 0.0) 0.0
     else {
