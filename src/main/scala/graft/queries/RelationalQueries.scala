@@ -545,6 +545,39 @@ object RelationalQueries {
         "exact quantized-integer sum predicted from the source " +
         "relation (codec round-trip s = floor(v*32767+0.5) is " +
         "integer-exact both ways)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k4_metajson_roundtrip",
+      covers = "K4,A5",
+      fn = (s, dir) => {
+        // K4's real payload shape is NESTED (the channel-meta document:
+        // scalars + an array of structs) — write one JSON document line
+        // per parent through the actual sink, read back with the full
+        // nested schema, flatten, and the oracle is the flat source
+        // relation
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k4_roundtrip").getPath
+        val nested = table(s, dir, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(sort_array(collect_list(struct(col("n_nationkey"), col("n_name"))))
+            .as("nations"))
+        graft.io.Sinks.writeMetaJson(nested, path)
+        s.read
+          .schema("n_regionkey INT, " +
+            "nations ARRAY<STRUCT<n_nationkey: INT, n_name: STRING>>")
+          .json(path)
+          .select(col("n_regionkey"), explode(col("nations")).as("n"))
+          .select(col("n_regionkey"), col("n.n_nationkey").as("n_nationkey"),
+            col("n.n_name").as("n_name"))
+          .orderBy("n_nationkey")
+      },
+      oracle = Some(
+        "SELECT n_regionkey, n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      ),
+      doc = "K4 nested JSON document sink round-trip: array-of-struct " +
+        "payload written one document per line, re-read with the " +
+        "nested schema and flattened back to the source relation"
     )
   )
 }
