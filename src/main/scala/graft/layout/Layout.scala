@@ -79,6 +79,29 @@ object Layout {
       .saveAsTable(tableName)
   }
 
+  /** Append a batch into an existing bucketed table, preserving the
+    * layout: rows are bucket-aligned (same repartition-by-key trick,
+    * one NEW file per bucket per append) and written with insertInto,
+    * which keeps the table's bucket spec. Readers stay exchange-free;
+    * what grows is files-per-bucket — one per append — so periodic
+    * re-bucketing (writeBucketed over the read-back) is the compaction
+    * step once appends accumulate, exactly the [[compact]] small-files
+    * story transposed to bucketed tables.
+    */
+  def appendBucketed(df: DataFrame, tableName: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName is not bucketed; use writeBucketed first"))
+    val key = spec.bucketColumnNames.head
+    df.repartition(spec.numBuckets, col(key))
+      .write
+      .mode(SaveMode.Append)
+      .insertInto(tableName)
+  }
+
   /** Read a bucketed table back. The scan's output partitioning is
     * HashPartitioning(key, buckets) — joins and aggregations on the
     * bucket key skip their Exchange.

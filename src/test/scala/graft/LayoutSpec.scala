@@ -177,6 +177,36 @@ class LayoutSpec extends SparkTestBase {
     assert(xOnZ < 2100L, s"z layout read $xOnZ for x-band")
   }
 
+  test("appendBucketed keeps the layout: joins stay exchange-free after appends") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    Layout.writeBucketed(docs.filter(col("doc_id") < 250L),
+      "graft_bkt_append", "doc_id", buckets = 4)
+    Layout.appendBucketed(docs.filter(col("doc_id") >= 250L), "graft_bkt_append")
+    val t = Layout.readTable(spark, "graft_bkt_append")
+    assert(t.count() == docs.count())
+    // second batch landed as one more file per bucket, not task×bucket
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_bkt_append"))
+    val files = new java.io.File(new java.net.URI(meta.location.toString))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(files == 8, s"expected 2 files per bucket, got $files")
+    // co-located join is still exchange-free on the appended table
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id")
+    Layout.writeBucketed(emb, "graft_bkt_append_emb", "vec_id", buckets = 4)
+    val l = t.hint("merge")
+    val p = l.join(Layout.readTable(spark, "graft_bkt_append_emb"),
+      l("doc_id") === col("vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"), p)
+    // appending to an unbucketed table is rejected with a clear message
+    docs.limit(1).write.mode("overwrite").saveAsTable("graft_unbucketed")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.appendBucketed(docs.limit(1), "graft_unbucketed")
+    }
+    assert(ex.getMessage.contains("not bucketed"))
+  }
+
   test("compaction plans ceil(bytes/target) files and preserves rows exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graftc").toString
     // 64 tiny skewed files
