@@ -40,6 +40,28 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
+  /** Drop a managed table from BOTH the catalog and the warehouse
+    * directory. Idempotence across SESSIONS, not just within one: the
+    * in-memory catalog forgets tables on restart but the managed-table
+    * directory survives, and saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS. (A cluster metastore remembers the table,
+    * making this a plain overwrite; the cleanup is for catalog/location
+    * drift.)
+    */
+  def dropWithLocation(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog
+        .defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .toString))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** Write `df` as a bucketed+sorted managed parquet table. Idempotent
     * (overwrite). The table lives in the session catalog's warehouse;
     * on a cluster this would be the shared metastore + object store.
@@ -53,23 +75,7 @@ object Layout {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     val spark = df.sparkSession
-    // Idempotence across SESSIONS, not just within one: the in-memory
-    // catalog forgets tables on restart but the managed-table directory
-    // survives, and saveAsTable then refuses with
-    // LOCATION_ALREADY_EXISTS. Drop the catalog entry AND any orphaned
-    // location. (A cluster metastore remembers the table, making this a
-    // plain overwrite; the cleanup is for catalog/location drift.)
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = new java.io.File(new java.net.URI(
-      spark.sessionState.catalog
-        .defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-        .toString))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+    dropWithLocation(spark, tableName)
     df.repartition(buckets, col(key))
       .write
       .format("parquet")

@@ -200,6 +200,7 @@ class LayoutSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"), p)
     // appending to an unbucketed table is rejected with a clear message
+    Layout.dropWithLocation(spark, "graft_unbucketed")
     docs.limit(1).write.mode("overwrite").saveAsTable("graft_unbucketed")
     val ex = intercept[IllegalArgumentException] {
       Layout.appendBucketed(docs.limit(1), "graft_unbucketed")
