@@ -578,6 +578,80 @@ object RelationalQueries {
       doc = "K4 nested JSON document sink round-trip: array-of-struct " +
         "payload written one document per line, re-read with the " +
         "nested schema and flattened back to the source relation"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j7_salted_join",
+      covers = "J1",
+      fn = (s, dir) => {
+        // Hot-key posture: lineitem shuffles on (l_suppkey, salt) so a
+        // pathological supplier spreads over 8 reducers; the supplier
+        // dim is replicated once per salt. The RESULT is salt-invariant
+        // (row multiplicity preserved exactly), so the plain inner join
+        // is an exact oracle for the whole salting mechanism.
+        val li = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.ops.Skew
+          .saltedJoin(li, sup, "l_suppkey", salts = 8)
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some(
+        """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      ),
+      doc = "salted skew join: big side salted over 8 shuffle keys, dim " +
+        "replicated per salt; oracle = the plain join it must equal " +
+        "(the 100 TB hot-channel posture, ops/Skew.scala)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_j8_skew_split_join",
+      covers = "J1",
+      fn = (s, dir) => {
+        // Extreme-skew posture: keys above the hot threshold join via
+        // broadcast of their dim rows, cold keys join normally, union
+        // restores the full result. skew_key sends ~1/4 of lineitem to
+        // key 1 (hot — and present in dim at every SF since s_suppkey=1
+        // always exists) while the rest spread over cold keys ≥3 —
+        // both branches are exercised. Result is split-invariant.
+        val li = table(s, dir, "lineitem")
+          .withColumn(
+            "skew_key",
+            when(col("l_orderkey") % 4L === 0L, lit(1L))
+              .otherwise(col("l_suppkey") % 97L + 2L))
+          .select("l_orderkey", "l_linenumber", "skew_key", "l_quantity")
+        val dim = table(s, dir, "supplier")
+          .select((col("s_suppkey") % 98L).as("skew_key"))
+          .distinct()
+          .withColumn("dim_tag", concat(lit("grp_"), col("skew_key")))
+        graft.ops.Skew
+          .skewSplitJoin(li, dim, "skew_key", hotKeyThreshold = 500L)
+          .select("l_orderkey", "l_linenumber", "skew_key", "dim_tag",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some(
+        """WITH li AS (
+          |  SELECT l_orderkey, l_linenumber,
+          |    CASE WHEN l_orderkey % 4 = 0 THEN 1
+          |         ELSE l_suppkey % 97 + 2 END AS skew_key,
+          |    l_quantity
+          |  FROM lineitem),
+          |dim AS (
+          |  SELECT skew_key, 'grp_' || skew_key AS dim_tag FROM (
+          |    SELECT DISTINCT s_suppkey % 98 AS skew_key FROM supplier))
+          |SELECT l_orderkey, l_linenumber, li.skew_key, dim_tag, l_quantity
+          |FROM li JOIN dim ON li.skew_key = dim.skew_key
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      ),
+      doc = "split skew join: hot keys (>threshold rows) broadcast their " +
+        "dim rows, cold keys shuffle normally, union restores the plain " +
+        "join exactly (ops/Skew.scala skewSplitJoin)"
     )
   )
 }
