@@ -115,6 +115,30 @@ object Layout {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Hive-style partitioned parquet layout: one directory per distinct
+    * partition value. This is the COARSE axis of the 100 TB layout
+    * story (partition by ingest month/date, bucket by the join key,
+    * z-order inside files for the selective filter dims): a filter on
+    * the partition column never opens a non-matching directory (static
+    * pruning, no footer reads), and a join against a filtered
+    * dimension prunes partitions at RUNTIME — Catalyst inserts a
+    * dynamicpruningexpression subquery on the fact scan once the dim
+    * side broadcasts, so only the surviving months are read at all
+    * (LayoutSpec asserts both the plan shape and the row counts).
+    *
+    * Cardinality guidance: partition values must stay coarse (dates,
+    * months, sources — thousands, not millions); high-cardinality keys
+    * belong in buckets, where the fan-out is fixed at write time.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Z-order (Morton) clustered parquet layout over two integer
     * dimensions: range-partition by the interleaved key, sort within
     * partitions by it, one file per range. Because z-proximity implies

@@ -112,6 +112,66 @@ object LayoutQueries {
         "which makes parquet min/max stats tight on BOTH filter " +
         "dimensions at once (LayoutSpec quantifies the per-file span " +
         "shrink); bit-exact across engines, replayed in DuckDB"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_layout_partition_dpp",
+      covers = "layout,partition-pruning,dpp",
+      fn = (s, dir) => {
+        // Month-partitioned fact (83 ship months in the testdata); the
+        // dim keeps only 1996's urgent-order months, so the runtime
+        // subquery prunes the fact scan to ≤12 of 83 directories
+        // BEFORE any file is opened. The join key stays the raw
+        // inferred partition column (int) — a cast there would defeat
+        // the PartitionPruning rule; the long cast happens after the
+        // aggregate, where the driver hash needs int64.
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_dpp_fact").getPath
+        val li = table(s, dir, "lineitem")
+          .select(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .as("ship_month"),
+            col("l_quantity"))
+        Layout.writePartitioned(li, path, "ship_month")
+        val fact = s.read.parquet(path)
+        val dim = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1996)
+          .select((year(col("o_orderdate")) * 100 +
+            month(col("o_orderdate"))).as("ship_month"))
+          .distinct()
+        fact.join(dim, "ship_month")
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(20,2)"))
+              .cast("double").as("sum_qty"))
+          .select(col("ship_month").cast("long").as("ship_month"),
+            col("n_rows"), col("sum_qty"))
+          .orderBy("ship_month")
+      },
+      oracle = Some(
+        """WITH dim AS (
+          |  SELECT DISTINCT year(o_orderdate)*100 + month(o_orderdate)
+          |    AS ship_month
+          |  FROM orders
+          |  WHERE o_orderpriority = '1-URGENT'
+          |    AND year(o_orderdate) = 1996),
+          |f AS (
+          |  SELECT year(l_shipdate)*100 + month(l_shipdate) AS ship_month,
+          |    l_quantity
+          |  FROM lineitem)
+          |SELECT CAST(f.ship_month AS BIGINT) AS ship_month,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+          |FROM f JOIN dim USING (ship_month)
+          |GROUP BY f.ship_month ORDER BY ship_month""".stripMargin
+      ),
+      doc = "month-partitioned fact layout + dynamic partition pruning: " +
+        "joining against a filtered dimension inserts a " +
+        "dynamicpruningexpression on the fact scan, so only the " +
+        "surviving month directories are read (LayoutSpec asserts the " +
+        "plan shape and that pruned-scan output rows shrink ~7x); the " +
+        "oracle replays the join over the raw table"
     )
   )
 }

@@ -177,6 +177,40 @@ class LayoutSpec extends SparkTestBase {
     assert(xOnZ < 2100L, s"z layout read $xOnZ for x-band")
   }
 
+  test("partitioned layout: dim filter prunes fact partitions at runtime (DPP)") {
+    val df = Registry.byName("q_layout_partition_dpp").fn(spark, dir)
+    // the optimizer inserted a runtime pruning subquery on the fact scan
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruningexpression"), planned)
+    df.collect()
+    // after execution: the fact scan only read the surviving month
+    // directories — its output is a small fraction of the full table
+    // (12 of 83 months), not everything-then-filter
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // plain collect stops at AQE query-stage leaves; expand them
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(allScans)
+    }
+    val factScans = allScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.mkString(",").contains("graft_dpp_fact"))
+    assert(factScans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val factRows = factScans.map(_.metrics("numOutputRows").value).sum
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(factRows > 0, "fact scan read nothing")
+    assert(factRows < total / 4,
+      s"fact scan read $factRows of $total rows — partitions were not pruned")
+  }
+
   test("appendBucketed keeps the layout: joins stay exchange-free after appends") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "n_chars")
