@@ -39,4 +39,58 @@ object Profile {
     }
     row.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Exact per-group discrete percentiles (SQL-standard
+    * PERCENTILE_DISC: the smallest group element whose cume_dist
+    * reaches p — always an actual element, never an interpolation, so
+    * it is integer-exact and cross-engine checkable). One shuffle on
+    * the group key; Spark's percentile aggregate buffers per-group
+    * value counts, so memory is O(distinct values per group), not
+    * O(rows).
+    *
+    * This is the corpus-calibration primitive: length/quality gates at
+    * 100 TB should come from the corpus's own distribution (p5/p95 per
+    * language), not hand-picked constants that mis-trim low-resource
+    * languages. For a quick-and-dirty profile at scale, swap in
+    * approx_percentile; gates that DROP data should pay for the exact
+    * pass.
+    */
+  def quantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
+    val aggs = ps.map { p =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long")
+        .as(s"p${math.round(p * 100)}")
+    }
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Adaptive outlier gate: keep rows whose value sits inside their
+    * own group's [pLo, pHi] discrete-percentile band. The band table
+    * is one row per group — broadcast, so the gate adds NO shuffle to
+    * the corpus side.
+    */
+  def adaptiveBandGate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    val bands = quantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .withColumnRenamed(s"p${math.round(pLo * 100)}", "__lo")
+      .withColumnRenamed(s"p${math.round(pHi * 100)}", "__hi")
+      .select(groupCol, "__lo", "__hi")
+    df.join(broadcast(bands), Seq(groupCol))
+      .withColumn(
+        "in_band",
+        col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .withColumnRenamed("__lo", "band_lo")
+      .withColumnRenamed("__hi", "band_hi")
+  }
 }

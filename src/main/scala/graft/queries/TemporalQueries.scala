@@ -154,6 +154,59 @@ object TemporalQueries {
       doc = "column profiling: per-column null/distinct counts and " +
         "native-order min/max in ONE wide aggregation pass, exploded " +
         "to a row per column"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_profile_quantiles",
+      covers = "data-profiling,exact-percentiles",
+      fn = (s, dir) =>
+        graft.ops.Profile
+          .quantiles(table(s, dir, "documents"), "lang", "n_chars",
+            Seq(0.25, 0.5, 0.75, 0.95))
+          .orderBy("lang"),
+      // PERCENTILE_DISC picks an actual element (smallest value whose
+      // cume_dist >= p) — integer-exact, no interpolation float;
+      // DuckDB's quantile_disc implements the same definition
+      oracle = Some(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+          |  CAST(quantile_disc(n_chars, 0.5)  AS BIGINT) AS p50,
+          |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+          |  CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      ),
+      doc = "exact per-language length percentiles (percentile_disc — " +
+        "an actual corpus element, cross-engine exact): the " +
+        "calibration pass that adaptive quality gates read their " +
+        "thresholds from"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_gate_adaptive_band",
+      covers = "data-profiling,adaptive-gate",
+      fn = (s, dir) =>
+        graft.ops.Profile
+          .adaptiveBandGate(
+            table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+            "lang", "n_chars", pLo = 0.05, pHi = 0.95)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("band_lo"), col("band_hi"), col("in_band"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH bands AS (
+          |  SELECT lang,
+          |    CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS band_lo,
+          |    CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS band_hi
+          |  FROM documents GROUP BY lang)
+          |SELECT doc_id, d.lang, n_chars, band_lo, band_hi,
+          |  n_chars >= band_lo AND n_chars <= band_hi AS in_band
+          |FROM documents d JOIN bands ON d.lang = bands.lang
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "adaptive per-group outlier gate: each language's [p5,p95] " +
+        "band comes from its OWN length distribution (broadcast back — " +
+        "no corpus shuffle), so low-resource languages aren't " +
+        "mis-trimmed by a global constant"
     )
   )
 }

@@ -80,6 +80,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q_gate_adaptive_band broadcasts the per-group band table back") {
+    val p = plan("q_gate_adaptive_band")
+    // the corpus side must NOT shuffle for the gate: the band table
+    // (one row per group) broadcasts onto it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_dedup_substring joins only on keys — no nested-loop/pairwise plan") {
     val p = plan("q_dedup_substring")
     // every join is keyed (hash or sort-merge); duplicate-window
