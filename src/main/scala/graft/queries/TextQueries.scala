@@ -513,6 +513,80 @@ object TextQueries {
         "once for word counts; ranking is (cnt DESC, pair ASC) so the " +
         "learned merge sequence is engine- and layout-independent " +
         "(Bpe.train iterates this; BpeSpec covers multi-round + encode)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_train3",
+      covers = "bpe,tokenizer-training",
+      fn = (s, dir) => {
+        // Full 3-round training loop: three (cnt DESC, pair ASC) argmax
+        // picks AND three greedy merge applications, verified through
+        // the final per-word symbolization. The oracle unrolls each
+        // round as a CTE; the greedy left-to-right non-overlapping
+        // merge replays as a list_reduce fold (merging the fold's
+        // running tail with the constant pair — exact because a merged
+        // symbol l+r can never equal l again, so "tail == l" identifies
+        // exactly the unconsumed positions the Scala scan would merge).
+        val (merges, vocab) =
+          graft.text.Bpe.train(table(s, dir, "documents"), "text", rounds = 3)
+        require(merges.length == 3, s"expected 3 merges, got $merges")
+        vocab.unpersist() // lineage is deterministic; recompute is vocab-sized
+        vocab
+          .select(col("word"), col("n"), col("sym"))
+          .orderBy("word")
+      },
+      oracle = Some(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
+          |v0 AS (SELECT word, CAST(n AS BIGINT) AS n,
+          |         array_to_string(string_split(word, ''), ' ') AS sym FROM wc),
+          |pc0 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v0))
+          |  GROUP BY pair),
+          |m0 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc0 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v1 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v0.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m0 m) AS sym FROM v0),
+          |pc1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v1))
+          |  GROUP BY pair),
+          |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v2 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v1.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m1 m) AS sym FROM v1),
+          |pc2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v2))
+          |  GROUP BY pair),
+          |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v3 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v2.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m2 m) AS sym FROM v2)
+          |SELECT word, n, sym FROM v3 ORDER BY word""".stripMargin
+      ),
+      doc = "BPE training, full 3-round loop: the final per-word " +
+        "symbolization after three argmax merges — verifies the merge " +
+        "CHOICE (cnt DESC, pair ASC over evolving pair counts) and the " +
+        "greedy non-overlapping merge APPLICATION, round over round " +
+        "(oracle unrolls the rounds as CTEs with a list_reduce fold " +
+        "for the greedy scan)"
     )
   )
 }
