@@ -589,20 +589,30 @@ object RelationalQueries {
         // dim is replicated once per salt. The RESULT is salt-invariant
         // (row multiplicity preserved exactly), so the plain inner join
         // is an exact oracle for the whole salting mechanism.
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem, so row-level output would tie-order differently per
+        // engine; per-key aggregates (count + integer row checksum +
+        // decimal sum) pin the join multiplicity exactly instead.
         val li = table(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
         val sup = table(s, dir, "supplier")
           .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
         graft.ops.Skew
           .saltedJoin(li, sup, "l_suppkey", salts = 8)
-          .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name",
-            "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber")
+          .groupBy("l_suppkey", "s_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey") * 8L + col("l_linenumber")).as("checksum"),
+            sum(col("l_quantity").cast("decimal(20,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("l_suppkey")
       },
       oracle = Some(
-        """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
+        """SELECT l_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS checksum,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+          |GROUP BY l_suppkey, s_name ORDER BY l_suppkey""".stripMargin
       ),
       doc = "salted skew join: big side salted over 8 shuffle keys, dim " +
         "replicated per salt; oracle = the plain join it must equal " +
@@ -631,9 +641,13 @@ object RelationalQueries {
           .withColumn("dim_tag", concat(lit("grp_"), col("skew_key")))
         graft.ops.Skew
           .skewSplitJoin(li, dim, "skew_key", hotKeyThreshold = 500L)
-          .select("l_orderkey", "l_linenumber", "skew_key", "dim_tag",
-            "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber")
+          .groupBy("skew_key", "dim_tag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey") * 8L + col("l_linenumber")).as("checksum"),
+            sum(col("l_quantity").cast("decimal(20,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("skew_key")
       },
       oracle = Some(
         """WITH li AS (
@@ -645,9 +659,11 @@ object RelationalQueries {
           |dim AS (
           |  SELECT skew_key, 'grp_' || skew_key AS dim_tag FROM (
           |    SELECT DISTINCT s_suppkey % 98 AS skew_key FROM supplier))
-          |SELECT l_orderkey, l_linenumber, li.skew_key, dim_tag, l_quantity
+          |SELECT li.skew_key, dim_tag, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS checksum,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
           |FROM li JOIN dim ON li.skew_key = dim.skew_key
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+          |GROUP BY li.skew_key, dim_tag ORDER BY li.skew_key""".stripMargin
       ),
       doc = "split skew join: hot keys (>threshold rows) broadcast their " +
         "dim rows, cold keys shuffle normally, union restores the plain " +
