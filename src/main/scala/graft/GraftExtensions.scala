@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDotProduct, BottomKIds, WadaSnrExpr}
+import graft.plans.{ArrayDotProduct, BottomKIds, CountMinAgg, WadaSnrExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bottom_k_ids"),
       new ExpressionInfo(classOf[BottomKIds].getName, "bottom_k_ids"),
       (exprs: Seq[Expression]) => BottomKIds(exprs(0), exprs(1), exprs(2))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs(0), exprs(1), exprs(2))
     ))
   }
 }

@@ -169,5 +169,8 @@ object ArrayOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k_ids", exprs => BottomKIds(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min", exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
 }

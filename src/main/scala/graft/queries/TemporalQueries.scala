@@ -114,6 +114,92 @@ object TemporalQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sketch_cms",
+      covers = "count-min-sketch,native-aggregate",
+      fn = (s, dir) => {
+        // The whole 4×64 grid built by the native aggregate, exploded
+        // to nonzero (d, cell, cnt) rows; the oracle rebuilds every
+        // cell from the published hash constants
+        val cms = table(s, dir, "events")
+          .agg(graft.plans.CountMinAgg
+            .countMin(col("user_id"), depth = 4, width = 64).as("cms"))
+        cms
+          .select(posexplode(col("cms")).as(Seq("idx", "cnt")))
+          .filter(col("cnt") > 0L)
+          .select(expr("CAST(idx DIV 64 AS BIGINT)").as("d"),
+            (col("idx") % 64).cast("long").as("cell"), col("cnt"))
+          .orderBy("d", "cell")
+      },
+      oracle = Some {
+        val rows = (0 until 4).map { d =>
+          s"SELECT $d AS d, ${graft.plans.CountMinAgg.cellSql("user_id", d, 64)} AS cell FROM events"
+        }.mkString(" UNION ALL ")
+        s"""SELECT CAST(d AS BIGINT) AS d, CAST(cell AS BIGINT) AS cell,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM ($rows)
+           |GROUP BY d, cell ORDER BY d, cell""".stripMargin
+      },
+      doc = "Count-Min sketch grid (native TypedImperativeAggregate, " +
+        "constant 4x64-long buffer, cell-wise-add merge): per-key " +
+        "counting whose shuffle size is independent of key " +
+        "cardinality; hash rows are pairwise-independent " +
+        "((a*x+b) mod 2^31-1) mod w with published constants, so the " +
+        "oracle rebuilds the grid integer-exactly"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sketch_cms_estimate",
+      covers = "count-min-sketch,heavy-hitters",
+      fn = (s, dir) => {
+        import graft.plans.CountMinAgg
+        // Point queries against the finished sketch: est(key) = min of
+        // the key's 4 cells — broadcast one 2 KiB row, never re-touch
+        // the corpus. est >= true always; equality whenever the key's
+        // cells saw no collision.
+        val ev = table(s, dir, "events")
+        val sketch = ev.agg(
+          CountMinAgg.countMin(col("user_id"), depth = 4, width = 64)
+            .as("cms"))
+        val truth = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("true_cnt"))
+        val estCols = (0 until 4).map { d =>
+          element_at(col("cms"),
+            (lit(d * 64) + expr(CountMinAgg.cellSql("user_id", d, 64)))
+              .cast("int") + 1)
+        }
+        truth.crossJoin(broadcast(sketch))
+          .withColumn("est_cnt", least(estCols: _*))
+          .select(col("user_id"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("upper_bound_holds"))
+          .orderBy("user_id")
+      },
+      oracle = Some {
+        import graft.plans.CountMinAgg
+        val rows = (0 until 4).map { d =>
+          s"SELECT $d AS d, ${CountMinAgg.cellSql("user_id", d, 64)} AS cell FROM events"
+        }.mkString(" UNION ALL ")
+        val ests = (0 until 4).map { d =>
+          s"""(SELECT cnt FROM cells
+             | WHERE d = $d AND cell = ${CountMinAgg.cellSql("t.user_id", d, 64)})"""
+            .stripMargin.replace("\n", " ")
+        }.mkString(", ")
+        s"""WITH cells AS (
+           |  SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ($rows) GROUP BY d, cell),
+           |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+           |      FROM events GROUP BY user_id)
+           |SELECT user_id, true_cnt,
+           |  least($ests) AS est_cnt,
+           |  least($ests) >= true_cnt AS upper_bound_holds
+           |FROM t ORDER BY user_id""".stripMargin
+      },
+      doc = "Count-Min point estimates vs exact truth for every key: " +
+        "est = min of the key's depth cells, read from the broadcast " +
+        "sketch row (no second corpus pass); the upper-bound invariant " +
+        "est >= true is part of the checked output"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_profile_columns",
       covers = "data-profiling",
       fn = (s, dir) =>

@@ -68,4 +68,57 @@ class PlansSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("array_dot") || err.getMessage.toLowerCase.contains("type"))
   }
+
+  test("count_min grid equals the per-cell groupBy truth across a real shuffle") {
+    import graft.plans.CountMinAgg
+    val keys = spark.range(2000L)
+      .select((col("id") % 37L).as("k"))
+      .repartition(7) // force partial buffers + serialize/merge path
+    val grid = keys
+      .agg(CountMinAgg.countMin(col("k"), depth = 4, width = 16).as("cms"))
+      .head().getSeq[Long](0)
+    assert(grid.length == 64)
+    // rebuild every cell from the published hash and compare
+    val truth = new Array[Long](64)
+    (0L until 2000L).map(_ % 37L).foreach { x =>
+      (0 until 4).foreach { d =>
+        truth(d * 16 + CountMinAgg.cell(x, d, 16)) += 1L
+      }
+    }
+    assert(grid == truth.toSeq)
+    // every hash row's counters sum to the row count
+    (0 until 4).foreach { d =>
+      assert(grid.slice(d * 16, (d + 1) * 16).sum == 2000L)
+    }
+  }
+
+  test("count_min point estimates upper-bound true counts, exact sans collision") {
+    import graft.plans.CountMinAgg
+    val xs = Seq.fill(50)(7L) ++ Seq.fill(3)(11L) ++ (100L to 120L)
+    val grid = xs.toDF("k")
+      .agg(CountMinAgg.countMin(col("k"), depth = 4, width = 64).as("cms"))
+      .head().getSeq[Long](0)
+    def est(x: Long): Long =
+      (0 until 4).map(d => grid(d * 64 + CountMinAgg.cell(x, d, 64))).min
+    val trueCnt = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    trueCnt.foreach { case (x, n) => assert(est(x) >= n, s"key $x") }
+    // the heavy key's estimate is exact here (width 64 >> 23 keys
+    // rarely collides on all 4 rows; if this ever flakes the constants
+    // changed, which is the regression being pinned)
+    assert(est(7L) == 50L)
+  }
+
+  test("count_min nulls are ignored and count_min is callable from SQL") {
+    import graft.plans.CountMinAgg
+    val df = Seq(Some(1L), None, Some(1L), Some(2L)).toDF("k")
+    val grid = df
+      .agg(CountMinAgg.countMin(col("k"), depth = 2, width = 8).as("cms"))
+      .head().getSeq[Long](0)
+    assert(grid.slice(0, 8).sum == 3L) // null contributed nothing
+    ArrayOps.register(spark)
+    df.createOrReplaceTempView("plans_cms")
+    val viaSql = spark.sql(
+      "SELECT count_min(k, 2, 8) FROM plans_cms").head().getSeq[Long](0)
+    assert(viaSql == grid)
+  }
 }
