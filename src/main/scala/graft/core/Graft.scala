@@ -36,8 +36,13 @@ object Graft {
   }
 
   /** events.ts (long nanos under nanosAsLong) → TimestampType. The
-    * testdata carries microsecond resolution, so ns/1000 is lossless.
+    * testdata carries microsecond resolution, so ns/1000 is lossless —
+    * but ONLY with integer division: epoch nanos (~1.7e18) exceed
+    * 2^53, so `c / 1000L` (double division) is off by ±1 µs. Decimal
+    * division is exact (scale-6 result holds v/1000 exactly) and the
+    * long cast truncates the (zero) fraction.
     */
   def tsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(c / 1000L cast "long")
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c.cast("decimal(38,0)") / 1000).cast("long"))
 }

@@ -403,6 +403,53 @@ object AggWindowQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_o7_session_window_native",
+      covers = "O6,T1",
+      fn = (s, dir) => {
+        // Spark's built-in session_window — the same sessions as
+        // q_o7_sessionize's hand-rolled gaps-and-islands, but as the
+        // native streaming-capable operator (one shuffle on the group
+        // key, sessions merged by the SessionWindow node; in streaming
+        // this is the stateful session operator with watermark expiry).
+        // ts is micros-lossless (Graft.tsCol), so window bounds replay
+        // exactly: start = min event time, end = max event time + gap.
+        val ev = table(s, dir, "events")
+          .withColumn("tts", graft.core.Graft.tsCol(col("ts")))
+        ev.groupBy(col("user_id"),
+            session_window(col("tts"), "1 hour").as("sw"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"),
+            col("n_events"), col("first_event"), col("last_event"))
+          .orderBy("user_id", "start_us")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, event_id,
+          |        epoch_ns(ts) // 1000 AS tus FROM events),
+          |f AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+          |        OR tus - lag(tus) OVER w >= 3600000000 THEN 1 ELSE 0 END
+          |        AS new_sess
+          |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          |        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM f)
+          |SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+          |       CAST(max(tus) + 3600000000 AS BIGINT) AS end_us,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       min(event_id) AS first_event, max(event_id) AS last_event
+          |FROM s GROUP BY user_id, sid
+          |ORDER BY user_id, start_us""".stripMargin
+      ),
+      doc = "native session_window operator (streaming-capable session " +
+        "semantics) checked against the independent gaps-and-islands " +
+        "formulation: merge-while-gap<1h, window end = last event + gap"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_flagship_quality_join",
       covers = "S1,S2,U1,D1,F1,A1,A2,J1,O1,O2,P1",
       fn = (s, dir) => flagship(s, dir),
