@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.core.Graft.table
+import graft.text.UrlOps
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation front-door operators: URL canonicalization +
+  * dedup, paragraph-level dedup, edit-distance near-dup, temperature
+  * mixture resampling, semantic (embedding-cluster) dedup. Each is a
+  * standard stage of a crawl-to-training-set pipeline; all decisions
+  * are integer/string-exact so every query here is fully
+  * DuckDB-oracle-checked (QueryDef scaladoc rules).
+  */
+object CurationOpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_url_canonical_dedup",
+      covers = "url-canonicalize,dedup,P6",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // messy-URL synthesis from the row itself (scheme/host case,
+        // default port, trailing slash, tracking params, param order,
+        // fragment all vary) — the canonicalizer must collapse them to
+        // one key per (site, lang, page) triple
+        val id = col("doc_id")
+        val srcNum = expr("CAST(substring(source, 4) AS BIGINT)")
+        val page = (id % 40).cast("string")
+        val x = ((id % 40) % 2).cast("string")
+        val messy = concat(
+          when(id % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+          lit("://"),
+          when(id % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+          lit("Site"), (srcNum % 4).cast("string"), lit(".Example.COM"),
+          when(id % 3 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Docs/"), col("lang"), lit("/p"), page,
+          when(id % 2 === 0, lit("/")).otherwise(lit("")),
+          when(id % 2 === 0,
+            concat(lit("?utm_source=feed&id="), page, lit("&x="), x))
+            .otherwise(concat(lit("?x="), x, lit("&gclid=g1&id="), page)),
+          when(id % 5 === 0, lit("#sec")).otherwise(lit("")))
+        val canon = d
+          .select(id, UrlOps.canonicalizeUrl(messy).as("canonical_url"))
+          .withColumn("domain_key", UrlOps.domainKey(col("canonical_url")))
+        canon
+          .groupBy("canonical_url")
+          .agg(
+            min(col("domain_key")).as("domain_key"),
+            count(lit(1)).as("n_urls"),
+            min(col("doc_id")).as("keep_id"))
+          .orderBy("canonical_url")
+      },
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+          |    'Site' || CAST(CAST(substr(source, 4) AS BIGINT) % 4 AS VARCHAR) ||
+          |    '.Example.COM' ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+          |    '/Docs/' || lang || '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+          |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+          |    (CASE WHEN doc_id % 2 = 0
+          |      THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+          |           || '&x=' || CAST((doc_id % 40) % 2 AS VARCHAR)
+          |      ELSE '?x=' || CAST((doc_id % 40) % 2 AS VARCHAR)
+          |           || '&gclid=g1&id=' || CAST(doc_id % 40 AS VARCHAR) END) ||
+          |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id,
+          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+          |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+          |  FROM m),
+          |c AS (
+          |  SELECT doc_id, scheme,
+          |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+          |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          |         ELSE hostport END AS host,
+          |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+          |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+          |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+          |      q -> q <> '' AND NOT regexp_matches(q,
+          |        '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)='))),
+          |      '&') AS q
+          |  FROM p),
+          |canon AS (
+          |  SELECT doc_id,
+          |    scheme || '://' || host || path ||
+          |      (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url,
+          |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain_key
+          |  FROM c)
+          |SELECT canonical_url, min(domain_key) AS domain_key,
+          |  CAST(count(*) AS BIGINT) AS n_urls, min(doc_id) AS keep_id
+          |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+      ),
+      doc = "URL canonicalization (RFC-3986-lite: scheme/host case, " +
+        "default ports, trailing slash, tracking params, param sort, " +
+        "fragment) then dedup on the canonical key — the web-corpus " +
+        "front door; pure codegen'd column chain, dedup is one " +
+        "hash-shuffle on the short canonical string"
+    )
+  )
+}

@@ -63,7 +63,8 @@ object Registry {
       DomainQueries.defs ++
       PipelineQueries.defs ++
       TemporalQueries.defs ++
-      LayoutQueries.defs
+      LayoutQueries.defs ++
+      CurationOpsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl-scale dedup — the first gate of any
+  * web-corpus pipeline: the same page arrives under scheme/host case
+  * variants, default ports, trailing slashes, tracking parameters and
+  * fragments, and exact-URL dedup misses all of them. Canonicalize
+  * first, then dedup on the canonical key.
+  *
+  * Reference analog: the crawler notebooks key channels by URL slugs
+  * scraped from ranking pages (starngage_crawler.ipynb c0) and the
+  * pipeline builds watch/embed URLs from ids (data_pipeline.py:472,
+  * yt_download.py:60) — id-keyed dedup there; canonical-URL dedup is
+  * the generalization a web corpus needs.
+  *
+  * Everything is a pure `functions._` column chain (regexp over simple
+  * character classes, array HOFs) — codegen'd, zero shuffle, and the
+  * same regexes replay in DuckDB/RE2 for the oracle. At 100 TB the
+  * canonical key costs one projection; the dedup is the usual
+  * hash-shuffle on the (short) canonical string.
+  */
+object UrlOps {
+
+  /** Query parameters that never identify content (analytics /
+    * click-tracking); anchored prefix match on `name=`.
+    */
+  private[graft] val TrackingParamRe =
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+
+  /** RFC-3986-lite canonical form:
+    *  - scheme and host lowercased (case-insensitive per RFC 3986 §6.2.2.1)
+    *  - default port stripped (:80 for http, :443 for https)
+    *  - empty path → "/", trailing slashes trimmed otherwise
+    *  - tracking params dropped, remaining params sorted byte-wise
+    *  - fragment dropped (never sent to the server)
+    * Path case and percent-encoding are preserved (case-SENSITIVE per
+    * RFC; decoding is site-specific and unsafe to normalize blindly).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val rawQuery = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(
+      split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val query = array_join(array_sort(params), "&")
+    concat(
+      scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** Host registrable-domain-ish key for per-site grouping (quotas,
+    * per-domain caps): last two dot-labels of the canonical host. A
+    * public-suffix list would be exact; two labels is the standard
+    * cheap approximation.
+    */
+  def domainKey(url: Column): Column = {
+    val host = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+}

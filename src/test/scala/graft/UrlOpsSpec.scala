@@ -1,0 +1,79 @@
+package graft
+
+import graft.text.UrlOps
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization boundary cases (text/UrlOps.scala). */
+class UrlOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(UrlOps.canonicalizeUrl($"u").as("c"))
+      .as[String]
+      .collect()
+      .toSeq
+
+  test("scheme/host lowercased, path case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/Docs/Page") ==
+      Seq("https://www.example.com/Docs/Page"))
+  }
+
+  test("default ports stripped only for the matching scheme") {
+    assert(canon(
+      "http://a.com:80/x",
+      "https://a.com:443/x",
+      "http://a.com:443/x", // NOT default for http — kept
+      "https://a.com:8443/x"
+    ) == Seq(
+      "http://a.com/x",
+      "https://a.com/x",
+      "http://a.com:443/x",
+      "https://a.com:8443/x"))
+  }
+
+  test("empty path becomes /; trailing slashes trimmed; root stays /") {
+    assert(canon(
+      "http://a.com",
+      "http://a.com/",
+      "http://a.com/x/",
+      "http://a.com/x///"
+    ) == Seq("http://a.com/", "http://a.com/", "http://a.com/x", "http://a.com/x"))
+  }
+
+  test("tracking params dropped, survivors sorted, fragment dropped") {
+    assert(canon(
+      "http://a.com/x?utm_source=s&b=2&a=1#frag",
+      "http://a.com/x?a=1&gclid=g&b=2",
+      "http://a.com/x?fbclid=f&utm_campaign=c" // all tracking → no query
+    ) == Seq(
+      "http://a.com/x?a=1&b=2",
+      "http://a.com/x?a=1&b=2",
+      "http://a.com/x"))
+  }
+
+  test("query+fragment whitespace-trimmed input; ref param dropped") {
+    assert(canon("  http://a.com/x?ref=hp&z=9  ") == Seq("http://a.com/x?z=9"))
+  }
+
+  test("variants of the same page collapse to one canonical key") {
+    val variants = Seq(
+      "HTTP://Site.COM:80/p/1/?utm_source=x&id=7",
+      "http://site.com/p/1?id=7#top",
+      "http://SITE.com/p/1/?id=7&fbclid=z")
+    assert(canon(variants: _*).distinct.size == 1)
+  }
+
+  test("domainKey extracts last two host labels, ignoring port") {
+    val got = Seq(
+      "http://www.news.example.com/x",
+      "https://Example.ORG:443/y",
+      "http://a.com:8080/z")
+      .toDF("u")
+      .select(UrlOps.domainKey($"u").as("d"))
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got == Seq("example.com", "example.org", "a.com"))
+  }
+}
