@@ -21,6 +21,61 @@ object Dedup {
       .groupBy("content_key")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Paragraph-level exact dedup (the C4 / Dolma recipe one level below
+    * document dedup): split every document into paragraphs, keep only
+    * the FIRST occurrence of each distinct paragraph corpus-wide
+    * (first = smallest (id, paragraph index)), and reassemble each
+    * document from its surviving paragraphs. Boilerplate that repeats
+    * across pages (nav text, footers, license blurbs) dies here while
+    * the unique prose survives.
+    *
+    * The corpus tables carry no newline structure, so "paragraph" is
+    * parameterized: any (id, para_idx, para) relation works, and the
+    * default derivation is fixed-width word windows via
+    * [[graft.text.TextAnalysis.chunkByTokens]] (overlap 0).
+    *
+    * Scale shape: the first-occurrence rank shuffles (md5(para), id,
+    * idx) — 16-byte digests, never the paragraph text; reassembly is
+    * one groupBy(id) whose payload is exactly the surviving text. Docs
+    * whose every paragraph was seen before survive with clean_text=''
+    * (downstream length gates drop them, auditable rather than
+    * silently vanished).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordsPerPara: Int
+  ): DataFrame = {
+    val paras = graft.text.TextAnalysis
+      .chunkByTokens(df, idCol, textCol, maxTokens = wordsPerPara, overlap = 0)
+      .select(col(idCol), col("chunk_idx").as("para_idx"), col("chunk").as("para"))
+    val w = Window
+      .partitionBy(md5(col("para")))
+      .orderBy(col(idCol).asc, col("para_idx").asc)
+    val ranked = paras.withColumn("occ", row_number().over(w))
+    val kept = ranked.filter(col("occ") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            x => x.getField("para")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(
+        paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras")),
+        Seq(idCol))
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). The
     * exploded relation is the common substrate for Jaccard and MinHash.
     */

@@ -102,6 +102,50 @@ object CurationOpsQueries {
         "fragment) then dedup on the canonical key — the web-corpus " +
         "front door; pure codegen'd column chain, dedup is one " +
         "hash-shuffle on the short canonical string"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_paragraph_dedup",
+      covers = "paragraph-dedup,D1",
+      fn = (s, dir) =>
+        graft.dedup.Dedup
+          .paragraphDedup(table(s, dir, "documents"), "doc_id", "text",
+            wordsPerPara = 8)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |n AS (SELECT doc_id, toks,
+          |        greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1) AS nch
+          |      FROM t),
+          |c AS (SELECT doc_id, toks, unnest(range(nch)) AS i FROM n),
+          |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+          |    array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS para
+          |  FROM c),
+          |r AS (SELECT doc_id, para_idx, para,
+          |    row_number() OVER (PARTITION BY md5(para)
+          |                       ORDER BY doc_id, para_idx) AS occ
+          |  FROM paras),
+          |rb AS (SELECT doc_id,
+          |    string_agg(para, ' ' ORDER BY para_idx) AS clean_text,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM r WHERE occ = 1 GROUP BY doc_id),
+          |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+          |  FROM paras GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(np.n_paras - coalesce(rb.n_kept, 0) AS BIGINT) AS n_dropped,
+          |  md5(coalesce(rb.clean_text, '')) AS clean_md5
+          |FROM documents d
+          |LEFT JOIN rb ON d.doc_id = rb.doc_id
+          |JOIN np ON d.doc_id = np.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "paragraph-level exact dedup (C4/Dolma recipe): 8-word " +
+        "windows, first corpus-wide occurrence survives, documents " +
+        "reassembled from surviving paragraphs (digest-compared); " +
+        "shuffle carries 16-byte digests, never paragraph text"
     )
   )
 }

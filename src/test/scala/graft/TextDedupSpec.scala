@@ -345,4 +345,33 @@ class TextDedupSpec extends SparkTestBase {
         corpus.find(_._1 == r.getLong(0)).get._2.length - r.getLong(3)) // removed
     }
   }
+
+  test("paragraphDedup keeps first corpus-wide occurrence, reassembles in order") {
+    // 2-word paragraphs: doc 1 = [a b][c d], doc 2 = [a b][x y],
+    // doc 3 = [c d][a b] (both paras seen before), doc 4 unique
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b"),
+      (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(corpus, "doc_id", "text", wordsPerPara = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d", 2L, 0L))) // first occurrences all kept
+    assert(out(1) == ((2L, "x y", 1L, 1L)))     // "a b" seen in doc 1
+    assert(out(2) == ((3L, "", 0L, 2L)))        // every para seen before
+    assert(out(3) == ((4L, "p q r", 2L, 0L)))   // "p q" + "r" both unique
+  }
+
+  test("paragraphDedup within-doc repeat keeps only the earliest index") {
+    val corpus = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(corpus, "doc_id", "text", wordsPerPara = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((7L, "a b", 1L, 2L)))
+  }
 }
