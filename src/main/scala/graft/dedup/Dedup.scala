@@ -76,6 +76,54 @@ object Dedup {
         (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs: all (a, b), a.id <
+    * b.id, with distance ≤ maxDist. Candidate generation blocks on
+    * length bands — LOSSLESS, because dist ≤ maxDist forces
+    * |len(a) − len(b)| ≤ maxDist, so with band ≥ maxDist the two
+    * bucket indices differ by at most 1; each left row probes
+    * {b−1, b, b+1} and every qualifying pair is formed exactly once.
+    * The distance itself uses Spark's threshold variant (early-exits
+    * once the band of the DP matrix exceeds maxDist — O(len·maxDist),
+    * not O(len²)).
+    *
+    * Scale role: length-banding bounds candidates only as well as the
+    * length histogram is flat; at corpus scale this is the VERIFY
+    * stage composed behind a real candidate generator (MinHash/LSH or
+    * [[ngramJaccardPairsPrefix]]), exactly how fuzzy-dedup pipelines
+    * deploy edit distance. As a standalone scan it is for
+    * band-limited relations (titles, URLs, short fields).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int
+  ): DataFrame = {
+    require(maxDist >= 1, "editDistancePairs needs maxDist >= 1")
+    val base = df.select(
+      col(idCol).as("id_a"),
+      col(textCol).as("t_a"),
+      length(col(textCol)).cast("long").as("len_a"))
+    val probe = base
+      .withColumn("bucket0", floor(col("len_a") / maxDist))
+      .withColumn(
+        "bucket",
+        explode(array(col("bucket0") - 1, col("bucket0"), col("bucket0") + 1)))
+      .drop("bucket0")
+    val build = df.select(
+      col(idCol).as("id_b"),
+      col(textCol).as("t_b"),
+      length(col(textCol)).cast("long").as("len_b"),
+      floor(length(col(textCol)).cast("long") / maxDist).as("bucket"))
+    probe
+      .join(build, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // threshold variant yields -1 above maxDist
+      .select("id_a", "id_b", "len_a", "len_b", "dist")
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). The
     * exploded relation is the common substrate for Jaccard and MinHash.
     */

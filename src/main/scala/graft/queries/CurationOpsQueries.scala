@@ -146,6 +146,30 @@ object CurationOpsQueries {
         "windows, first corpus-wide occurrence survives, documents " +
         "reassembled from surviving paragraphs (digest-compared); " +
         "shuffle carries 16-byte digests, never paragraph text"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_edit_distance",
+      covers = "edit-distance-dedup",
+      fn = (s, dir) =>
+        graft.dedup.Dedup
+          .editDistancePairs(table(s, dir, "documents"), "doc_id", "text",
+            maxDist = 30)
+          .orderBy("id_a", "id_b"),
+      oracle = Some(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(length(a.text) AS BIGINT) AS len_a,
+          |  CAST(length(b.text) AS BIGINT) AS len_b,
+          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+          |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+          |WHERE abs(length(a.text) - length(b.text)) <= 30
+          |  AND levenshtein(a.text, b.text) <= 30
+          |ORDER BY id_a, id_b""".stripMargin
+      ),
+      doc = "Levenshtein near-dup pairs at maxDist=30: lossless " +
+        "length-band blocking (bucket +/-1 probe), threshold-variant " +
+        "distance (O(len*maxDist) early-exit); the verify stage of " +
+        "fuzzy dedup, standalone over band-limited fields"
     )
   )
 }

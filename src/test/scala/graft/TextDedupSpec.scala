@@ -366,6 +366,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(3) == ((4L, "p q r", 2L, 0L)))   // "p q" + "r" both unique
   }
 
+  test("editDistancePairs finds pairs across length buckets, exactly once") {
+    // maxDist=3 → buckets of width 3: "abcd" (len 4, b1) vs "abcde"
+    // (len 5, b1) same bucket; "abc" (len 3, b1) vs "ab" (len 2, b0)
+    // adjacent buckets — both must appear exactly once
+    val corpus = Seq(
+      (1L, "abcd"), (2L, "abcde"), (3L, "ab"), (4L, "abc"),
+      (5L, "zzzzzzzzzzzzzzzz") // far from everything
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .editDistancePairs(corpus, "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L),
+      (2L, 3L, 3L), (2L, 4L, 2L), (3L, 4L, 1L)))
+  }
+
+  test("editDistancePairs excludes pairs beyond maxDist even in-bucket") {
+    val corpus = Seq((1L, "aaaa"), (2L, "bbbb")).toDF("doc_id", "text") // dist 4
+    assert(Dedup.editDistancePairs(corpus, "doc_id", "text", maxDist = 3).count() == 0L)
+  }
+
   test("paragraphDedup within-doc repeat keeps only the earliest index") {
     val corpus = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
     val out = Dedup
