@@ -170,6 +170,48 @@ object CurationOpsQueries {
         "length-band blocking (bucket +/-1 probe), threshold-variant " +
         "distance (O(len*maxDist) early-exit); the verify stage of " +
         "fuzzy dedup, standalone over band-limited fields"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_temperature",
+      covers = "sampling,temperature-mixture",
+      fn = (s, dir) =>
+        graft.text.Sampling
+          .temperaturePlan(table(s, dir, "documents"), "source", "text",
+            alphaQuarters = 2, budgetTokens = 100000L)
+          .orderBy("source"),
+      oracle = Some(
+        """WITH totals AS (
+          |  SELECT source,
+          |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+          |      AS BIGINT) AS n_tok_total
+          |  FROM documents GROUP BY source),
+          |wq AS (
+          |  SELECT source, n_tok_total,
+          |    CAST(floor(sqrt(sqrt(CAST(n_tok_total AS DOUBLE)))
+          |      * sqrt(sqrt(CAST(n_tok_total AS DOUBLE)))
+          |      * 1048576.0) AS BIGINT) AS w_q
+          |  FROM totals),
+          |s AS (SELECT *, CAST(sum(w_q) OVER () AS BIGINT) AS w_sum FROM wq),
+          |b AS (SELECT *, (100000 * w_q) // w_sum AS base,
+          |    100000 * w_q - ((100000 * w_q) // w_sum) * w_sum AS rem
+          |  FROM s),
+          |e AS (SELECT *,
+          |    100000 - CAST(sum(base) OVER () AS BIGINT) AS extra,
+          |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rnk
+          |  FROM b)
+          |SELECT source, n_tok_total, w_q,
+          |  CAST(base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END AS BIGINT)
+          |    AS target_tok,
+          |  CAST(((base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END) * 1000)
+          |    // n_tok_total AS BIGINT) AS epochs_permille
+          |FROM e ORDER BY source""".stripMargin
+      ),
+      doc = "temperature mixture plan (alpha=1/2): per-source token " +
+        "targets proportional to n^alpha via IEEE-stable sqrt chains, " +
+        "quantized to integers BEFORE any decision; largest-remainder " +
+        "apportionment makes targets sum to the budget EXACTLY; " +
+        "dimension-sized after one aggregate"
     )
   )
 }

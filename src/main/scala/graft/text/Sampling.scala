@@ -160,4 +160,54 @@ object Sampling {
           .otherwise("test"))
       .drop("__rank", "__n")
   }
+
+  /** Temperature-based mixture plan (the multilingual-LM sampling rule:
+    * weight each source s by n_s^α, α ∈ [0,1] — α=1 is proportional,
+    * α=0 uniform, in-between upsamples low-resource sources; mT5 /
+    * XLM-R use α≈0.3–0.5). Produces exact integer token targets per
+    * source that sum to budgetTokens EXACTLY (largest-remainder
+    * apportionment), so a training run consumes precisely its budget.
+    *
+    * Engine-portable determinism: α is quantized to quarters
+    * (alphaQuarters/4), n^(1/4) = sqrt(sqrt(n)) — IEEE sqrt is
+    * bit-stable across engines where libm pow is not — and the weight
+    * is a pinned-order product of that root, quantized to a long
+    * BEFORE any decision; apportionment is pure integer arithmetic
+    * (floor division + remainder ranking). targets can exceed n_s:
+    * that IS upsampling (epochs_permille > 1000 means the source
+    * repeats).
+    *
+    * Scale: one (source, n_tok) aggregate — the relation is
+    * dimension-sized from there on; the apportionment window ranks
+    * #sources rows. Bounds: budget·w_q must stay < 2^63; w_q ≤
+    * 2^20·n^α keeps that safe through ~10^13-token corpora at α ≤ 1.
+    */
+  def temperaturePlan(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      alphaQuarters: Int,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(alphaQuarters >= 0 && alphaQuarters <= 4,
+      "alphaQuarters quantizes alpha to [0,1] in quarters (0..4)")
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val root = sqrt(sqrt(col("n_tok_total").cast("double"))) // n^(1/4)
+    val w = (1 to alphaQuarters).foldLeft(lit(1.0))((acc, _) => acc * root)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(sourceCol).asc)
+    df.groupBy(sourceCol)
+      .agg(sum(TextAnalysis.tokenCountWs(col(textCol))).as("n_tok_total"))
+      .withColumn("w_q", floor(w * lit(1048576.0)).cast("long"))
+      .withColumn("__w_sum", sum(col("w_q")).over(wAll))
+      .withColumn("__base", expr(s"(${budgetTokens}L * w_q) div __w_sum"))
+      .withColumn("__rem", expr(s"${budgetTokens}L * w_q - __base * __w_sum"))
+      .withColumn("__extra", lit(budgetTokens) - sum(col("__base")).over(wAll))
+      .withColumn("__rank", row_number().over(wRank).cast("long"))
+      .withColumn("target_tok",
+        col("__base") + when(col("__rank") <= col("__extra"), 1L).otherwise(0L))
+      .withColumn("epochs_permille", expr("(target_tok * 1000) div n_tok_total"))
+      .select(sourceCol, "n_tok_total", "w_q", "target_tok", "epochs_permille")
+  }
 }

@@ -199,4 +199,41 @@ class SamplingSpec extends SparkTestBase {
     assert(got(2).getAs[Long]("n_bigrams") == 0L)
     assert(!got(2).getAs[Boolean]("keep"))
   }
+
+  test("temperaturePlan targets sum EXACTLY to budget at every alpha") {
+    import graft.text.Sampling
+    // 3 sources with 1/4/16 tokens — powers of 4 so n^(1/4) chains are exact
+    val docs = Seq(
+      (1L, "a", "lo"),
+      (2L, "a b c d", "mid"),
+      (3L, "a b c d e f g h i j k l m n o p", "hi")
+    ).toDF("doc_id", "text", "source")
+    for (q <- 0 to 4; budget <- Seq(7L, 100L, 999L)) {
+      val t = Sampling.temperaturePlan(docs, "source", "text", q, budget)
+      assert(t.agg(sum("target_tok")).head.getLong(0) == budget,
+        s"alphaQuarters=$q budget=$budget")
+    }
+  }
+
+  test("temperaturePlan: alpha=1 proportional, alpha=0 uniform, alpha=1/2 between") {
+    import graft.text.Sampling
+    val docs = Seq(
+      (1L, "a", "lo"),
+      (2L, "a b c d", "mid"),
+      (3L, "a b c d e f g h i j k l m n o p", "hi")
+    ).toDF("doc_id", "text", "source")
+    def targets(q: Int): Map[String, Long] =
+      Sampling.temperaturePlan(docs, "source", "text", q, 2100L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("target_tok")).toMap
+    val prop = targets(4) // 1:4:16 → 100/400/1600
+    assert(prop == Map("lo" -> 100L, "mid" -> 400L, "hi" -> 1600L))
+    val unif = targets(0) // 700 each
+    assert(unif == Map("lo" -> 700L, "mid" -> 700L, "hi" -> 700L))
+    val half = targets(2) // sqrt: 1:2:4 → 300/600/1200
+    assert(half == Map("lo" -> 300L, "mid" -> 600L, "hi" -> 1200L))
+    // upsampling is visible: lo repeats 300x its 1 token
+    val ep = Sampling.temperaturePlan(docs, "source", "text", 2, 2100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("epochs_permille")).toMap
+    assert(ep("lo") == 300000L && ep("hi") == 75000L)
+  }
 }
