@@ -212,6 +212,86 @@ object CurationOpsQueries {
         "quantized to integers BEFORE any decision; largest-remainder " +
         "apportionment makes targets sum to the budget EXACTLY; " +
         "dimension-sized after one aggregate"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_semantic",
+      covers = "semantic-dedup,ann-ivf",
+      fn = (s, dir) =>
+        graft.similarity.Ann
+          .semanticDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+            minCos = 0.3d, nLists = 16, iters = 2)
+          .orderBy("drop_id"),
+      // Replays the SAME two Lloyd iterations as q_ann_topk_ivf's
+      // oracle (assignments a2 = assign under once-updated centroids
+      // c1), then within-cluster quantized cosine >= 0.3 and the
+      // smallest-lower-id keeper rule.
+      oracle = Some(
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |c0 AS (
+          |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
+          |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
+          |a1 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c0)),
+          |m1 AS (
+          |  SELECT li, pos, sum(xq) AS m, count(*) AS cnt
+          |  FROM (
+          |    SELECT li, generate_subscripts(embedding, 1) AS pos,
+          |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
+          |    FROM a1)
+          |  GROUP BY li, pos),
+          |c1rows AS (
+          |  SELECT li,
+          |    list(CAST(CAST(m AS BIGINT) AS DOUBLE)
+          |         / (1048576.0 * CAST(cnt AS DOUBLE)) ORDER BY pos) AS cl
+          |  FROM m1 GROUP BY li),
+          |c1 AS (
+          |  SELECT list(coalesce(cr.cl, c0.c[i.i]) ORDER BY i.i) AS c
+          |  FROM range(1, 17) i(i) CROSS JOIN c0 LEFT JOIN c1rows cr ON cr.li = i.i),
+          |a2 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c1)),
+          |qe AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+          |  FROM e),
+          |nm AS (
+          |  SELECT vec_id, q,
+          |    sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+          |  FROM qe),
+          |pairs AS (
+          |  SELECT x.vec_id AS a, y.vec_id AS b,
+          |    CAST(CAST(list_sum(list_transform(range(1, len(nx.q) + 1),
+          |      j -> nx.q[j] * ny.q[j])) AS BIGINT) AS DOUBLE) / (nx.nrm * ny.nrm) AS cos
+          |  FROM a2 x JOIN a2 y ON x.li = y.li AND x.vec_id < y.vec_id
+          |  JOIN nm nx ON nx.vec_id = x.vec_id
+          |  JOIN nm ny ON ny.vec_id = y.vec_id),
+          |q AS (SELECT * FROM pairs WHERE cos >= 0.3),
+          |d AS (SELECT b, a, cos,
+          |    row_number() OVER (PARTITION BY b ORDER BY a ASC) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS n_dups
+          |  FROM q)
+          |SELECT b AS drop_id, a AS keeper_id, n_dups, cos
+          |FROM d WHERE rn = 1 ORDER BY drop_id""".stripMargin
+      ),
+      doc = "SemDeDup (arXiv:2303.09540): k-means-cluster the " +
+        "embeddings, drop every item with a lower-id clustermate at " +
+        "cosine >= 0.3 — pairwise work bounded by cluster size, never " +
+        "corpus^2; oracle replays both Lloyd iterations AND the drop rule"
     )
   )
 }

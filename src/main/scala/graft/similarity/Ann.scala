@@ -406,6 +406,62 @@ object Ann {
       .select("a", "b", "cos")
   }
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings (k-means via [[ivfBuild]]) and dropping,
+    * within each cluster, every item that has a lower-id clustermate
+    * with cosine ≥ minCos — one deterministic representative chain per
+    * within-cluster duplicate group. Cross-cluster near-dups are
+    * missed by construction; that recall/cost trade IS the method (the
+    * pairwise work is bounded by cluster size, never corpus²).
+    *
+    * Returns one row per DROPPED item:
+    * (drop_id, keeper_id, n_dups, cos) where keeper is the smallest
+    * qualifying lower id, n_dups counts qualifying lower-id partners,
+    * and cos is the (keeper, dropped) cosine. All decisions ride the
+    * quantized-integer cosine recipe, so the full drop set is
+    * oracle-checkable — k-means iterations included.
+    *
+    * Scale: k-means cost is iters relational passes (centroids are
+    * driver metadata, k×dim); the pair join shuffles (id, quantized
+    * vec) on list_id once. Cluster-size skew is the knob: nLists
+    * should grow with corpus size to keep E[cluster] ≈ corpus/nLists
+    * bounded (SemDeDup used 50k clusters for LAION-440M).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      nLists: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val idx = ivfBuild(df, idCol, vecCol, nLists, iters)
+    val b = idx.assignments
+      .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"), col("list_id"))
+      .withColumn("nsq", quantDot(col("qv"), col("qv")))
+    val l = b.select(col("list_id"), col(idCol).as("a"), col("qv").as("qva"),
+      col("nsq").as("na"))
+    val r = b.select(col("list_id"), col(idCol).as("b"), col("qv").as("qvb"),
+      col("nsq").as("nb"))
+    val pairs = l
+      .join(r, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn(
+        "cos",
+        quantDot(col("qva"), col("qvb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= minCos)
+    val wb = Window.partitionBy(col("b")).orderBy(col("a").asc)
+    pairs
+      .withColumn("__rn", row_number().over(wb))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .filter(col("__rn") === 1)
+      .select(
+        col("b").as("drop_id"),
+        col("a").as("keeper_id"),
+        col("n_dups"),
+        col("cos"))
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
     * exact verification within bucket. Verification is the
     * quantized-exact cosine, so the threshold decision is bit-stable

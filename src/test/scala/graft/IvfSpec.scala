@@ -41,4 +41,41 @@ class IvfSpec extends SparkTestBase {
     val b = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4, iters = 1)
     assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
   }
+
+  test("semanticDedup drops lower-id-keeper duplicates within clusters only") {
+    import spark.implicits._
+    // ids 1,3,5 form cluster A (near e1), 2,4 cluster B (near e2),
+    // 6 is alone near e3 but lands in A's list without qualifying pairs
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (4L, Seq(0.01f, 0.99f, 0.0f, 0.0f)),
+      (5L, Seq(0.98f, 0.02f, 0.0f, 0.0f)),
+      (6L, Seq(0.1f, 0.0f, 0.99f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann
+      .semanticDedup(vecs, "vec_id", "embedding", minCos = 0.9,
+        nLists = 2, iters = 2)
+      .orderBy("drop_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // drop 3 (keeper 1), 4 (keeper 2), 5 (keepers 1 and 3 → min 1, n=2)
+    assert(out.toSeq == Seq((3L, 1L, 1L), (4L, 2L, 1L), (5L, 1L, 2L)))
+  }
+
+  test("semanticDedup misses cross-cluster dups by construction") {
+    import spark.implicits._
+    // two identical vectors forced into different clusters by init:
+    // with nLists = n and 1 iter over orthogonal-ish init they stay apart
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.7f, 0.7f)) // equidistant-ish; lands in exactly one list
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semanticDedup(vecs, "vec_id", "embedding", minCos = 0.99,
+      nLists = 2, iters = 1)
+    // no pair reaches 0.99 within a list — nothing dropped, no crash
+    assert(out.count() == 0L)
+  }
 }
