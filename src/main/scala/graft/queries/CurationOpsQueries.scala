@@ -152,16 +152,23 @@ object CurationOpsQueries {
       "q_dedup_edit_distance",
       covers = "edit-distance-dedup",
       fn = (s, dir) =>
+        // contiguous doc_id < 1000 slice: length-band blocking over a
+        // dense length histogram is Θ(slice²) — the honest domain of
+        // standalone edit distance is band-limited fields / verify
+        // stages (scaladoc), so the demo relation is kept
+        // SF-independent rather than letting the bench quadratic-blow
         graft.dedup.Dedup
-          .editDistancePairs(table(s, dir, "documents"), "doc_id", "text",
-            maxDist = 30)
+          .editDistancePairs(
+            table(s, dir, "documents").filter(col("doc_id") < 1000L),
+            "doc_id", "text", maxDist = 30)
           .orderBy("id_a", "id_b"),
       oracle = Some(
-        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |  CAST(length(a.text) AS BIGINT) AS len_a,
           |  CAST(length(b.text) AS BIGINT) AS len_b,
           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-          |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+          |FROM d a JOIN d b ON a.doc_id < b.doc_id
           |WHERE abs(length(a.text) - length(b.text)) <= 30
           |  AND levenshtein(a.text, b.text) <= 30
           |ORDER BY id_a, id_b""".stripMargin
@@ -169,7 +176,8 @@ object CurationOpsQueries {
       doc = "Levenshtein near-dup pairs at maxDist=30: lossless " +
         "length-band blocking (bucket +/-1 probe), threshold-variant " +
         "distance (O(len*maxDist) early-exit); the verify stage of " +
-        "fuzzy dedup, standalone over band-limited fields"
+        "fuzzy dedup, standalone over band-limited fields " +
+        "(demo slice doc_id<1000 keeps the all-pairs cost SF-independent)"
     ),
     // ----------------------------------------------------------------
     QueryDef(
