@@ -100,10 +100,16 @@ object Dedup {
       maxDist: Int
   ): DataFrame = {
     require(maxDist >= 1, "editDistancePairs needs maxDist >= 1")
+    // lossless prefilter #2 (after the length band): one edit op moves
+    // the letter histogram by at most 2 in L1, so lev(a,b) >= L1/2 —
+    // a 26-term compare per pair vs the O(len·maxDist) DP it avoids
+    def hist(t: String) = expr(
+      s"transform(sequence(97, 122), c -> length($t) - length(replace($t, char(c), '')))")
     val base = df.select(
       col(idCol).as("id_a"),
       col(textCol).as("t_a"),
       length(col(textCol)).cast("long").as("len_a"))
+      .withColumn("h_a", hist("t_a"))
     val probe = base
       .withColumn("bucket0", floor(col("len_a") / maxDist))
       .withColumn(
@@ -115,10 +121,15 @@ object Dedup {
       col(textCol).as("t_b"),
       length(col(textCol)).cast("long").as("len_b"),
       floor(length(col(textCol)).cast("long") / maxDist).as("bucket"))
+      .withColumn("h_b", hist("t_b"))
     probe
       .join(build, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .filter(expr(
+        s"aggregate(zip_with(h_a, h_b, (x, y) -> abs(x - y)), 0, (acc, x) -> acc + x) <= ${2 * maxDist}"))
+      // survivors are few and bucket-skewed; spread the DP work evenly
+      .repartition(col("id_a"), col("id_b"))
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0) // threshold variant yields -1 above maxDist
       .select("id_a", "id_b", "len_a", "len_b", "dist")
