@@ -618,6 +618,46 @@ object Dedup {
     out
   }
 
+  /** Quality-aware representative selection over near-dup clusters:
+    * instead of [[clusterize]]'s min-id canonical, keep per cluster
+    * the member with the HIGHEST score (ties → smallest id) — the
+    * "keep the longest/best document" policy real dedup pipelines
+    * apply, where near-dup groups mix truncated and full versions of
+    * the same page and min-id would keep whichever was crawled first.
+    *
+    * `clusters` is any [[clusterize]]-shaped relation (idCol,
+    * component, cluster_size, ...); `scored` supplies (idCol,
+    * scoreCol). Rows of `scored` absent from `clusters` are singleton
+    * clusters and come back as their own representative (component =
+    * own id, cluster_size 1), so the output is a total keep/drop
+    * decision for the corpus: one row per scored doc,
+    * (idCol, component, cluster_size, scoreCol, is_representative).
+    *
+    * Scale: one broadcast-or-shuffle join on id (clusters is
+    * pair-graph-sized, far smaller than the corpus) + one window over
+    * components (dup-cluster-sized partitions).
+    */
+  def clusterRepresentatives(
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val joined = scored
+      .select(col(idCol), col(scoreCol))
+      .join(clusters.select(col(idCol), col("component"), col("cluster_size")),
+        Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+    val w = Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("is_representative", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Near-dup clusters from exact n-gram Jaccard pairs (the
     * oracle-checkable path; use lshClusters at corpus scale).
     *

@@ -300,6 +300,74 @@ object CurationOpsQueries {
         "embeddings, drop every item with a lower-id clustermate at " +
         "cosine >= 0.3 — pairwise work bounded by cluster size, never " +
         "corpus^2; oracle replays both Lloyd iterations AND the drop rule"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_representative",
+      covers = "dedup-clusters,representative-selection",
+      fn = (s, dir) => {
+        // keep-the-longest policy over near-dup clusters (slice keeps
+        // the uncapped exact-Jaccard oracle join SF-independent)
+        val d = table(s, dir, "documents").filter(col("doc_id") < 1000L)
+        val clusters = graft.dedup.Dedup
+          .jaccardClusters(d, "doc_id", "text",
+            n = 3, minJaccard = 0.12, maxDf = Long.MaxValue)
+        val scored = d.select(
+          col("doc_id"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        graft.dedup.Dedup
+          .clusterRepresentatives(clusters, scored, "doc_id", "n_tok")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+          |sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |cm AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id),
+          |pairs AS (
+          |  SELECT p.a, p.b FROM cm p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  JOIN sizes sb ON sb.doc_id = p.b
+          |  WHERE CAST(p.n_common AS DOUBLE)
+          |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.12),
+          |edges AS (SELECT a AS src, b AS dst FROM pairs
+          |          UNION SELECT b, a FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(node, mn) AS (
+          |    SELECT src, src FROM edges
+          |    UNION
+          |    SELECT e.dst, r.mn FROM r JOIN edges e ON e.src = r.node
+          |  ) SELECT node, min(mn) AS component FROM r GROUP BY node),
+          |csize AS (SELECT component, count(*) AS cluster_size
+          |          FROM reach GROUP BY component),
+          |sc AS (SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+          |      AS BIGINT) AS n_tok
+          |  FROM d),
+          |j AS (SELECT s.doc_id, s.n_tok,
+          |    coalesce(r.component, s.doc_id) AS component,
+          |    CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size
+          |  FROM sc s
+          |  LEFT JOIN reach r ON r.node = s.doc_id
+          |  LEFT JOIN csize c ON c.component = r.component)
+          |SELECT doc_id, n_tok, component, cluster_size,
+          |  row_number() OVER (PARTITION BY component
+          |    ORDER BY n_tok DESC, doc_id ASC) = 1 AS is_representative
+          |FROM j ORDER BY doc_id""".stripMargin
+      ),
+      doc = "quality-aware cluster representative: per near-dup " +
+        "cluster keep the highest-score member (keep-the-longest " +
+        "policy; ties -> min id), singletons self-represent — a total " +
+        "keep/drop decision for the corpus; one id join + one " +
+        "cluster-sized window"
     )
   )
 }

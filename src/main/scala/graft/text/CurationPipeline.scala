@@ -5,14 +5,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The composed training-data curation pass — the text counterpart of
-  * the audio flagship (SURVEY §3.1): language gate → quality gate →
-  * [optional Gopher gate] → [optional CCNet LM gate] → exact dedup →
+  * the audio flagship (SURVEY §3.1): [optional canonical-URL dedup] →
+  * language gate → quality gate → [optional Gopher gate] → [optional
+  * CCNet LM gate] → exact dedup → [optional paragraph dedup] →
   * near-dup dedup (keep cluster canonicals) → [optional exact
   * substring dedup] → PII redaction → chunking → sequence packing.
   * Every stage is one of the library's operators; the whole pass is a
   * single lazy plan tree plus the dedup joins. Corpus-global optional
-  * stages (LM gate, substring dedup) are batch-only; the streaming
-  * face applies the stateless gates and keyed exact dedup only.
+  * stages (URL dedup, LM gate, paragraph/substring dedup) are
+  * batch-only; the streaming face applies the stateless gates and
+  * keyed exact dedup only.
   */
 object CurationPipeline {
 
@@ -49,6 +51,20 @@ object CurationPipeline {
         */
       useSubstringDedup: Boolean = false,
       substringL: Int = 20,
+      /** optional canonical-URL dedup front door (UrlOps): when the
+        * relation carries a URL column, keep the min-id row per
+        * canonical URL before any text work — the cheapest duplicate
+        * kill in a web corpus. Corpus-global (first occurrence) —
+        * batch-only.
+        */
+      urlCol: Option[String] = None,
+      /** optional paragraph-level exact dedup (Dedup.paragraphDedup,
+        * the C4/Dolma recipe) after exact dedup: fixed-width word
+        * windows, first corpus-wide occurrence survives, docs
+        * reassembled; docs emptied by the cut drop out. Corpus-global
+        * — batch-only.
+        */
+      paragraphDedupWords: Option[Int] = None,
       chunkTokens: Int = 256,
       chunkOverlap: Int = 32,
       seqLen: Long = 2048L
@@ -84,6 +100,21 @@ object CurationPipeline {
         "would silently skip the LM quality gate")
     val n0 = input.count()
 
+    // ---- optional canonical-URL dedup front door: one window over
+    // the canonical key (a pure codegen'd projection), min id survives
+    val (urlDeduped, urlFunnel) = cfg.urlCol match {
+      case Some(u) =>
+        val wUrl = org.apache.spark.sql.expressions.Window
+          .partitionBy(UrlOps.canonicalizeUrl(col(u)))
+          .orderBy(col(idCol).asc)
+        val kept = input
+          .withColumn("__rn", row_number().over(wUrl))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        (kept, Seq("url_dedup" -> kept.count()))
+      case None => (input, Nil)
+    }
+
     // Each funnel stage is counted eagerly (the funnel is part of the
     // output), so each stage is cached before its count and upstream
     // caches are dropped as soon as the next stage is materialized —
@@ -96,7 +127,7 @@ object CurationPipeline {
     // formulation, which stays the oracle face in q_text_langid /
     // q_text_tokens_quality).
     val gated = TextAnalysis
-      .withGateSignals(input, textCol)
+      .withGateSignals(urlDeduped, textCol)
       .filter(
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&
@@ -139,14 +170,31 @@ object CurationPipeline {
     val n2 = exactDeduped.count()
     lmGated.unpersist()
 
+    // ---- optional paragraph-level exact dedup: rewrite each doc to
+    // its surviving paragraphs; docs emptied by the cut drop out (the
+    // inner join against n_kept > 0)
+    val paraDeduped = cfg.paragraphDedupWords match {
+      case Some(wpp) =>
+        val pd = Dedup
+          .paragraphDedup(exactDeduped.select(col(idCol), col(textCol)),
+            idCol, textCol, wpp)
+          .filter(col("n_kept") > 0L)
+          .select(col(idCol), col("clean_text").as("__para_text"))
+        exactDeduped
+          .join(pd, Seq(idCol))
+          .withColumn(textCol, col("__para_text"))
+          .drop("__para_text")
+      case None => exactDeduped
+    }
+
     // ---- near-dup dedup: drop non-canonical cluster members
     val clusters =
       if (cfg.nearDupUseLsh)
-        Dedup.lshClusters(exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
+        Dedup.lshClusters(paraDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
       else
-        Dedup.jaccardClusters(exactDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
+        Dedup.jaccardClusters(paraDeduped, idCol, textCol, cfg.nearDupN, cfg.nearDupJaccard)
     val drop = clusters.filter(!col("is_canonical")).select(idCol)
-    val nearDeduped = exactDeduped.join(drop, Seq(idCol), "left_anti")
+    val nearDeduped = paraDeduped.join(drop, Seq(idCol), "left_anti")
 
     // ---- optional EXACT substring dedup: cut duplicated windows from
     // non-canonical occurrences; docs emptied by the cut drop out (the
@@ -187,12 +235,14 @@ object CurationPipeline {
       docs = clean,
       chunks = chunks,
       packing = packing,
-      funnel = Seq(
-        "input" -> n0,
+      funnel = Seq("input" -> n0) ++ urlFunnel ++ Seq(
         "lang_quality_gate" -> n1
       ) ++ lmFunnel ++ Seq(
         "exact_dedup" -> n2,
-        (if (cfg.useSubstringDedup) "near_substring_dedup" else "near_dedup") -> n3
+        ("near" +
+          (if (cfg.paragraphDedupWords.isDefined) "_paragraph" else "") +
+          (if (cfg.useSubstringDedup) "_substring" else "") +
+          "_dedup") -> n3
       )
     )
   }

@@ -107,4 +107,46 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(texts(2).contains("third document"))
     outSub.unpersist()
   }
+
+  test("urlCol front door dedups canonical-URL variants before the gates") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today",
+        "HTTP://Site.COM:80/p/1/?utm_source=x&id=7"),
+      (2L, "a completely different text about the spark engine rows",
+        "http://site.com/p/1?id=7#top"), // same canonical URL as 1 → dropped
+      (3L, "the third document is about the cats of the old town",
+        "http://site.com/p/2?id=8")
+    ).toDF("doc_id", "text", "url")
+    val outUrl = CurationPipeline.run(
+      corpus, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.0, minTokens = 4,
+        urlCol = Some("url"), chunkTokens = 8, chunkOverlap = 2, seqLen = 16))
+    val f = outUrl.funnel.toMap
+    assert(f("input") == 3L && f("url_dedup") == 2L)
+    val ids = outUrl.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L)) // min id per canonical URL survives
+    outUrl.unpersist()
+  }
+
+  test("paragraphDedupWords stage rewrites docs and drops emptied ones") {
+    val corpus = Seq(
+      (1L, "the cat and the dog sat on the mat by noon"),
+      (2L, "the cat and the dog ran to the old red barn"),
+      (3L, "the cat and the") // every paragraph already seen → dropped
+    ).toDF("doc_id", "text")
+    val outPara = CurationPipeline.run(
+      corpus, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.0, minTokens = 2,
+        nearDupJaccard = 0.95, paragraphDedupWords = Some(4),
+        chunkTokens = 8, chunkOverlap = 2, seqLen = 16))
+    val f = outPara.funnel.toMap
+    assert(f.contains("near_paragraph_dedup"))
+    val texts = outPara.docs.orderBy("doc_id")
+      .select("clean_text").as[String].collect()
+    assert(texts(0) == "the cat and the dog sat on the mat by noon")
+    assert(texts(1) == "dog ran to the old red barn") // shared 4-word para cut
+    val ids = outPara.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L)) // doc 3 emptied and dropped
+    outPara.unpersist()
+  }
 }

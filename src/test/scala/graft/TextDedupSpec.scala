@@ -389,6 +389,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(Dedup.editDistancePairs(corpus, "doc_id", "text", maxDist = 3).count() == 0L)
   }
 
+  test("clusterRepresentatives keeps best score per cluster, singletons self-represent") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // one cluster of 3
+      (4L, 4L, 2L), (5L, 4L, 2L)                // one cluster of 2
+    ).toDF("doc_id", "component", "cluster_size")
+    val scored = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // tie at 99 → min id 2 wins
+      (4L, 5L), (5L, 50L),
+      (6L, 1L) // not in any cluster → singleton representative
+    ).toDF("doc_id", "n_tok")
+    val out = Dedup
+      .clusterRepresentatives(clusters, scored, "doc_id", "n_tok")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("component"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_representative")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, false),
+      (2L, 1L, 3L, true),  // highest score, min id on tie
+      (3L, 1L, 3L, false),
+      (4L, 4L, 2L, false),
+      (5L, 4L, 2L, true),  // 50 > 5
+      (6L, 6L, 1L, true))) // singleton: own component, size 1
+  }
+
   test("paragraphDedup within-doc repeat keeps only the earliest index") {
     val corpus = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
     val out = Dedup
