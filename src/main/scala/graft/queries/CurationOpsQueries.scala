@@ -368,6 +368,43 @@ object CurationOpsQueries {
         "policy; ties -> min id), singletons self-represent — a total " +
         "keep/drop decision for the corpus; one id join + one " +
         "cluster-sized window"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_url_domain_quota",
+      covers = "url-canonicalize,O3,custom-plan",
+      fn = (s, dir) => {
+        // crawl-policy cap: at most 5 docs per registrable domain,
+        // best-first by token count — domainKey composed with the
+        // native bounded-heap TopKPerKey operator
+        val d = table(s, dir, "documents")
+        val url = concat(lit("https://"), col("source"), lit(".org/d/"),
+          col("doc_id"))
+        val scored = d.select(
+          col("doc_id"),
+          UrlOps.domainKey(url).as("domain_key"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        graft.plans.TopKPerKey
+          .topKPerKey(scored,
+            keyCols = Seq(col("domain_key")),
+            orderCols = Seq(col("n_tok").desc, col("doc_id").asc),
+            k = 5)
+          .orderBy("domain_key", "doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, domain_key, n_tok FROM (
+          |  SELECT doc_id, source || '.org' AS domain_key,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+          |      AS BIGINT) AS n_tok,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY (length(text) - length(replace(text, ' ', '')) + 1)
+          |        DESC, doc_id ASC) AS rn
+          |  FROM documents)
+          |WHERE rn <= 5 ORDER BY domain_key, doc_id""".stripMargin
+      ),
+      doc = "per-domain crawl quota: top-5 docs per registrable domain " +
+        "by token count — UrlOps.domainKey into the native TopKPerKey " +
+        "bounded-heap plan (no per-partition sort, state O(domains*k))"
     )
   )
 }

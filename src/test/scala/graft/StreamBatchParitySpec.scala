@@ -126,6 +126,37 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"cross-batch duplicates leaked: ${keys.length} rows, ${keys.distinct.length} distinct")
   }
 
+  test("streaming canonical-URL dedup collapses variants across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("grafturls")
+    // same page under two URL spellings, one per micro-batch — the
+    // canonical key must hit first-batch state
+    Seq((1L, "HTTP://Site.COM:80/p/1/?utm_source=x&id=7"))
+      .toDF("row_id", "url").write.parquet(dir.resolve("a").toString)
+    Seq((2L, "http://site.com/p/1?id=7#top"),
+      (3L, "http://site.com/p/2?id=8"))
+      .toDF("row_id", "url").write.parquet(dir.resolve("b").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val deduped = Incremental.dedupByKey(
+      stream
+        .withColumn("canonical_url",
+          graft.text.UrlOps.canonicalizeUrl(col("url")))
+        .withColumn("ets", timestamp_micros((col("row_id") + 1L) * 1000L)),
+      "ets", Seq("canonical_url"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("parity_urldedup").start()
+    q.processAllAvailable()
+    val urls = spark.sql("SELECT canonical_url FROM parity_urldedup")
+      .as[String].collect().sorted
+    q.stop()
+    assert(urls.toSeq == Seq(
+      "http://site.com/p/1?id=7", "http://site.com/p/2?id=8"),
+      s"got: ${urls.mkString(", ")}")
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
