@@ -54,6 +54,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!inner.contains("Sort"), inner)
   }
 
+  test("q_url_canonical_dedup is one scan + one hash exchange (canonical key dedup)") {
+    val p = plan("q_url_canonical_dedup")
+    // canonicalization is a pure projection; the only shuffle is the
+    // final groupBy on the canonical string (plus its agg pair)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_url_domain_quota plans the native TopKPerKey, no per-partition sort") {
+    val p = plan("q_url_domain_quota")
+    assert(p.contains("TopKPerKey"), p)
+    val inner = p.substring(p.indexOf("TopKPerKey"))
+    assert(!inner.contains("Sort"), inner)
+  }
+
+  test("q_dedup_edit_distance never plans a nested-loop/cartesian pair join") {
+    val p = plan("q_dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_text_packing shards by range — the corpus never hits one window partition") {
     val p = plan("q_text_packing")
     assert(p.contains("rangepartitioning"), p)
