@@ -235,7 +235,10 @@ object TextQueries {
       covers = "lang-id,text-quality,dedup-exact,dedup-jaccard,pii-redaction,chunking,seq-packing",
       fn = (s, dir) => {
         val out = graft.text.CurationPipeline.run(
-          table(s, dir, "documents"), "doc_id", "text")
+          table(s, dir, "documents"), "doc_id", "text",
+          // exercise the paragraph-dedup stage in the driver-visible
+          // composite (wide windows: rewrites only true boilerplate)
+          graft.text.CurationPipeline.Config(paragraphDedupWords = Some(32)))
         // summary row set: funnel counts + chunk/packing rollups
         val chunkStats = out.chunks.agg(
           count(lit(1)).as("n_chunks"),
