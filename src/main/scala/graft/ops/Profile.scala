@@ -40,6 +40,46 @@ object Profile {
     row.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Per-source corpus report — the "data card" rollup a training-set
+    * drop ships with: volume (docs/tokens/chars), exact duplicate
+    * pressure (distinct content digests), language spread, and the
+    * token-length distribution (exact discrete percentiles). ONE
+    * aggregation keyed by source; every metric is integer-exact, so
+    * the whole report is oracle-checkable.
+    *
+    * Scale: the groupBy shuffles (source, digest, lang, counts) —
+    * digests are 16 bytes and sources are dimension-sized, so the
+    * report costs one pass + one dimension-sized reduce. The two
+    * countDistincts plan through Spark's expand (×2 row multiplier on
+    * the shuffle); at 100 TB swap approx_count_distinct in for the
+    * digest column if the 2× matters more than exactness.
+    */
+  def corpusReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val base = df.select(
+      col(sourceCol),
+      col(langCol),
+      md5(col(textCol)).as("__digest"),
+      graft.text.TextAnalysis.tokenCountWs(col(textCol)).as("__n_tok"),
+      length(col(textCol)).cast("long").as("__n_chars"))
+    base
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n_tok")).as("n_tokens"),
+        sum(col("__n_chars")).as("n_chars"),
+        countDistinct(col("__digest")).as("n_distinct_texts"),
+        countDistinct(col(langCol)).as("n_langs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __n_tok)")
+          .cast("long").as("p50_tok"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY __n_tok)")
+          .cast("long").as("p95_tok"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+  }
+
   /** Exact per-group discrete percentiles (SQL-standard
     * PERCENTILE_DISC: the smallest group element whose cume_dist
     * reaches p — always an actual element, never an interpolation, so

@@ -405,6 +405,33 @@ object CurationOpsQueries {
       doc = "per-domain crawl quota: top-5 docs per registrable domain " +
         "by token count — UrlOps.domainKey into the native TopKPerKey " +
         "bounded-heap plan (no per-partition sort, state O(domains*k))"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_corpus_report",
+      covers = "profiling,data-card",
+      fn = (s, dir) =>
+        graft.ops.Profile
+          .corpusReport(table(s, dir, "documents"), "source", "text", "lang")
+          .orderBy("source"),
+      oracle = Some(
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+          |    AS BIGINT) AS n_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(quantile_disc(length(text) - length(replace(text, ' ', '')) + 1,
+          |    0.5) AS BIGINT) AS p50_tok,
+          |  CAST(quantile_disc(length(text) - length(replace(text, ' ', '')) + 1,
+          |    0.95) AS BIGINT) AS p95_tok,
+          |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      ),
+      doc = "per-source corpus data card: volume, exact-dup pressure, " +
+        "language spread, exact token-length percentiles — one " +
+        "aggregation keyed by source, every metric integer-exact"
     )
   )
 }
