@@ -64,6 +64,18 @@ class UrlOpsSpec extends SparkTestBase {
     assert(canon(variants: _*).distinct.size == 1)
   }
 
+  test("canonicalization is idempotent (canonical output is a fixpoint)") {
+    val messy = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/Page/?utm_source=s&b=2&a=1#frag",
+      "http://a.com",
+      "http://a.com/x///?z=9&ref=hp",
+      "ftp://Weird.Host:21/path/",
+      "https://b.org/just?fbclid=f")
+    val once = canon(messy: _*)
+    val twice = once.map(u => canon(u).head)
+    assert(twice == once, s"not a fixpoint:\n$once\nvs\n$twice")
+  }
+
   test("domainKey extracts last two host labels, ignoring port") {
     val got = Seq(
       "http://www.news.example.com/x",
