@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDotProduct, BottomKIds, CountMinAgg, WadaSnrExpr}
+import graft.plans.{ArrayDotProduct, BottomKIds, CountMinAgg, WadaSnrExpr, ZOrderExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
       (exprs: Seq[Expression]) => CountMinAgg(exprs(0), exprs(1), exprs(2))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "z_order"),
+      (exprs: Seq[Expression]) => ZOrderExpr(exprs(0), exprs(1))
     ))
   }
 }

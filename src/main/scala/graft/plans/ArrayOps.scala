@@ -172,5 +172,7 @@ object ArrayOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min", exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order", exprs => ZOrderExpr(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -102,5 +102,8 @@ class ScaleSpec extends SparkTestBase {
     graft.plans.ArrayOps.register(s3)
     val r = s3.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(r.getDouble(0) == 11.0)
+    // z_order(3, 5) = interleave(011, 101) = 100111 = 39
+    val z = s3.sql("SELECT z_order(3L, 5L) AS z").head()
+    assert(z.getLong(0) == 39L)
   }
 }
