@@ -76,6 +76,35 @@ object Dedup {
         (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Letter histogram (a-z counts) in ONE compiled pass over the text
+    * — the edit-distance prefilter's per-doc feature. (An expression
+    * formulation would scan the text 26 times via replace().)
+    */
+  private[graft] val letterHistUdf =
+    udf { (t: String) =>
+      val h = new Array[Int](26)
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i) - 'a'
+        if (c >= 0 && c < 26) h(c) += 1
+        i += 1
+      }
+      h
+    }
+
+  /** L1 distance of two letter histograms — lossless edit-distance
+    * lower bound: one edit op moves the histogram by at most 2 in L1,
+    * so lev(a,b) >= L1/2. A 26-term compiled loop per candidate pair
+    * vs the O(len·maxDist) DP it avoids.
+    */
+  private[graft] val histL1Udf =
+    udf { (a: Seq[Int], b: Seq[Int]) =>
+      var s = 0
+      var i = 0
+      while (i < 26) { s += math.abs(a(i) - b(i)); i += 1 }
+      s
+    }
+
   /** Edit-distance (Levenshtein) near-dup pairs: all (a, b), a.id <
     * b.id, with distance ≤ maxDist. Candidate generation blocks on
     * length bands — LOSSLESS, because dist ≤ maxDist forces
@@ -100,16 +129,11 @@ object Dedup {
       maxDist: Int
   ): DataFrame = {
     require(maxDist >= 1, "editDistancePairs needs maxDist >= 1")
-    // lossless prefilter #2 (after the length band): one edit op moves
-    // the letter histogram by at most 2 in L1, so lev(a,b) >= L1/2 —
-    // a 26-term compare per pair vs the O(len·maxDist) DP it avoids
-    def hist(t: String) = expr(
-      s"transform(sequence(97, 122), c -> length($t) - length(replace($t, char(c), '')))")
     val base = df.select(
       col(idCol).as("id_a"),
       col(textCol).as("t_a"),
       length(col(textCol)).cast("long").as("len_a"))
-      .withColumn("h_a", hist("t_a"))
+      .withColumn("h_a", letterHistUdf(col("t_a")))
     val probe = base
       .withColumn("bucket0", floor(col("len_a") / maxDist))
       .withColumn(
@@ -121,13 +145,12 @@ object Dedup {
       col(textCol).as("t_b"),
       length(col(textCol)).cast("long").as("len_b"),
       floor(length(col(textCol)).cast("long") / maxDist).as("bucket"))
-      .withColumn("h_b", hist("t_b"))
+      .withColumn("h_b", letterHistUdf(col("t_b")))
     probe
       .join(build, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .filter(expr(
-        s"aggregate(zip_with(h_a, h_b, (x, y) -> abs(x - y)), 0, (acc, x) -> acc + x) <= ${2 * maxDist}"))
+      .filter(histL1Udf(col("h_a"), col("h_b")) <= 2 * maxDist)
       // survivors are few and bucket-skewed; spread the DP work evenly
       .repartition(col("id_a"), col("id_b"))
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
