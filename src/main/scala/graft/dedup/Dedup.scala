@@ -34,10 +34,13 @@ object Dedup {
     * default derivation is fixed-width word windows via
     * [[graft.text.TextAnalysis.chunkByTokens]] (overlap 0).
     *
-    * Scale shape: the first-occurrence rank shuffles (md5(para), id,
-    * idx) — 16-byte digests, never the paragraph text; reassembly is
-    * one groupBy(id) whose payload is exactly the surviving text. Docs
-    * whose every paragraph was seen before survive with clean_text=''
+    * Scale shape: the first-occurrence rank shuffles ONLY (md5(para),
+    * id, idx) — 16-byte digests, never the paragraph text (at 100 TB
+    * a text-carrying rank shuffle would be the corpus itself); the
+    * surviving (id → kept idx set) relation is id-keyed and compact.
+    * Text moves exactly once, keyed by id, and the reassembly groupBy
+    * reuses that partitioning (no second text exchange). Docs whose
+    * every paragraph was seen before survive with clean_text=''
     * (downstream length gates drop them, auditable rather than
     * silently vanished).
     */
@@ -51,12 +54,18 @@ object Dedup {
       .chunkByTokens(df, idCol, textCol, maxTokens = wordsPerPara, overlap = 0)
       .select(col(idCol), col("chunk_idx").as("para_idx"), col("chunk").as("para"))
     val w = Window
-      .partitionBy(md5(col("para")))
+      .partitionBy(col("__digest"))
       .orderBy(col(idCol).asc, col("para_idx").asc)
-    val ranked = paras.withColumn("occ", row_number().over(w))
-    val kept = ranked.filter(col("occ") === 1)
-    val rebuilt = kept
+    val keptIdx = paras
+      .select(col(idCol), col("para_idx"), md5(col("para")).as("__digest"))
+      .withColumn("__occ", row_number().over(w))
+      .filter(col("__occ") === 1)
       .groupBy(col(idCol))
+      .agg(collect_set(col("para_idx")).as("__kept_idx"))
+    val rebuilt = paras
+      .join(keptIdx, Seq(idCol)) // id-keyed: the ONE text shuffle
+      .filter(array_contains(col("__kept_idx"), col("para_idx")))
+      .groupBy(col(idCol)) // reuses the join's partitioning
       .agg(
         array_join(
           transform(
@@ -64,11 +73,13 @@ object Dedup {
             x => x.getField("para")),
           " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    df.select(col(idCol))
+    // paragraph count is arithmetic (chunkByTokens' own nChunks formula
+    // at overlap 0) — no third explode pass over the corpus
+    val nParas = greatest(
+      ceil(size(split(col(textCol), " ")).cast("double") / wordsPerPara),
+      lit(1)).cast("long")
+    df.select(col(idCol), nParas.as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
-      .join(
-        paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras")),
-        Seq(idCol))
       .select(
         col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
