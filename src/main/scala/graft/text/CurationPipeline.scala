@@ -180,10 +180,13 @@ object CurationPipeline {
             idCol, textCol, wpp)
           .filter(col("n_kept") > 0L)
           .select(col(idCol), col("clean_text").as("__para_text"))
+        // cached: consumed by BOTH the near-dup cluster build and the
+        // anti-join — uncached, the window+join would run twice
         exactDeduped
           .join(pd, Seq(idCol))
           .withColumn(textCol, col("__para_text"))
           .drop("__para_text")
+          .cache()
       case None => exactDeduped
     }
 
@@ -220,6 +223,7 @@ object CurationPipeline {
       .cache()
     val n3 = clean.count()
     exactDeduped.unpersist()
+    if (paraDeduped ne exactDeduped) paraDeduped.unpersist()
     // clean is materialized, so the cluster-label cache (owned by the
     // caller per clusterize's contract) is no longer reachable
     clusters.unpersist()
