@@ -1,7 +1,7 @@
 package graft.layout
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5, when}
 
 /** Physical corpus layout: hash-bucketed parquet tables so that every
   * downstream key-equijoin and key-aggregation is EXCHANGE-FREE.
@@ -214,6 +214,29 @@ object Layout {
     * contains no ShuffleExchangeExec (asserted by LayoutSpec /
     * PlanShapeSpec) — the only movement is the scan itself.
     */
+  /** Corpus snapshot diff — the audit every refresh ships with: per-id
+    * status between two corpus snapshots (added / removed / changed /
+    * unchanged), decided on content digests. One full-outer join of
+    * (id, 16-byte digest) pairs — payload text never moves, so the
+    * diff of a 100 TB corpus shuffles only its id+digest projection.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_digest"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_digest"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn(
+        "status",
+        when(col("__old_digest").isNull, "added")
+          .when(col("__new_digest").isNull, "removed")
+          .when(col("__old_digest") === col("__new_digest"), "unchanged")
+          .otherwise("changed"))
+      .select(col(idCol), col("status"))
+  }
+
   def colocatedJoin(
       spark: SparkSession,
       leftTable: String,

@@ -432,6 +432,46 @@ object CurationOpsQueries {
       doc = "per-source corpus data card: volume, exact-dup pressure, " +
         "language spread, exact token-length percentiles — one " +
         "aggregation keyed by source, every metric integer-exact"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_corpus_snapshot_diff",
+      covers = "snapshot-diff,dedup-exact",
+      fn = (s, dir) => {
+        // synthetic prior snapshot: docs %10==0 absent (→ added now),
+        // docs %7==0 carried older text (→ changed); current snapshot
+        // lost docs %13==0 (→ removed)
+        val d = table(s, dir, "documents")
+        val oldSnap = d
+          .filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        graft.layout.Layout
+          .snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH o AS (
+          |  SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+          |      AS od
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |n AS (
+          |  SELECT doc_id, md5(text) AS nd
+          |  FROM documents WHERE doc_id % 13 <> 0)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.od IS NULL THEN 'added'
+          |       WHEN n.nd IS NULL THEN 'removed'
+          |       WHEN o.od = n.nd THEN 'unchanged'
+          |       ELSE 'changed' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "corpus snapshot diff: per-id added/removed/changed/" +
+        "unchanged between two drops, decided on content digests — " +
+        "one full-outer join of (id, digest); text never shuffles"
     )
   )
 }

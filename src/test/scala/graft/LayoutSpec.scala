@@ -269,4 +269,17 @@ class LayoutSpec extends SparkTestBase {
       .as[Seq[String]].head()
     assert(got.length == 2)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged per id") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Layout.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
 }
