@@ -94,11 +94,13 @@ object Dedup {
   private[graft] val letterHistUdf =
     udf { (t: String) =>
       val h = new Array[Int](26)
-      var i = 0
-      while (i < t.length) {
-        val c = t.charAt(i) - 'a'
-        if (c >= 0 && c < 26) h(c) += 1
-        i += 1
+      if (t != null) {
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i) - 'a'
+          if (c >= 0 && c < 26) h(c) += 1
+          i += 1
+        }
       }
       h
     }
@@ -140,7 +142,10 @@ object Dedup {
       maxDist: Int
   ): DataFrame = {
     require(maxDist >= 1, "editDistancePairs needs maxDist >= 1")
-    val base = df.select(
+    // null text has no edit distance to anything — drop up front so the
+    // compiled histogram/DP path never sees a null row
+    val nn = df.filter(col(textCol).isNotNull)
+    val base = nn.select(
       col(idCol).as("id_a"),
       col(textCol).as("t_a"),
       length(col(textCol)).cast("long").as("len_a"))
@@ -151,7 +156,7 @@ object Dedup {
         "bucket",
         explode(array(col("bucket0") - 1, col("bucket0"), col("bucket0") + 1)))
       .drop("bucket0")
-    val build = df.select(
+    val build = nn.select(
       col(idCol).as("id_b"),
       col(textCol).as("t_b"),
       length(col(textCol)).cast("long").as("len_b"),

@@ -1,7 +1,7 @@
 package graft.layout
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, md5, when}
+import org.apache.spark.sql.functions.{col, lit, md5, when}
 
 /** Physical corpus layout: hash-bucketed parquet tables so that every
   * downstream key-equijoin and key-aggregation is EXCHANGE-FREE.
@@ -219,20 +219,28 @@ object Layout {
     * unchanged), decided on content digests. One full-outer join of
     * (id, 16-byte digest) pairs — payload text never moves, so the
     * diff of a 100 TB corpus shuffles only its id+digest projection.
+    *
+    * Presence is decided by a per-side marker, NOT digest nullness: an
+    * id present in both snapshots with null text diffs as unchanged
+    * (null-safe digest compare), never as added/removed. Precondition:
+    * ids are unique within each snapshot (the full-outer join fans out
+    * duplicate ids into one status row per match otherwise).
     */
   def snapshotDiff(
       oldDf: DataFrame,
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_digest"))
-    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_digest"))
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_digest"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_digest"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn(
         "status",
-        when(col("__old_digest").isNull, "added")
-          .when(col("__new_digest").isNull, "removed")
-          .when(col("__old_digest") === col("__new_digest"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__old_digest") <=> col("__new_digest"), "unchanged")
           .otherwise("changed"))
       .select(col(idCol), col("status"))
   }

@@ -107,10 +107,15 @@ object CurationPipeline {
         val wUrl = org.apache.spark.sql.expressions.Window
           .partitionBy(UrlOps.canonicalizeUrl(col(u)))
           .orderBy(col(idCol).asc)
+        // cached before its eager funnel count — otherwise the
+        // corpus-wide canonical-URL window recomputes when the next
+        // stage (gated) materializes (same discipline as every other
+        // funnel stage; unpersisted once gated is counted below)
         val kept = input
           .withColumn("__rn", row_number().over(wUrl))
           .filter(col("__rn") === 1)
           .drop("__rn")
+          .cache()
         (kept, Seq("url_dedup" -> kept.count()))
       case None => (input, Nil)
     }
@@ -136,6 +141,7 @@ object CurationPipeline {
       )
       .cache()
     val n1 = gated.count()
+    if (cfg.urlCol.isDefined) urlDeduped.unpersist()
 
     // ---- optional CCNet LM gate: keep documents the reference model
     // explains (integer cross-multiplied decision). The model join is

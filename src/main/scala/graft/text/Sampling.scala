@@ -179,8 +179,11 @@ object Sampling {
     *
     * Scale: one (source, n_tok) aggregate — the relation is
     * dimension-sized from there on; the apportionment window ranks
-    * #sources rows. Bounds: budget·w_q must stay < 2^63; w_q ≤
-    * 2^20·n^α keeps that safe through ~10^13-token corpora at α ≤ 1.
+    * #sources rows. Bounds: the apportionment products budget·w_q and
+    * base·w_sum are computed in DECIMAL(38,0) (they reach ~10^32 at a
+    * 10^13-token corpus with a full-corpus budget — past 2^63, where
+    * non-ANSI long arithmetic would silently wrap); only the final
+    * per-source target (≤ budget) is cast back to long.
     */
   def temperaturePlan(
       df: DataFrame,
@@ -200,9 +203,16 @@ object Sampling {
     df.groupBy(sourceCol)
       .agg(sum(TextAnalysis.tokenCountWs(col(textCol))).as("n_tok_total"))
       .withColumn("w_q", floor(w * lit(1048576.0)).cast("long"))
-      .withColumn("__w_sum", sum(col("w_q")).over(wAll))
-      .withColumn("__base", expr(s"(${budgetTokens}L * w_q) div __w_sum"))
-      .withColumn("__rem", expr(s"${budgetTokens}L * w_q - __base * __w_sum"))
+      // budget·w_q overflows a long at advertised corpus scale
+      // (budget ~10^13 × w_q ~10^19); DECIMAL(38,0) holds the ~10^32
+      // products exactly. `div` (IntegralDivide) on decimals yields long.
+      .withColumn("__wq_d", col("w_q").cast("decimal(19,0)"))
+      .withColumn("__w_sum", sum(col("__wq_d")).over(wAll))
+      .withColumn("__base", expr(
+        s"(cast(${budgetTokens} as decimal(19,0)) * __wq_d) div __w_sum"))
+      .withColumn("__rem", expr(
+        s"cast(${budgetTokens} as decimal(19,0)) * __wq_d" +
+          " - cast(__base as decimal(38,0)) * __w_sum"))
       .withColumn("__extra", lit(budgetTokens) - sum(col("__base")).over(wAll))
       .withColumn("__rank", row_number().over(wRank).cast("long"))
       .withColumn("target_tok",
