@@ -22,29 +22,59 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Paragraph-level exact dedup (the C4 / Dolma recipe one level below
-    * document dedup): split every document into paragraphs, keep only
-    * the FIRST occurrence of each distinct paragraph corpus-wide
-    * (first = smallest (id, paragraph index)), and reassemble each
-    * document from its surviving paragraphs. Boilerplate that repeats
-    * across pages (nav text, footers, license blurbs) dies here while
-    * the unique prose survives.
+    * document dedup): split every document into NEWLINE-delimited
+    * paragraphs (trimmed; blank lines dropped), keep only the FIRST
+    * occurrence of each distinct paragraph corpus-wide (first =
+    * smallest (id, paragraph index)), and reassemble each document
+    * from its surviving paragraphs, newline-joined. Boilerplate that
+    * repeats across pages (nav text, footers, license blurbs) dies
+    * here while the unique prose survives. Because paragraphs are the
+    * document's OWN line structure, a duplicate paragraph is caught
+    * wherever it sits in the page: an insertion above it shifts every
+    * fixed-width window out of alignment but leaves the paragraph
+    * itself — and its digest — intact (TextDedupSpec pins this).
     *
-    * The corpus tables carry no newline structure, so "paragraph" is
-    * parameterized: any (id, para_idx, para) relation works, and the
-    * default derivation is fixed-width word windows via
-    * [[graft.text.TextAnalysis.chunkByTokens]] (overlap 0).
+    * For corpora without newline structure use [[windowDedup]], the
+    * fixed word-count-window face of the same first-occurrence rule.
     *
-    * Scale shape: the first-occurrence rank shuffles ONLY (md5(para),
-    * id, idx) — 16-byte digests, never the paragraph text (at 100 TB
-    * a text-carrying rank shuffle would be the corpus itself); the
-    * surviving (id → kept idx set) relation is id-keyed and compact.
-    * Text moves exactly once, keyed by id, and the reassembly groupBy
-    * reuses that partitioning (no second text exchange). Docs whose
-    * every paragraph was seen before survive with clean_text=''
-    * (downstream length gates drop them, auditable rather than
-    * silently vanished).
+    * Scale shape (shared with windowDedup): the first-occurrence rank
+    * shuffles ONLY (md5(para), id, idx) — 16-byte digests, never the
+    * paragraph text (at 100 TB a text-carrying rank shuffle would be
+    * the corpus itself); the surviving (id → kept idx set) relation is
+    * id-keyed and compact. Text moves exactly once, keyed by id, and
+    * the reassembly groupBy reuses that partitioning (no second text
+    * exchange). Docs whose every paragraph was seen before survive
+    * with clean_text='' (downstream length gates drop them, auditable
+    * rather than silently vanished).
     */
   def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val paras = df
+      .select(col(idCol), posexplode(lines).as(Seq("para_idx", "__raw")))
+      .withColumn("para", trim(col("__raw")))
+      .filter(col("para") =!= "")
+      .select(col(idCol), col("para_idx").cast("long").as("para_idx"),
+        col("para"))
+    // paragraph count is arithmetic over the doc's own lines — no
+    // second explode pass over the corpus
+    val nParas = when(col(textCol).isNotNull,
+      size(filter(lines, p => trim(p) =!= "")).cast("long"))
+      .otherwise(0L)
+    firstOccurrenceDedup(df, paras, idCol, nParas, joiner = "\n")
+  }
+
+  /** Fixed word-count-window exact dedup: the [[paragraphDedup]]
+    * first-occurrence rule over fixed-width word windows
+    * ([[graft.text.TextAnalysis.chunkByTokens]], overlap 0) — for
+    * corpora whose text carries no newline structure. Windows misalign
+    * under insertions (a shifted duplicate region stops matching), so
+    * prefer true paragraphs whenever the text has them.
+    */
+  def windowDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -53,6 +83,26 @@ object Dedup {
     val paras = graft.text.TextAnalysis
       .chunkByTokens(df, idCol, textCol, maxTokens = wordsPerPara, overlap = 0)
       .select(col(idCol), col("chunk_idx").as("para_idx"), col("chunk").as("para"))
+    // chunkByTokens' own nChunks formula at overlap 0
+    val nParas = greatest(
+      ceil(size(split(col(textCol), " ")).cast("double") / wordsPerPara),
+      lit(1)).cast("long")
+    firstOccurrenceDedup(df, paras, idCol, nParas, joiner = " ")
+  }
+
+  /** Shared core of [[paragraphDedup]] / [[windowDedup]]: corpus-wide
+    * first-occurrence rank on paragraph digests, then per-doc
+    * reassembly of the survivors in original order. See
+    * [[paragraphDedup]] for the scale argument (rank exchange is
+    * digest-only; ScaleSpec asserts it).
+    */
+  private def firstOccurrenceDedup(
+      df: DataFrame,
+      paras: DataFrame,
+      idCol: String,
+      nParas: Column,
+      joiner: String
+  ): DataFrame = {
     val w = Window
       .partitionBy(col("__digest"))
       .orderBy(col(idCol).asc, col("para_idx").asc)
@@ -71,13 +121,8 @@ object Dedup {
           transform(
             array_sort(collect_list(struct(col("para_idx"), col("para")))),
             x => x.getField("para")),
-          " ").as("clean_text"),
+          joiner).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    // paragraph count is arithmetic (chunkByTokens' own nChunks formula
-    // at overlap 0) — no third explode pass over the corpus
-    val nParas = greatest(
-      ceil(size(split(col(textCol), " ")).cast("double") / wordsPerPara),
-      lit(1)).cast("long")
     df.select(col(idCol), nParas.as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
       .select(

@@ -105,11 +105,11 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
-      "q_text_paragraph_dedup",
+      "q_text_window_dedup",
       covers = "paragraph-dedup,D1",
       fn = (s, dir) =>
         graft.dedup.Dedup
-          .paragraphDedup(table(s, dir, "documents"), "doc_id", "text",
+          .windowDedup(table(s, dir, "documents"), "doc_id", "text",
             wordsPerPara = 8)
           .withColumn("clean_md5", md5(col("clean_text")))
           .drop("clean_text")
@@ -142,10 +142,74 @@ object CurationOpsQueries {
           |JOIN np ON d.doc_id = np.doc_id
           |ORDER BY d.doc_id""".stripMargin
       ),
-      doc = "paragraph-level exact dedup (C4/Dolma recipe): 8-word " +
-        "windows, first corpus-wide occurrence survives, documents " +
-        "reassembled from surviving paragraphs (digest-compared); " +
-        "shuffle carries 16-byte digests, never paragraph text"
+      doc = "fixed-window exact dedup (windowDedup): 8-word windows, " +
+        "first corpus-wide occurrence survives, documents reassembled " +
+        "from surviving windows (digest-compared); shuffle carries " +
+        "16-byte digests, never window text"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_paragraph_dedup",
+      covers = "paragraph-dedup,D1",
+      fn = (s, dir) => {
+        // newline-structured fixture from the corpus: a lead paragraph
+        // of doc-varying length, a corpus-wide boilerplate footer (only
+        // its first occurrence survives), and a second prose paragraph
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = split(col("text"), " ")
+        val cut = (col("doc_id") % 5L + 1L).cast("int")
+        val fixture = d.select(
+          col("doc_id"),
+          concat_ws("\n",
+            concat_ws(" ", slice(toks, lit(1), cut)),
+            lit("subscribe to our newsletter for updates"),
+            concat_ws(" ", slice(toks, cut + 1, lit(6)))).as("text"))
+        graft.dedup.Dedup
+          .paragraphDedup(fixture, "doc_id", "text")
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          |    CAST(doc_id % 5 + 1 AS INT) AS cut FROM documents),
+          |f AS (SELECT doc_id,
+          |    array_to_string(list_slice(toks, 1, cut), ' ') || chr(10) ||
+          |    'subscribe to our newsletter for updates' || chr(10) ||
+          |    array_to_string(list_slice(toks, cut + 1, cut + 6), ' ') AS text
+          |  FROM t),
+          |lines AS (SELECT doc_id,
+          |    CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT)
+          |      AS para_idx,
+          |    unnest(string_split(text, chr(10))) AS raw
+          |  FROM f),
+          |paras AS (SELECT doc_id, para_idx, trim(raw) AS para
+          |  FROM lines WHERE trim(raw) <> ''),
+          |r AS (SELECT doc_id, para_idx, para,
+          |    row_number() OVER (PARTITION BY md5(para)
+          |                       ORDER BY doc_id, para_idx) AS occ
+          |  FROM paras),
+          |rb AS (SELECT doc_id,
+          |    string_agg(para, chr(10) ORDER BY para_idx) AS clean_text,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM r WHERE occ = 1 GROUP BY doc_id),
+          |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+          |  FROM paras GROUP BY doc_id)
+          |SELECT f.doc_id,
+          |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(coalesce(np.n_paras, 0) - coalesce(rb.n_kept, 0) AS BIGINT)
+          |    AS n_dropped,
+          |  md5(coalesce(rb.clean_text, '')) AS clean_md5
+          |FROM f
+          |LEFT JOIN rb ON f.doc_id = rb.doc_id
+          |LEFT JOIN np ON f.doc_id = np.doc_id
+          |ORDER BY f.doc_id""".stripMargin
+      ),
+      doc = "paragraph-level exact dedup (C4/Dolma recipe): NEWLINE-" +
+        "delimited paragraphs (trimmed, blanks dropped), first " +
+        "corpus-wide occurrence survives, documents reassembled " +
+        "newline-joined; a shared footer paragraph dies everywhere " +
+        "but its first page; shuffle carries 16-byte digests only"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -58,11 +58,13 @@ object CurationPipeline {
         * batch-only.
         */
       urlCol: Option[String] = None,
-      /** optional paragraph-level exact dedup (Dedup.paragraphDedup,
-        * the C4/Dolma recipe) after exact dedup: fixed-width word
-        * windows, first corpus-wide occurrence survives, docs
-        * reassembled; docs emptied by the cut drop out. Corpus-global
-        * — batch-only.
+      /** optional sub-document exact dedup (Dedup.windowDedup, the
+        * C4/Dolma first-occurrence recipe over fixed-width word
+        * windows — the corpus tables carry no newline structure; use
+        * Dedup.paragraphDedup directly for newline-structured text)
+        * after exact dedup: first corpus-wide occurrence survives,
+        * docs reassembled; docs emptied by the cut drop out.
+        * Corpus-global — batch-only.
         */
       paragraphDedupWords: Option[Int] = None,
       chunkTokens: Int = 256,
@@ -182,7 +184,7 @@ object CurationPipeline {
     val paraDeduped = cfg.paragraphDedupWords match {
       case Some(wpp) =>
         val pd = Dedup
-          .paragraphDedup(exactDeduped.select(col(idCol), col(textCol)),
+          .windowDedup(exactDeduped.select(col(idCol), col(textCol)),
             idCol, textCol, wpp)
           .filter(col("n_kept") > 0L)
           .select(col(idCol), col("clean_text").as("__para_text"))

@@ -89,20 +89,26 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
-  test("paragraphDedup's rank exchange carries digests only, never paragraph text") {
+  test("paragraphDedup/windowDedup rank exchange carries digests only, never text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val p = graft.dedup.Dedup
-      .paragraphDedup(docs, "doc_id", "text", wordsPerPara = 8)
-      .queryExecution.executedPlan.toString
-    // the rank shuffle partitions by the digest...
-    val at = p.indexOf("Exchange hashpartitioning(__digest")
-    assert(at >= 0, s"no digest-keyed rank exchange found:\n$p")
-    // ...and the projection feeding it must not carry the paragraph
-    // text attribute (para#N) — only (doc_id, para_idx, __digest)
-    val feeder = p.substring(at, p.indexOf("\n", p.indexOf("Project [", at)))
-    assert(feeder.contains("__digest") && !feeder.contains(" para#") &&
-      !feeder.contains("[para#") && !feeder.contains(", para#"),
-      s"rank exchange feeder carries paragraph text:\n$feeder")
+    val plans = Seq(
+      "windowDedup" -> graft.dedup.Dedup
+        .windowDedup(docs, "doc_id", "text", wordsPerPara = 8)
+        .queryExecution.executedPlan.toString,
+      "paragraphDedup" -> graft.dedup.Dedup
+        .paragraphDedup(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString)
+    for ((name, p) <- plans) {
+      // the rank shuffle partitions by the digest...
+      val at = p.indexOf("Exchange hashpartitioning(__digest")
+      assert(at >= 0, s"$name: no digest-keyed rank exchange found:\n$p")
+      // ...and the projection feeding it must not carry the paragraph
+      // text attribute (para#N) — only (doc_id, para_idx, __digest)
+      val feeder = p.substring(at, p.indexOf("\n", p.indexOf("Project [", at)))
+      assert(feeder.contains("__digest") && !feeder.contains(" para#") &&
+        !feeder.contains("[para#") && !feeder.contains(", para#"),
+        s"$name: rank exchange feeder carries paragraph text:\n$feeder")
+    }
   }
 
   test("GraftExtensions injects native SQL functions") {

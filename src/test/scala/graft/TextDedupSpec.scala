@@ -346,9 +346,9 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
-  test("paragraphDedup keeps first corpus-wide occurrence, reassembles in order") {
-    // 2-word paragraphs: doc 1 = [a b][c d], doc 2 = [a b][x y],
-    // doc 3 = [c d][a b] (both paras seen before), doc 4 unique
+  test("windowDedup keeps first corpus-wide occurrence, reassembles in order") {
+    // 2-word windows: doc 1 = [a b][c d], doc 2 = [a b][x y],
+    // doc 3 = [c d][a b] (both windows seen before), doc 4 unique
     val corpus = Seq(
       (1L, "a b c d"),
       (2L, "a b x y"),
@@ -356,7 +356,7 @@ class TextDedupSpec extends SparkTestBase {
       (4L, "p q r")
     ).toDF("doc_id", "text")
     val out = Dedup
-      .paragraphDedup(corpus, "doc_id", "text", wordsPerPara = 2)
+      .windowDedup(corpus, "doc_id", "text", wordsPerPara = 2)
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -414,12 +414,60 @@ class TextDedupSpec extends SparkTestBase {
       (6L, 6L, 1L, true))) // singleton: own component, size 1
   }
 
-  test("paragraphDedup within-doc repeat keeps only the earliest index") {
+  test("windowDedup within-doc repeat keeps only the earliest index") {
     val corpus = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
     val out = Dedup
-      .paragraphDedup(corpus, "doc_id", "text", wordsPerPara = 2)
+      .windowDedup(corpus, "doc_id", "text", wordsPerPara = 2)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((7L, "a b", 1L, 2L)))
+  }
+
+  test("paragraphDedup splits on newlines, trims, drops blank lines") {
+    val corpus = Seq(
+      (1L, "alpha beta\n\n  shared footer  \ngamma"),
+      (2L, "delta\nshared footer\nepsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 3 non-blank paragraphs, all first occurrences (trimmed)
+    assert(out(0) == ((1L, "alpha beta\nshared footer\ngamma", 3L, 0L)))
+    // doc 2: "shared footer" already seen (trim-normalized match)
+    assert(out(1) == ((2L, "delta\nepsilon zeta", 2L, 1L)))
+  }
+
+  test("paragraphDedup catches a duplicate paragraph shifted by an insertion") {
+    // doc 2 repeats doc 1's license paragraph but an extra intro line
+    // shifts it down — fixed word windows would misalign and miss it;
+    // newline paragraphs catch it regardless of position
+    val licensePara = "this content is licensed under creative commons"
+    val corpus = Seq(
+      (1L, s"original prose here\n$licensePara"),
+      (2L, s"brand new intro line\nwith a second line\n$licensePara\nmore prose")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, s"original prose here\n$licensePara", 2L, 0L)))
+    // the shifted duplicate is dropped from doc 2
+    assert(out(1) == ((2L,
+      "brand new intro line\nwith a second line\nmore prose", 3L, 1L)))
+
+    // contrast: fixed windows miss a duplicate region shifted by one
+    // word (misaligned windows never reproduce the same digest)
+    val flat = Seq(
+      (10L, "p q r s t u v w"),
+      (11L, "x p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val windowed = Dedup
+      .windowDedup(flat, "doc_id", "text", wordsPerPara = 4)
+      .filter(col("doc_id") === 11L)
+      .collect()
+    assert(windowed.head.getAs[Long]("n_dropped") == 0L)
   }
 }
