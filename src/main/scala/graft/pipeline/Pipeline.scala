@@ -67,6 +67,25 @@ final case class LinearProbeClassifier(sampleRate: Int = 16000) extends AudioCla
     Array(1.5, -60.0, -5.0, -10.0, -4.0, -4.0, -4.0, -4.0))
 
   def classifyBatch(batch: Seq[Array[Double]]): Seq[Seq[LabelScore]] =
+    AffineSoftmax.score(labels, weights, sampleRate, batch)
+
+  /** Serialize this probe's head to [[FileWeightsClassifier]]'s
+    * artifact format — the export step of a training run.
+    */
+  def save(path: String): Unit =
+    FileWeightsClassifier.write(path, labels, weights)
+}
+
+/** Shared forward pass of the linear heads: affine map over
+  * WavFeatureDecoder's 8 features (bias + 7 shape features) + softmax,
+  * labels ranked by descending probability.
+  */
+private[pipeline] object AffineSoftmax {
+  def score(
+      labels: Array[String],
+      weights: Array[Array[Double]],
+      sampleRate: Int,
+      batch: Seq[Array[Double]]): Seq[Seq[LabelScore]] =
     batch.map { w =>
       val f = graft.multimodal.WavFeatureDecoder.featuresOf(sampleRate, w)
       // feature 0 is duration — the probe uses the 7 shape features
@@ -88,6 +107,62 @@ final case class LinearProbeClassifier(sampleRate: Int = 16000) extends AudioCla
         .map { case (l, p) => LabelScore(l, p) }
         .toSeq
     }
+}
+
+/** SERIALIZED-MODEL classifier: the linear head is not compiled in —
+  * it loads from a weights ARTIFACT on first use, lazily, inside the
+  * executor task that calls [[classifyBatch]] (i.e. inside
+  * mapPartitions/flatMapGroups on the cluster, never on the driver).
+  * Only the path string is serialized into the task closure; the
+  * parsed model is cached per executor JVM by lazy-val semantics.
+  * This is the loading story of a real exported checkpoint (reference
+  * analog audio_ac.py:35-40 loads a pretrained AST head the same way):
+  * retraining ships a new artifact — a data change, not a code change.
+  *
+  * Artifact format (plain text, engine-neutral): line 1 = TAB-separated
+  * label names; one line per label after that = 8 whitespace-separated
+  * decimal weights (bias + 7 features, [[AffineSoftmax]] order). At
+  * cluster scale the path must resolve on every executor — shared
+  * storage or `SparkContext.addFile` + `SparkFiles.get`.
+  */
+final case class FileWeightsClassifier(path: String, sampleRate: Int = 16000)
+    extends AudioClassifier {
+  @transient private lazy val model: (Array[String], Array[Array[Double]]) = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val lines = src.getLines().filter(_.trim.nonEmpty).toArray
+      require(lines.length >= 2, s"weights artifact $path is empty")
+      val labels = lines.head.split("\t").map(_.trim)
+      val w = lines.tail.map(_.trim.split("\\s+").map(_.toDouble))
+      require(w.length == labels.length,
+        s"weights artifact $path: ${labels.length} labels but ${w.length} weight rows")
+      require(w.forall(_.length == 8),
+        s"weights artifact $path: every row needs 8 weights (bias + 7 features)")
+      (labels, w)
+    } finally src.close()
+  }
+
+  def classifyBatch(batch: Seq[Array[Double]]): Seq[Seq[LabelScore]] = {
+    val (labels, weights) = model
+    AffineSoftmax.score(labels, weights, sampleRate, batch)
+  }
+}
+
+object FileWeightsClassifier {
+  /** Write a weights artifact in the format [[FileWeightsClassifier]]
+    * loads. Doubles are serialized via toString (shortest round-trip
+    * representation), so save → load is bit-exact.
+    */
+  def write(path: String, labels: Array[String], weights: Array[Array[Double]]): Unit = {
+    require(labels.length == weights.length && weights.forall(_.length == 8),
+      "one 8-weight row per label")
+    val sb = new StringBuilder
+    sb.append(labels.mkString("\t")).append('\n')
+    weights.foreach(row => sb.append(row.mkString(" ")).append('\n'))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 /** The composed flagship dataflow (SURVEY §3.1), one logical plan:

@@ -33,10 +33,16 @@ object PipelineQueries {
             concat(lit("https://yt/c/"), col("c_custkey")).as("url")
           )
         val ingested = s.range(0, 0).select(col("id").cast("string").as("video_id"))
+        // the scorer loads from a serialized weights artifact on the
+        // executors (G4's real model-loading path); the artifact is the
+        // exported linear-probe head, written driver-side as a fixture
+        val wPath = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_e2e_probe_head.tsv").getPath
+        graft.pipeline.LinearProbeClassifier().save(wPath)
         val out = Pipeline.run(
           s, channels, ingested,
           new FakeAudioFetcher(segmentSeconds = 2),
-          FakeClassifier,
+          graft.pipeline.FileWeightsClassifier(wPath),
           Pipeline.Config(minSnr = 12.0, minSpeechScore = 0.5,
             minVideoDurationS = 4, shortVideoS = 3)
         )

@@ -91,6 +91,56 @@ class PipelineSpec extends SparkTestBase {
     assert(probe.classifyBatch(Seq(speechy)).head == sp)
   }
 
+  test("FileWeightsClassifier: save → load is bit-exact with the in-memory probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_weights").toString
+    val path = s"$dir/probe_head.tsv"
+    val probe = graft.pipeline.LinearProbeClassifier()
+    probe.save(path)
+    val loaded = graft.pipeline.FileWeightsClassifier(path)
+    val batch = Seq(
+      Array.tabulate(16000)(i => 0.4 * math.pow(math.sin(i * 0.05), 3)),
+      Array.fill(16000)(0.0001),
+      Array.tabulate(8000)(i => 0.3 * math.sin(i * 0.21)))
+    // identical labels AND identical double scores — the artifact
+    // round-trips the head exactly (toString shortest-repr doubles)
+    assert(loaded.classifyBatch(batch) == probe.classifyBatch(batch))
+  }
+
+  test("FileWeightsClassifier rejects a malformed artifact loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_weights").toString
+    val path = s"$dir/bad_head.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "Speech\tMusic\n1.0 2.0 3.0\n".getBytes("UTF-8"))
+    val bad = graft.pipeline.FileWeightsClassifier(path)
+    intercept[IllegalArgumentException] {
+      bad.classifyBatch(Seq(Array.fill(100)(0.1)))
+    }
+  }
+
+  test("pipeline e2e with the file-backed scorer matches the in-memory probe (G4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_weights").toString
+    val path = s"$dir/probe_head.tsv"
+    graft.pipeline.LinearProbeClassifier().save(path)
+    def runWith(c: graft.pipeline.AudioClassifier) = Pipeline.run(
+      spark,
+      mkChannels(("UC_file", 20L, 5000L)),
+      ingested = Seq.empty[String].toDF("video_id"),
+      fetcher = new FakeAudioFetcher(segmentSeconds = 4),
+      classifier = c,
+      cfg = Pipeline.Config(minSnr = 15.0, minSpeechScore = 0.5,
+        minVideoDurationS = 8, shortVideoS = 5))
+    val fromFile = runWith(graft.pipeline.FileWeightsClassifier(path))
+    val inMemory = runWith(graft.pipeline.LinearProbeClassifier())
+    val a = fromFile.segments
+      .select("video_id", "seg_idx", "speech_score", "selected")
+      .orderBy("video_id", "seg_idx").collect().toSeq
+    val b = inMemory.segments
+      .select("video_id", "seg_idx", "speech_score", "selected")
+      .orderBy("video_id", "seg_idx").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    fromFile.unpersist(); inMemory.unpersist()
+  }
+
   test("pipeline runs end-to-end with the non-fake linear-probe classifier (G4)") {
     val out = Pipeline.run(
       spark,
