@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SimilarityQueries {
 
-  val defs: Seq[QueryDef] = Seq(
+  private val baseDefs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
       "q_sim_cosine_const",
@@ -404,5 +404,74 @@ object SimilarityQueries {
         "verification — quantized-exact buckets and cosines, fully " +
         "oracle-checked"
     )
+  )
+
+  private def oracleOf(name: String): String =
+    baseDefs.find(_.name == name).get.oracle.get
+
+  /** ANN QUALITY metric: recall@5 of each approximate method against
+    * the brute-force baseline on identical probes, as integer rank-set
+    * intersections — the number every ANN deployment tunes against.
+    * Exactly oracle-checkable because every method's top-k set is
+    * already bit-deterministic (quantized-integer cosines, replayed
+    * k-means); the oracle literally embeds the four top-k oracles as
+    * subqueries and intersects them, so a recall drift in EITHER
+    * engine fails the gate.
+    */
+  val defs: Seq[QueryDef] = baseDefs :+ QueryDef(
+    "q_ann_recall",
+    covers = "ann-recall",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 8L)
+      // 40 rows — cached so the three method joins don't re-run the
+      // brute-force scan
+      val exact = Ann
+        .topKExact(
+          probes.withColumnRenamed("vec_id", "probe_id"),
+          e.withColumnRenamed("vec_id", "cand_id"),
+          "probe_id", "cand_id", "embedding", k = 5)
+        .select(col("probe_id"), col("cand_id"))
+        .cache()
+      val ivfIdx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+      val pqIdx = graft.similarity.Pq
+        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      val approx = Ann
+        .topKLsh(e, probes, "vec_id", "embedding", k = 5, bits = 4)
+        .select(lit("lsh").as("method"), col("probe_id"), col("cand_id"))
+        .unionByName(Ann
+          .topKIvf(ivfIdx, probes, "vec_id", "embedding", k = 5, nProbe = 4)
+          .select(lit("ivf").as("method"), col("probe_id"), col("cand_id")))
+        .unionByName(graft.similarity.Pq
+          .pqTopK(pqIdx, probes, "vec_id", "embedding", kNn = 5)
+          .select(lit("pq").as("method"), col("probe_id"), col("cand_id")))
+      approx
+        .join(exact.withColumn("__hit", lit(1L)), Seq("probe_id", "cand_id"), "left")
+        .groupBy(col("method"), col("probe_id"))
+        .agg(
+          count(col("__hit")).as("n_hits"),
+          count(lit(1)).as("n_returned"))
+        .orderBy("method", "probe_id")
+    },
+    oracle = Some(
+      "WITH ex AS (SELECT probe_id, cand_id FROM (\n" +
+        oracleOf("q_ann_topk_exact") + "\n)),\n" +
+        "u AS (\n" +
+        "  SELECT 'lsh' AS method, probe_id, cand_id FROM (\n" +
+        oracleOf("q_ann_topk_lsh") + "\n)\n" +
+        "  UNION ALL SELECT 'ivf' AS method, probe_id, cand_id FROM (\n" +
+        oracleOf("q_ann_topk_ivf") + "\n)\n" +
+        "  UNION ALL SELECT 'pq' AS method, probe_id, cand_id FROM (\n" +
+        oracleOf("q_ann_topk_pq") + "\n))\n" +
+        "SELECT u.method, u.probe_id,\n" +
+        "  CAST(count(ex.cand_id) AS BIGINT) AS n_hits,\n" +
+        "  CAST(count(*) AS BIGINT) AS n_returned\n" +
+        "FROM u LEFT JOIN ex ON ex.probe_id = u.probe_id AND ex.cand_id = u.cand_id\n" +
+        "GROUP BY u.method, u.probe_id\n" +
+        "ORDER BY u.method, u.probe_id"),
+    doc = "recall@5 of LSH/IVF/PQ against the exact top-k on identical " +
+      "probes — integer rank-set intersections per (method, probe); " +
+      "the approximate paths' QUALITY, not just their determinism, " +
+      "under the oracle gate"
   )
 }
