@@ -13,6 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object LayoutQueries {
 
+  /** Idempotent per-sfDir build of the month-partitioned fact the DPP
+    * query reads: ~83 ship-month directories under tmpdir, marker-file
+    * guarded so repeat invocations (and the Bench timed run, after
+    * Bench's untimed prepare pass) skip straight to the read.
+    */
+  private[queries] def dppFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_dpp_fact_$key").getPath
+    val marker = new java.io.File(path, "_GRAFT_READY")
+    // staleness guard: the marker records the source table's file
+    // signature, so a regenerated testdata dir forces a rebuild
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString("|")
+      else s"${f.length}:${f.lastModified}"
+    val want = sig(new java.io.File(dir, "lineitem.parquet"))
+    val fresh = marker.exists &&
+      java.nio.file.Files.readString(marker.toPath) == want
+    if (!fresh) {
+      val li = table(s, dir, "lineitem")
+        .select(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .as("ship_month"),
+          col("l_quantity"))
+      Layout.writePartitioned(li, path, "ship_month")
+      java.nio.file.Files.writeString(marker.toPath, want)
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
@@ -115,6 +149,38 @@ object LayoutQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_layout_bucket_prune",
+      covers = "layout,bucket-pruning,point-lookup",
+      fn = (s, dir) => {
+        // Point lookups on the bucket key: hash(doc_id) names the ONE
+        // bucket each probe can live in, so the scan opens ≤ 4 of the
+        // 8 bucket files — at 100 TB with 2^18 buckets that is a
+        // corpus/262144-sized read per probe, the index-free point-get
+        // this layout exists for. autoBucketedScan would turn the
+        // bucketed scan (and with it bucket pruning) OFF here because
+        // no join/agg wants the hash distribution; pinned off for the
+        // session — every other bucketed query WANTS the bucketed
+        // scan, so this is a safe global default for the engine.
+        // LayoutSpec asserts SelectedBucketsCount on this exact shape.
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val docs = table(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        Layout.writeBucketed(docs, "graft_bkt_point", "doc_id", buckets = 8)
+        Layout.readTable(s, "graft_bkt_point")
+          .filter(col("doc_id").isin(7L, 42L, 123L, 444L))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (7, 42, 123, 444) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "bucket-pruned point lookup: an IN-list filter on the " +
+        "bucket key scans only the buckets the probed keys hash to " +
+        "(SelectedBucketsCount ≤ 4 of 8, plan-asserted in LayoutSpec) " +
+        "— the oracle replays the lookup over the raw table"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_layout_partition_dpp",
       covers = "layout,partition-pruning,dpp",
       fn = (s, dir) => {
@@ -124,16 +190,10 @@ object LayoutQueries {
         // BEFORE any file is opened. The join key stays the raw
         // inferred partition column (int) — a cast there would defeat
         // the PartitionPruning rule; the long cast happens after the
-        // aggregate, where the driver hash needs int64.
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_dpp_fact").getPath
-        val li = table(s, dir, "lineitem")
-          .select(
-            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-              .as("ship_month"),
-            col("l_quantity"))
-        Layout.writePartitioned(li, path, "ship_month")
-        val fact = s.read.parquet(path)
+        // aggregate, where the driver hash needs int64. The fixture
+        // build is idempotent and Bench pre-builds it untimed, so the
+        // bench number measures the pruned read, not the 83-dir write.
+        val fact = s.read.parquet(dppFixture(s, dir))
         val dim = table(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT" &&
             year(col("o_orderdate")) === 1996)
@@ -171,7 +231,8 @@ object LayoutQueries {
         "dynamicpruningexpression on the fact scan, so only the " +
         "surviving month directories are read (LayoutSpec asserts the " +
         "plan shape and that pruned-scan output rows shrink ~7x); the " +
-        "oracle replays the join over the raw table"
+        "oracle replays the join over the raw table",
+      prepare = Some((s, dir) => { dppFixture(s, dir); () })
     )
   )
 }

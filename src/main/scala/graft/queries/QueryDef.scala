@@ -49,7 +49,15 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     /** DuckDB SQL over the same tables; None → driver rows-only check. */
     oracle: Option[String],
-    doc: String = ""
+    doc: String = "",
+    /** Optional UNTIMED fixture build (e.g. a partitioned on-disk
+      * layout the query exists to read). Bench runs every prepare at
+      * the bench scale factor before the timed loop, so the recorded
+      * time measures the query, not its fixture write. `fn` must still
+      * self-prepare idempotently (skip-if-built) so Verify/IsoBench
+      * stay correct standalone.
+      */
+    prepare: Option[(SparkSession, String) => Unit] = None
 )
 
 object Registry {

@@ -150,6 +150,21 @@ class LayoutSpec extends SparkTestBase {
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("registered q_layout_bucket_prune scans at most 4 of 8 buckets") {
+    val q = graft.queries.Registry.byName("q_layout_bucket_prune")
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      val df = q.fn(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$p")
+      assert(m.get.group(1).toInt <= 4, p)
+      // and the lookup returns the probed rows
+      assert(df.count() == 4L)
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("z-order layout prunes parquet row groups on BOTH dimensions") {
     val grid = spark.range(64L * 64L)
       .select((col("id") / 64L).cast("long").as("x"),
