@@ -254,9 +254,162 @@ object TextQueries {
           .crossJoin(packStats)
           .orderBy("stage")
       },
-      oracle = None, // composition; each stage is oracle-checked alone
+      // The WHOLE funnel replayed: every stage's existing oracle
+      // re-sourced to read from the previous stage's CTE — gate
+      // (langid + quality + token floor) → exact dedup window →
+      // 32-word window dedup → MinHash-LSH pairs at j≥0.8 →
+      // recursive-CTE components → drop non-canonical → PII redaction
+      // → chunk/packing rollups. Integer stage counts make the
+      // composite exactly checkable, not just rows-only.
+      oracle = Some(
+        """WITH ql AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n_cjk > 0 THEN 'zh'
+          |         WHEN s_de = g AND g > 0 THEN 'de'
+          |         WHEN s_en = g AND g > 0 THEN 'en'
+          |         WHEN s_es = g AND g > 0 THEN 'es'
+          |         WHEN s_fr = g AND g > 0 THEN 'fr'
+          |         ELSE 'und' END AS lang_pred,
+          |    n_tokens,
+          |    (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0
+          |     + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |     + CASE WHEN n_nonspace / CAST(n_tokens AS DOUBLE) >= 3.0
+          |            AND n_nonspace / CAST(n_tokens AS DOUBLE) <= 10.0
+          |            THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+          |  FROM (
+          |    SELECT doc_id,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('der','die','das','und','ein','eine','von','zu'))) AS s_de,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('el','la','de','los','las','un','una','por'))) AS s_es,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+          |      greatest(
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('der','die','das','und','ein','eine','von','zu'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('the','a','of','and','to','in','is','it'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('el','la','de','los','las','un','una','por'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('le','la','et','les','des','un','une','du')))) AS g,
+          |      len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+          |      length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          |      len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          |      len(list_filter(string_split(text, ' '),
+          |        t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+          |      CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace
+          |    FROM documents)),
+          |gate AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN ql USING (doc_id)
+          |  WHERE ql.lang_pred IN ('en','fr','es','de','zh')
+          |    AND ql.quality >= 0.25 AND ql.n_tokens >= 8),
+          |exact AS (
+          |  SELECT doc_id, text FROM (
+          |    SELECT doc_id, text,
+          |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM gate) WHERE rn = 1),
+          |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact),
+          |wn AS (SELECT doc_id, toks,
+          |         greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1) AS nch FROM wt),
+          |wc AS (SELECT doc_id, toks, unnest(range(nch)) AS i FROM wn),
+          |wp AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+          |         array_to_string(list_slice(toks, i*32 + 1, i*32 + 32), ' ') AS para
+          |       FROM wc),
+          |wr AS (SELECT doc_id, para_idx, para,
+          |         row_number() OVER (PARTITION BY md5(para)
+          |                            ORDER BY doc_id, para_idx) AS occ
+          |       FROM wp),
+          |para AS (SELECT doc_id,
+          |           string_agg(para, ' ' ORDER BY para_idx) AS text
+          |         FROM wr WHERE occ = 1 GROUP BY doc_id),
+          |mt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM para),
+          |mg AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      list_transform(range(1, len(toks) - 1),
+          |        i -> list_reduce(
+          |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |            list_transform(range(1, length(array_to_string(toks[i:i+2], ' ')) + 1),
+          |              k -> CAST(unicode(array_to_string(toks[i:i+2], ' ')[k:k]) AS HUGEINT))),
+          |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)),
+          |      hu -> CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+          |            THEN hu - 18446744073709551616 ELSE hu END AS BIGINT))) AS xs
+          |  FROM mt WHERE len(toks) >= 3),
+          |msg AS (
+          |  SELECT doc_id, xs, len(xs) AS n_sh,
+          |    list_transform(range(0, 32),
+          |      i -> list_min(list_transform(xs,
+          |        x -> ((((x % 2147483647) + 2147483647) % 2147483647)
+          |              * (104729 * i + 12345) + 15485863 * (i + 1)) % 2147483647))) AS sig
+          |  FROM mg WHERE len(xs) > 0),
+          |mbd AS (
+          |  SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM msg),
+          |mcand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM mbd x JOIN mbd y ON x.band = y.band AND x.doc_id < y.doc_id
+          |    AND x.sig[4 * x.band + 1] = y.sig[4 * y.band + 1]
+          |    AND x.sig[4 * x.band + 2] = y.sig[4 * y.band + 2]
+          |    AND x.sig[4 * x.band + 3] = y.sig[4 * y.band + 3]
+          |    AND x.sig[4 * x.band + 4] = y.sig[4 * y.band + 4]),
+          |mpairs AS (
+          |  SELECT a, b FROM mcand
+          |  JOIN msg ga ON ga.doc_id = a JOIN msg gb ON gb.doc_id = b
+          |  WHERE CAST(len(list_intersect(ga.xs, gb.xs)) AS DOUBLE)
+          |      / CAST(ga.n_sh + gb.n_sh - len(list_intersect(ga.xs, gb.xs)) AS DOUBLE)
+          |      >= 0.8),
+          |medges AS (SELECT a AS src, b AS dst FROM mpairs
+          |           UNION SELECT b, a FROM mpairs),
+          |mreach AS (
+          |  WITH RECURSIVE r(node, mn) AS (
+          |    SELECT src, src FROM medges
+          |    UNION
+          |    SELECT e.dst, r.mn FROM r JOIN medges e ON e.src = r.node
+          |  ) SELECT node, min(mn) AS component FROM r GROUP BY node),
+          |mdrop AS (SELECT node AS doc_id FROM mreach WHERE node <> component),
+          |clean AS (
+          |  SELECT p.doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(p.text,
+          |      'https?://[^\s]+', '<URL>', 'g'),
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |      '\+\d[\d -]{7,14}\d|\(?\d{3}\)?[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')
+          |      AS clean_text
+          |  FROM para p LEFT JOIN mdrop USING (doc_id)
+          |  WHERE mdrop.doc_id IS NULL),
+          |cn AS (SELECT doc_id,
+          |         CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n
+          |       FROM clean),
+          |cstat AS (
+          |  SELECT CAST(sum(nch) AS BIGINT) AS n_chunks,
+          |    CAST(sum(list_sum(list_transform(range(nch),
+          |      i -> least(n - i*224, 256)))) AS BIGINT) AS chunk_tokens
+          |  FROM (SELECT doc_id, n,
+          |          greatest(CAST(ceil((n - 32) / 224.0) AS INT), 1) AS nch
+          |        FROM cn)),
+          |pstat AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+          |    CAST((sum(n) - 1) // 2048 + 1 AS BIGINT) AS n_sequences
+          |  FROM cn),
+          |funnel AS (
+          |  SELECT 'input' AS stage,
+          |    (SELECT count(*) FROM documents) AS n_docs
+          |  UNION ALL SELECT 'lang_quality_gate', (SELECT count(*) FROM gate)
+          |  UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM exact)
+          |  UNION ALL SELECT 'near_paragraph_dedup', (SELECT count(*) FROM clean))
+          |SELECT f.stage, CAST(f.n_docs AS BIGINT) AS n_docs,
+          |  c.n_chunks, c.chunk_tokens, p.total_tokens, p.n_sequences
+          |FROM funnel f CROSS JOIN cstat c CROSS JOIN pstat p
+          |ORDER BY f.stage""".stripMargin
+      ),
       doc = "complete training-data curation pass: lang/quality gates → " +
-        "exact + near-dup dedup → PII redaction → chunking → packing"
+        "exact + 32-word-window dedup → LSH near-dup drop → PII " +
+        "redaction → chunking → packing; the oracle replays EVERY " +
+        "stage (chained CTEs re-sourcing each per-stage oracle) so the " +
+        "funnel's integer stage counts and chunk/pack rollups are " +
+        "exactly checked"
     ),
     // ----------------------------------------------------------------
     QueryDef(
