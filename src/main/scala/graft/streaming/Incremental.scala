@@ -126,6 +126,50 @@ object Incremental {
       .withColumn("clean_text", TextAnalysis.redactPii(col(textCol)))
   }
 
+  /** T2 + curation + layout composed as a STREAM — the batch corpus
+    * refresh (q_corpus_refresh_e2e) in its actual operating mode
+    * (reference analog: the resumable main loop,
+    * data_pipeline.py:682-696): each micro-batch of crawled docs
+    * passes the Bloom-prefiltered resume anti-join against the STATIC
+    * ingested history (rows the broadcast filter rejects are
+    * definitely novel and skip the stream-static anti-join entirely),
+    * then the stateless curation gates + watermark-keyed exact
+    * content dedup (state spans micro-batches), and the survivors
+    * land as APPENDS to the bucketed refresh corpus — appendBucketed
+    * keeps the layout, so read-back key joins/aggs stay exchange-free
+    * after every batch. Near-dup clustering and packing are
+    * corpus-global and stay batch over the accumulated table (the
+    * lambda split, see [[curationStream]]).
+    */
+  def refreshStream(
+      docs: DataFrame, // streaming; (idCol, textCol, eventTimeCol)
+      history: DataFrame, // static ingested-id relation
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      tableName: String,
+      checkpointDir: String,
+      cfg: graft.text.CurationPipeline.Config = graft.text.CurationPipeline.Config(),
+      watermarkDelay: String = "1 hour",
+      buckets: Int = 8
+  ): StreamingQuery = {
+    val novel = graft.dedup.Dedup.bloomAntiJoin(docs, history, idCol)
+    val curated = curationStream(novel, idCol, textCol, eventTimeCol, cfg, watermarkDelay)
+      .select(col(idCol), col("lang_pred"), col("clean_text"))
+    curated.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (s.catalog.tableExists(tableName))
+          graft.layout.Layout.appendBucketed(batch, tableName)
+        else
+          graft.layout.Layout.writeBucketed(batch, tableName, idCol, buckets)
+      }
+      .start()
+  }
+
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the
     * lowest (salted-md5, id) pairs, folded across micro-batches and

@@ -157,6 +157,67 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"got: ${urls.mkString(", ")}")
   }
 
+  test("streaming corpus refresh equals the batch composite across micro-batches") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graftrefresh")
+    // the crawl arrives in TWO micro-batches (split by doc parity);
+    // 2/3 of it is already-ingested history and must die at the Bloom
+    // front door without reaching the funnel
+    src.filter(col("doc_id") % 2L === 0L)
+      .write.parquet(dir.resolve("a").toString)
+    src.filter(col("doc_id") % 2L =!= 0L)
+      .write.parquet(dir.resolve("b").toString)
+    val history = src.filter(col("doc_id") % 3L =!= 0L).select("doc_id")
+    val cfg = graft.text.CurationPipeline.Config()
+    val tableName = "graft_refresh_stream_t"
+    val ckpt = Files.createTempDirectory("graftrefreshckpt").toString
+    try {
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString + "/*")
+      val q = Incremental.refreshStream(
+        stream.withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L)),
+        history, "doc_id", "text", "ets", tableName, ckpt, cfg)
+      q.awaitTermination()
+
+      // batch face of the same composite: plain anti-join (bloom is
+      // bit-identical by TextDedupSpec), gates, exact content dedup,
+      // redaction
+      import graft.text.TextAnalysis
+      val novel = src.join(history, Seq("doc_id"), "left_anti")
+      val batchClean = novel
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")))
+        .filter(
+          col("lang_pred").isin(cfg.allowedLangs: _*) &&
+            col("quality") >= cfg.minQuality &&
+            col("n_tok") >= cfg.minTokens)
+        .select(md5(TextAnalysis.redactPii(col("text"))).as("k"))
+        .distinct().as[String].collect().toSet
+
+      val table = graft.layout.Layout.readTable(spark, tableName)
+      val streamKeys = table.select(md5(col("clean_text")).as("k"))
+        .as[String].collect()
+      // one representative per surviving content key, none leaked
+      // across the micro-batch boundary, content set identical
+      assert(streamKeys.length == streamKeys.distinct.length,
+        "cross-batch duplicate leaked into the refresh corpus")
+      assert(streamKeys.toSet == batchClean)
+      assert(streamKeys.nonEmpty)
+
+      // and the appended refresh corpus KEPT the bucketed layout: a
+      // key aggregation over it plans with zero shuffle exchanges
+      val agg = table.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(length(col("clean_text"))).as("c"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"refresh corpus lost its layout:\n$plan")
+    } finally
+      graft.layout.Layout.dropWithLocation(spark, tableName)
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
