@@ -213,6 +213,38 @@ object StubFrameSampler extends FrameSampler {
     }
 }
 
+/** REAL container-level video frame sampler: walks the MP4 sample
+  * tables ([[VideoMeta.videoTrack]] — stts/stsz/stsc/stco byte
+  * arithmetic, no codec) and slices the n sampled frames' CODED bytes
+  * straight out of the payload at their stco/stsz-addressed ranges,
+  * stamped with their stts decode time in ms. This is exactly what a
+  * production keyframe sampler does before handing coded frames to a
+  * decoder; pixel decode is the one step this container lacks codecs
+  * for (the reference ships audio, not video — extension mandate).
+  * Non-MP4 payloads (or tracks without sample tables) fall back to
+  * one whole-payload frame so a mixed column keeps flowing.
+  */
+object Mp4FrameSampler extends FrameSampler {
+  def sampleBatch(
+      payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]] =
+    payloads.map { bytes =>
+      VideoMeta.videoTrack(bytes) match {
+        case Some(t) if t.frames.nonEmpty && t.timescale > 0 =>
+          val k = t.frames.length
+          (0 until n).map(i => i * k / n).distinct.map { s =>
+            val f = t.frames(s)
+            val end = f.offset + f.size
+            if (f.offset < 0 || end > bytes.length || f.size < 0)
+              (f.idx, f.dts * 1000L / t.timescale, Array.emptyByteArray)
+            else
+              (f.idx, f.dts * 1000L / t.timescale,
+                java.util.Arrays.copyOfRange(bytes, f.offset.toInt, end.toInt))
+          }
+        case _ => Seq((0, 0L, bytes))
+      }
+    }
+}
+
 /** Payload→payload transform contract (resize / transcode shape). */
 trait PayloadTransform extends Serializable {
   def transformBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]]

@@ -571,6 +571,57 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_mm_mp4_frames",
+      covers = "multimodal-frames-real,video-frames",
+      fn = (s, dir) => {
+        // REAL MP4 frame sampling: fixture containers carry a genuine
+        // video track (mdhd/hdlr/stts/stsc/stsz/stco + mdat);
+        // Mp4FrameSampler walks the sample tables and slices each
+        // sampled frame's coded bytes at its stco/stsz-addressed
+        // range. The oracle predicts schedule, stts timestamps, sizes,
+        // AND content digests arithmetically — an md5 match proves the
+        // chunk-offset walk read exactly the bytes the fixture wrote.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("payload",
+            udf { (id: Long) => graft.multimodal.VideoMeta.fixtureMp4Track(id) }
+              .apply(col("doc_id")))
+        graft.multimodal.Multimodal
+          .sampleFrames(d, "doc_id", "payload",
+            graft.multimodal.Mp4FrameSampler, n = 3, batchSize = 64)
+          .select(
+            col("id").as("doc_id"),
+            col("frame_idx"),
+            col("ts_ms"),
+            length(col("frame")).cast("long").as("frame_len"),
+            md5(col("frame")).as("frame_md5"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT doc_id, 5 + doc_id % 4 AS k,
+          |    (5 + doc_id % 4 + 1) // 2 AS r1
+          |  FROM documents),
+          |fr AS (
+          |  SELECT DISTINCT doc_id, k, r1, (i * k) // 3 AS j
+          |  FROM p CROSS JOIN range(0, 3) r(i))
+          |SELECT doc_id,
+          |  CAST(j AS BIGINT) AS frame_idx,
+          |  CAST(least(j, r1) * 100 + greatest(j - r1, 0) * 200 AS BIGINT) AS ts_ms,
+          |  CAST(16 + (doc_id + j) % 8 AS BIGINT) AS frame_len,
+          |  md5(array_to_string(list_transform(range(0, 16 + (doc_id + j) % 8),
+          |    i -> chr(CAST(65 + (doc_id * 31 + j * 7 + i) % 26 AS INT))), ''))
+          |    AS frame_md5
+          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "REAL MP4 frame sampling (ISO-BMFF stts/stsc/stsz/stco " +
+        "sample-table walk, pure byte arithmetic): coded frame bytes " +
+        "sliced at their chunk-addressed ranges with stts timestamps; " +
+        "schedule, sizes, and content digests all oracle-predicted — " +
+        "pixel decode is the only step left behind the codec boundary"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_mm_resize",
       covers = "multimodal-transform",
       fn = (s, dir) => {

@@ -187,4 +187,57 @@ class MultimodalSpec extends SparkTestBase {
     val fx = VideoMeta.fixtureMp4(3L)
     assert(fx(3) == 0x18.toByte && fx(0) == 0 && fx(1) == 0 && fx(2) == 0)
   }
+
+  test("videoTrack expands stts/stsc/stsz/stco into exact frame refs") {
+    for (id <- Seq(0L, 5L, 11L, 42L)) {
+      val bytes = VideoMeta.fixtureMp4Track(id)
+      val t = VideoMeta.videoTrack(bytes).get
+      val mts = 1000L * (1 + id % 3)
+      val k = (5 + id % 4).toInt
+      val r1 = (k + 1) / 2
+      assert(t.timescale == mts)
+      assert(t.frames.length == k)
+      t.frames.zipWithIndex.foreach { case (f, j) =>
+        assert(f.idx == j)
+        assert(f.size == 16 + (id + j) % 8)
+        val expectDts = math.min(j, r1) * (mts / 10) +
+          math.max(0, j - r1) * (mts / 5)
+        assert(f.dts == expectDts, s"id=$id j=$j dts=${f.dts} want=$expectDts")
+        // content at the chunk-addressed range matches the recipe —
+        // proves the stsc/stco walk lands on the written bytes, across
+        // the 3:(k-3) two-chunk split
+        (0 until f.size.toInt).foreach { i =>
+          val want = (65 + Math.floorMod(id * 31 + j * 7 + i, 26L)).toByte
+          assert(bytes((f.offset + i).toInt) == want)
+        }
+      }
+      // frames are contiguous within each chunk, split 3 : k-3
+      assert(t.frames(1).offset == t.frames(0).offset + t.frames(0).size)
+      assert(t.frames(3).offset > t.frames(2).offset + t.frames(2).size - 1)
+    }
+    // the plain mvhd-only fixture has no track → None, and the parseMp4
+    // walker still reads the track-bearing fixture's movie header
+    assert(VideoMeta.videoTrack(VideoMeta.fixtureMp4(9L)).isEmpty)
+    assert(VideoMeta.parseMp4(VideoMeta.fixtureMp4Track(9L)).get.timescale == 600L)
+  }
+
+  test("Mp4FrameSampler slices coded frames; non-MP4 falls back whole") {
+    val id = 7L
+    val bytes = VideoMeta.fixtureMp4Track(id)
+    val k = (5 + id % 4).toInt
+    val out = Mp4FrameSampler.sampleBatch(Seq(bytes, "plain text".getBytes), 3)
+    val frames = out.head
+    assert(frames.map(_._1) == (0 until 3).map(i => i * k / 3).distinct)
+    frames.foreach { case (j, ts, fb) =>
+      assert(fb.length == (16 + (id + j) % 8).toInt)
+      fb.zipWithIndex.foreach { case (b, i) =>
+        assert(b == (65 + Math.floorMod(id * 31 + j * 7 + i, 26L)).toByte)
+      }
+      val r1 = (k + 1) / 2
+      assert(ts == math.min(j, r1) * 100L + math.max(0, j - r1) * 200L)
+    }
+    // fallback: whole payload as one frame
+    assert(out(1) == Seq((0, 0L, "plain text".getBytes.toSeq)) ||
+      (out(1).length == 1 && out(1).head._3.sameElements("plain text".getBytes)))
+  }
 }
