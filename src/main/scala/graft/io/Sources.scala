@@ -154,3 +154,87 @@ final class FakeAudioFetcher(segmentSeconds: Int = 4) extends AudioFetcher {
     ("OK", graft.signal.Signal.wavEncode(out, sr))
   }
 }
+
+/** PROCESS-SPAWNING fetcher — the reference's actual fetch path (a
+  * yt-dlp subprocess per video, yt_download.py:82-136) compiled
+  * against the same [[AudioFetcher]] trait the offline fakes
+  * implement, so `Pipeline.run` drives it unchanged. Commands are
+  * templates executed via ProcessBuilder arg lists (no shell
+  * interpolation): `listCmd` takes `{url}` and must print one video id
+  * per stdout line; `fetchCmd` takes `{id}`/`{out}` and must write a
+  * WAV at `{out}`.
+  *
+  * Runs INSIDE the executor task (the pipeline calls the trait from
+  * its per-channel flatMapGroups), one bounded process per fetch,
+  * stdout/stderr drained concurrently (a full pipe would deadlock the
+  * child). Failures are TYPED STATUSES, never exceptions — stderr is
+  * pattern-matched the way the reference matches yt-dlp's error
+  * strings (yt_download.py:121-134): "premiere" → PREMIERE_VIDEO,
+  * "offline"/"unavailable" → OFFLINE_VIDEO, anything else (including
+  * a timeout or an exit-0 run that wrote nothing) → NO_OUTPUT_FILE.
+  *
+  * Idempotent per video id (SURVEY §7.4 risk 1): the output path is a
+  * pure function of the id and a pre-existing non-empty output
+  * short-circuits the spawn, so Spark task retries re-read instead of
+  * re-downloading. At cluster scale `workDir` is executor-local
+  * scratch — payloads are born in the task and never shuffle.
+  */
+final case class ProcessAudioFetcher(
+    listCmd: Seq[String],
+    fetchCmd: Seq[String],
+    workDir: String,
+    timeoutSec: Long = 600L
+) extends AudioFetcher {
+
+  /** (exitCode, stdout, stderr); exit −1 on timeout (child killed). */
+  private def exec(cmd: Seq[String]): (Int, String, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    val p = pb.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val err = new java.io.ByteArrayOutputStream()
+    def pump(in: java.io.InputStream, to: java.io.ByteArrayOutputStream) = {
+      val t = new Thread(() => {
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { to.write(b, 0, n); n = in.read(b) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val to = pump(p.getInputStream, out)
+    val te = pump(p.getErrorStream, err)
+    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      p.destroyForcibly()
+      (-1, "", "timeout")
+    } else {
+      to.join(5000); te.join(5000)
+      (p.exitValue(), out.toString("UTF-8"), err.toString("UTF-8"))
+    }
+  }
+
+  private def fileFor(videoId: String): java.io.File =
+    new java.io.File(workDir, videoId.replaceAll("[^A-Za-z0-9_-]", "_") + ".wav")
+
+  def listVideoIds(channelUrl: String): Seq[String] = {
+    val (code, out, _) = exec(listCmd.map(_.replace("{url}", channelUrl)))
+    if (code != 0) Seq.empty
+    else out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  def fetchAudio(videoId: String): (String, Array[Byte]) = {
+    val f = fileFor(videoId)
+    if (f.exists && f.length > 44L) // 44 = RIFF header; shorter is empty
+      return ("OK", java.nio.file.Files.readAllBytes(f.toPath))
+    val (code, _, err) = exec(fetchCmd.map(
+      _.replace("{id}", videoId).replace("{out}", f.getPath)))
+    if (code != 0) {
+      val e = err.toLowerCase
+      if (e.contains("premiere")) ("PREMIERE_VIDEO", Array.emptyByteArray)
+      else if (e.contains("offline") || e.contains("unavailable"))
+        ("OFFLINE_VIDEO", Array.emptyByteArray)
+      else ("NO_OUTPUT_FILE", Array.emptyByteArray)
+    } else if (!f.exists || f.length <= 44L)
+      ("NO_OUTPUT_FILE", Array.emptyByteArray)
+    else ("OK", java.nio.file.Files.readAllBytes(f.toPath))
+  }
+}
