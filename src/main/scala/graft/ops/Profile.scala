@@ -133,4 +133,55 @@ object Profile {
       .withColumnRenamed("__lo", "band_lo")
       .withColumnRenamed("__hi", "band_hi")
   }
+
+  /** Gate ablation — the tuning report for a curation config: for each
+    * quality gate, how many documents it fails (`n_fail`) and how many
+    * it ALONE kills (`n_unique_kill`: fails this gate, passes every
+    * other) — the marginal-contribution number that says which gate to
+    * loosen when the funnel over-trims, plus the pass_all/n_docs
+    * context on every row. ONE pass over the corpus: the per-gate
+    * booleans are per-row columns, the counts one wide aggregate row
+    * stacked to one row per gate. Every decision is an exact
+    * string/integer/IEEE-stable comparison, so the whole report is
+    * oracle-checkable.
+    */
+  def gateAblation(
+      df: DataFrame,
+      textCol: String,
+      allowedLangs: Seq[String] = Seq("en", "fr", "es", "de", "zh"),
+      minQuality: Double = 0.25,
+      minTokens: Long = 8L,
+      gopherMinWords: Long = 50L
+  ): DataFrame = {
+    import graft.text.TextAnalysis
+    val flags = Seq(
+      "lang" -> TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*),
+      "quality" -> (TextAnalysis.qualityScore(col(textCol)) >= minQuality),
+      "tokens" -> (TextAnalysis.tokenCountWs(col(textCol)) >= minTokens),
+      "gopher" -> TextAnalysis
+        .gopherSignals(col(textCol), minWords = gopherMinWords)
+        .toMap.apply("pass_gopher"))
+    val withFlags = flags.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(s"__p_$n", c)
+    }
+    def others(n: String) =
+      flags.filter(_._1 != n).map(f => col(s"__p_${f._1}")).reduce(_ && _)
+    val aggs = flags.flatMap { case (n, _) =>
+      Seq(
+        count(when(!col(s"__p_$n"), 1)).as(s"fail_$n"),
+        count(when(!col(s"__p_$n") && others(n), 1)).as(s"uniq_$n"))
+    } ++ Seq(
+      count(when(flags.map(f => col(s"__p_${f._1}")).reduce(_ && _), 1))
+        .as("pass_all"),
+      count(lit(1)).as("n_docs"))
+    val wide = withFlags.agg(aggs.head, aggs.tail: _*)
+    val stacked = flags
+      .map { case (n, _) =>
+        s"'$n', fail_$n, uniq_$n"
+      }
+      .mkString(s"stack(${flags.size}, ", ", ", ") as (gate, n_fail, n_unique_kill)")
+    wide
+      .select(expr(stacked), col("pass_all"), col("n_docs"))
+      .orderBy("gate")
+  }
 }

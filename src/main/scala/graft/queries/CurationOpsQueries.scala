@@ -472,6 +472,88 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_gate_ablation",
+      covers = "gate-ablation,text-quality-gate",
+      fn = (s, dir) =>
+        graft.ops.Profile.gateAblation(table(s, dir, "documents"), "text"),
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('der','die','das','und','ein','eine','von','zu'))) AS s_de,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('el','la','de','los','las','un','una','por'))) AS s_es,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+          |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+          |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          |    len(list_filter(string_split(text, ' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace,
+          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+          |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym,
+          |    CAST(len(regexp_extract_all(text, '(?:^| )[^ ]*[A-Za-z][^ ]*')) AS BIGINT)
+          |      AS n_alpha_words
+          |  FROM documents),
+          |fl AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN n_cjk > 0 THEN 'zh'
+          |          WHEN s_de = greatest(s_de,s_en,s_es,s_fr)
+          |            AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'de'
+          |          WHEN s_en = greatest(s_de,s_en,s_es,s_fr)
+          |            AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'en'
+          |          WHEN s_es = greatest(s_de,s_en,s_es,s_fr)
+          |            AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'es'
+          |          WHEN s_fr = greatest(s_de,s_en,s_es,s_fr)
+          |            AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'fr'
+          |          ELSE 'und' END) IN ('en','fr','es','de','zh') AS p_lang,
+          |    ((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0
+          |      + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |      + CASE WHEN n_nonspace / CAST(n_tokens AS DOUBLE) >= 3.0
+          |             AND n_nonspace / CAST(n_tokens AS DOUBLE) <= 10.0
+          |             THEN 1.0 ELSE 0.5 END) / 4.0) >= 0.25 AS p_quality,
+          |    n_tokens >= 8 AS p_tokens,
+          |    (n_tokens >= 50 AND n_tokens <= 100000)
+          |      AND (n_chars >= n_tokens * 3 AND n_chars <= n_tokens * 10)
+          |      AND (n_sym * 10 <= n_tokens)
+          |      AND (n_alpha_words * 5 >= n_tokens * 4)
+          |      AND (n_stop >= 2) AS p_gopher
+          |  FROM c),
+          |w AS (SELECT
+          |  CAST(count(*) FILTER (WHERE NOT p_lang) AS BIGINT) AS fail_lang,
+          |  CAST(count(*) FILTER (WHERE NOT p_lang AND p_quality AND p_tokens
+          |    AND p_gopher) AS BIGINT) AS uniq_lang,
+          |  CAST(count(*) FILTER (WHERE NOT p_quality) AS BIGINT) AS fail_quality,
+          |  CAST(count(*) FILTER (WHERE NOT p_quality AND p_lang AND p_tokens
+          |    AND p_gopher) AS BIGINT) AS uniq_quality,
+          |  CAST(count(*) FILTER (WHERE NOT p_tokens) AS BIGINT) AS fail_tokens,
+          |  CAST(count(*) FILTER (WHERE NOT p_tokens AND p_lang AND p_quality
+          |    AND p_gopher) AS BIGINT) AS uniq_tokens,
+          |  CAST(count(*) FILTER (WHERE NOT p_gopher) AS BIGINT) AS fail_gopher,
+          |  CAST(count(*) FILTER (WHERE NOT p_gopher AND p_lang AND p_quality
+          |    AND p_tokens) AS BIGINT) AS uniq_gopher,
+          |  CAST(count(*) FILTER (WHERE p_lang AND p_quality AND p_tokens
+          |    AND p_gopher) AS BIGINT) AS pass_all,
+          |  CAST(count(*) AS BIGINT) AS n_docs
+          | FROM fl)
+          |SELECT 'gopher' AS gate, fail_gopher AS n_fail,
+          |  uniq_gopher AS n_unique_kill, pass_all, n_docs FROM w
+          |UNION ALL SELECT 'lang', fail_lang, uniq_lang, pass_all, n_docs FROM w
+          |UNION ALL SELECT 'quality', fail_quality, uniq_quality, pass_all, n_docs FROM w
+          |UNION ALL SELECT 'tokens', fail_tokens, uniq_tokens, pass_all, n_docs FROM w
+          |ORDER BY gate""".stripMargin
+      ),
+      doc = "gate ablation report: per-gate fail counts AND unique-kill " +
+        "counts (fails this gate, passes every other) — the marginal-" +
+        "contribution diagnostic that says which gate to loosen when " +
+        "the funnel over-trims; one corpus pass, one wide aggregate " +
+        "row stacked per gate, every decision integer/IEEE-exact"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_corpus_report",
       covers = "profiling,data-card",
       fn = (s, dir) =>

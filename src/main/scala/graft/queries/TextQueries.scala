@@ -510,6 +510,66 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_c4_clean",
+      covers = "c4-line-filters,text-quality-gate",
+      fn = (s, dir) => {
+        // line-structured fixture: a punctuated lead line, a
+        // javascript boilerplate line (always cut), a line whose
+        // terminal punctuation depends on the doc, and a tail line
+        // that poisons every 7th page with '{'
+        val d = table(s, dir, "documents")
+        val toks = split(col("text"), " ")
+        val cut = (col("doc_id") % 4L + 3L).cast("int")
+        val l1 = concat(concat_ws(" ", slice(toks, lit(1), cut)), lit("."))
+        val l2 = lit("please enable javascript to view the ad.")
+        val l3 = concat(
+          concat_ws(" ", slice(toks, cut + 1, lit(5))),
+          when(col("doc_id") % 3L === 0L, lit("!")).otherwise(lit("")))
+        val l4 = when(col("doc_id") % 7L === 0L,
+          lit("template { placeholder } here."))
+          .otherwise(lit("read the full story on our site."))
+        val fixture = d.select(col("doc_id"),
+          concat_ws("\n", l1, l2, l3, l4).as("text"))
+        graft.text.TextAnalysis
+          .c4LineFilters(fixture, "doc_id", "text")
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          |        CAST(doc_id % 4 + 3 AS INT) AS cut FROM documents),
+          |f AS (SELECT doc_id,
+          |   array_to_string(list_slice(toks, 1, cut), ' ') || '.' || chr(10) ||
+          |   'please enable javascript to view the ad.' || chr(10) ||
+          |   array_to_string(list_slice(toks, cut + 1, cut + 5), ' ')
+          |     || CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END || chr(10) ||
+          |   CASE WHEN doc_id % 7 = 0 THEN 'template { placeholder } here.'
+          |        ELSE 'read the full story on our site.' END AS text
+          | FROM t),
+          |k AS (SELECT doc_id, text,
+          |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |     t2 -> length(t2) >= 1
+          |       AND right(t2, 1) IN ('.', '!', '?', '"')
+          |       AND len(string_split(t2, ' ')) >= 3
+          |       AND NOT contains(lower(t2), 'javascript')) AS kept
+          | FROM f)
+          |SELECT doc_id,
+          |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{') AS page_kept,
+          |  md5(array_to_string(kept, chr(10))) AS clean_md5
+          |FROM k ORDER BY doc_id""".stripMargin
+      ),
+      doc = "C4 line-level cleaning (Raffel et al. '20 §2.2): keep " +
+        "lines ending in terminal punctuation with ≥3 words and no " +
+        "'javascript'; gate pages on ≥3 surviving lines, no 'lorem " +
+        "ipsum', no '{' — pure per-row HOFs, every rule an exact " +
+        "string/integer decision, fully replayed in SQL"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_winnow",
       covers = "fingerprint",
       fn = (s, dir) =>

@@ -259,6 +259,46 @@ object TextAnalysis {
     * shape, so bare digit runs (order ids), timestamps (4-2-2), and
     * numeric ranges do not match.
     */
+  /** C4 line-level cleaning rules (Raffel et al. '20 §2.2, the C4
+    * recipe; Dolma ships the same family): keep only lines that
+    *  - end in a terminal punctuation mark (. ! ? ") after trimming,
+    *  - carry at least `minLineWords` words,
+    *  - do not mention "javascript" (the boilerplate tell);
+    * then gate the whole page:
+    *  - at least `minKeptLines` surviving lines,
+    *  - no "lorem ipsum", no '{' anywhere in the original text.
+    *
+    * Returns (idCol, clean_text [newline-joined survivors], n_lines,
+    * n_kept, page_kept). Pure per-row column HOFs — no shuffle, no
+    * UDF; every predicate is an exact string/integer decision so the
+    * whole recipe replays in SQL.
+    */
+  def c4LineFilters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 3,
+      minKeptLines: Int = 3
+  ): DataFrame = {
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      length(t) >= 1 &&
+        t.substr(length(t), lit(1)).isin(".", "!", "?", "\"") &&
+        size(split(t, " ")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    }
+    val keptArr = filter(transform(split(col(textCol), "\n"), l => trim(l)), keepLine)
+    df.withColumn("__c4_kept", keptArr)
+      .select(
+        col(idCol),
+        array_join(col("__c4_kept"), "\n").as("clean_text"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        size(col("__c4_kept")).cast("long").as("n_kept"),
+        (size(col("__c4_kept")) >= minKeptLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("page_kept"))
+  }
+
   val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRx = "\\+\\d[\\d -]{7,14}\\d|\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"

@@ -74,4 +74,60 @@ class CurationSpec extends SparkTestBase {
     val emails = found.select("email").as[String].collect()
     assert(emails.forall(e => e == "N/A" || e.contains("@example.com")))
   }
+
+  test("c4LineFilters applies the line rules and page gates exactly") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      // 4 lines: kept, kept, dropped (no terminal punct), dropped (js)
+      (1L, "the quick brown fox jumps.\nanother good long line here!\nno punctuation here\nenable javascript to continue."),
+      // page killed by '{' even though lines pass
+      (2L, "a perfectly fine first line.\nsecond fine line is here.\nthird fine line too.\nconfig { x }"),
+      // page killed by lorem ipsum
+      (3L, "lorem ipsum dolor sit amet.\nsecond decent line here.\nthird decent line here.\nfourth decent line here."),
+      // short lines dropped (< 3 words); page fails minKeptLines
+      (4L, "too short.\nalso short.\nok?\nthe only sufficiently long line survives.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_lines") == 4L && r1.getAs[Long]("n_kept") == 2L)
+    assert(r1.getAs[String]("clean_text") ==
+      "the quick brown fox jumps.\nanother good long line here!")
+    assert(!r1.getAs[Boolean]("page_kept")) // only 2 kept < 3
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_kept") == 3L && !r2.getAs[Boolean]("page_kept")) // '{'
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_kept") == 4L && !r3.getAs[Boolean]("page_kept")) // lorem
+    val r4 = out(3)
+    assert(r4.getAs[Long]("n_kept") == 1L && !r4.getAs[Boolean]("page_kept"))
+    // a clean page passes everything
+    val ok = TextAnalysis.c4LineFilters(
+      Seq((9L, "first long line is good.\nsecond long line is good.\nthird long line is good."))
+        .toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(ok.getAs[Boolean]("page_kept") && ok.getAs[Long]("n_kept") == 3L)
+  }
+
+  test("gateAblation counts fails and unique kills per gate on a hand fixture") {
+    // lang gate needs stopword profile hits; quality/tokens/gopher are
+    // arithmetic — craft docs so each gate's role is known
+    val good = ("the quick brown fox and the lazy dog walked to the " +
+      "market in the morning and it was a fine day for everyone there ") * 3
+    val docs = Seq(
+      (1L, good),                         // passes everything
+      (2L, good),                         // passes everything
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg " * 4)
+      // no stopwords → lang 'und' (fails lang) AND 0 stop hits (fails gopher)
+    ).toDF("doc_id", "text")
+    val rep = graft.ops.Profile.gateAblation(docs, "text")
+      .collect().map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("n_fail"), r.getAs[Long]("n_unique_kill"),
+          r.getAs[Long]("pass_all"), r.getAs[Long]("n_docs"))).toMap
+    assert(rep("lang")._1 == 1L)
+    assert(rep("lang")._2 == 0L) // doc 3 also fails gopher → not unique
+    assert(rep("gopher")._1 == 1L && rep("gopher")._2 == 0L)
+    assert(rep.values.forall { case (_, _, passAll, nDocs) =>
+      passAll == 2L && nDocs == 3L })
+    // invariant: unique kills never exceed fails
+    assert(rep.values.forall { case (f, u, _, _) => u <= f })
+  }
 }
