@@ -62,6 +62,43 @@ object Sinks {
       .drop("samples")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Training-shard writer — the last mile of the curation pipeline:
+    * materialize the corpus as token-balanced shards. Shard assignment
+    * rides the SAME distributed prefix sum as sequence packing
+    * ([[graft.text.TextAnalysis.packSequences]] with seqLen =
+    * tokensPerShard): a document lands in the shard its global start
+    * offset falls into, so documents stay whole, shard boundaries are
+    * deterministic in id order, and shard token sums exceed the target
+    * only by partial-document overlap (bounded by the max doc size).
+    * The write is `partitionBy(shard)` parquet with `start_off` kept
+    * as a column so readers can restore the global training order
+    * within a shard.
+    *
+    * Returns the per-shard summary (shard, n_docs, n_tokens,
+    * min_start, max_end) — integer-exact and oracle-checkable against
+    * the prefix-sum replay.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      tokensPerShard: Long): DataFrame = {
+    val packed = graft.text.TextAnalysis
+      .packSequences(df.select(col(idCol), col(textCol)), idCol, textCol,
+        seqLen = tokensPerShard)
+      .withColumn("shard", col("first_seq"))
+    df.join(packed.select(col(idCol), col("shard"), col("start_off")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    packed
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("start_off")).as("min_start"),
+        max(col("end_off")).as("max_end"))
+  }
 }
 
 /** K6 — dataset publisher (HuggingFace upload in the reference,

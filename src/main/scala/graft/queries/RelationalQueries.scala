@@ -393,6 +393,48 @@ object RelationalQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_k_shard_write",
+      covers = "K-shards,seq-packing",
+      fn = (s, dir) => {
+        // the training-shard sink verified through its own scan face:
+        // write token-balanced shards (assignment = the packSequences
+        // prefix sum at seqLen = tokensPerShard), read the partitioned
+        // dir back, and roll it up — the oracle replays the prefix sum
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_shards_roundtrip").getPath
+        graft.io.Sinks.writeTrainingShards(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", path, tokensPerShard = 4096L)
+        s.read.parquet(path)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(graft.text.TextAnalysis.tokenCountWs(col("text"))).as("n_tokens"),
+            min(col("start_off")).as("min_start"))
+          .orderBy("shard")
+      },
+      oracle = Some(
+        """WITH n AS (SELECT doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          |      AS n_tok
+          |  FROM documents),
+          |o AS (SELECT doc_id, n_tok,
+          |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          |  FROM n)
+          |SELECT CAST(start_off // 4096 AS BIGINT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(min(start_off) AS BIGINT) AS min_start
+          |FROM o GROUP BY 1 ORDER BY shard""".stripMargin
+      ),
+      doc = "training-shard sink round-trip: token-balanced shard " +
+        "assignment via the distributed prefix sum, partitionBy(shard) " +
+        "parquet write, partitioned read-back rollup vs the prefix-sum " +
+        "replay — documents whole, boundaries deterministic in id order"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_k5_wav_sink",
       covers = "K5,G7",
       fn = (s, dir) => {

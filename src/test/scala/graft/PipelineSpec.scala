@@ -260,4 +260,30 @@ class IoSpec extends SparkTestBase {
     val imgFeats = Multimodal.extractFeatures(df.filter($"id" === 2L), "id", "payload", StubImageDecoder)
     assert(imgFeats.collect().head.getAs[collection.Seq[Float]]("features").size == 16)
   }
+
+  test("writeTrainingShards: whole docs, deterministic boundaries, ordered read-back") {
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(10 + i % 7)("w").mkString(" ")) // 10..16 tokens
+    }.toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graftshards").toString + "/out"
+    val summary = Sinks
+      .writeTrainingShards(docs, "doc_id", "text", path, tokensPerShard = 64L)
+      .orderBy("shard").collect()
+    // every shard's min start offset lies inside that shard's range
+    summary.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      assert(r.getAs[Long]("min_start") / 64L == shard)
+      // whole-doc overlap bound: a shard holds at most target + one doc
+      assert(r.getAs[Long]("n_tokens") <= 64L + 16L)
+    }
+    // read-back: partition dirs exist, all docs present exactly once,
+    // and start_off restores the global order within a shard
+    val back = spark.read.parquet(path)
+    assert(back.count() == 40L)
+    assert(back.select("doc_id").distinct().count() == 40L)
+    val shard0 = back.filter(col("shard") === 0)
+      .orderBy("start_off").select("doc_id").as[Long].collect()
+    assert(shard0.sameElements(shard0.sorted))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("shard=")))
+  }
 }
