@@ -21,6 +21,19 @@ object Dedup {
       .groupBy("content_key")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Normalization-insensitive exact dedup (the RefinedWeb / C4
+    * "fuzzy-exact" recipe): the content key is
+    * [[graft.text.TextAnalysis.normalizedDigest]] — lowercase, strip
+    * punctuation, collapse whitespace — so trivially-reformatted
+    * copies collapse while real edits survive. Same shuffle shape as
+    * [[exact]]: (digest, id) only, payload never moves.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.text.TextAnalysis.normalizedDigest(col(textCol)).as("content_key"))
+      .groupBy("content_key")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   /** Paragraph-level exact dedup (the C4 / Dolma recipe one level below
     * document dedup): split every document into NEWLINE-delimited
     * paragraphs (trimmed; blank lines dropped), keep only the FIRST

@@ -53,6 +53,42 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_exact_normalized",
+      covers = "dedup-exact-normalized,D1",
+      fn = (s, dir) => {
+        // fixture: every 5th doc gets a trivially-reformatted copy
+        // (case, punctuation, spacing) under a shifted id — the
+        // normalized key collapses each pair, the raw digest would not
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val variants = d.filter(col("doc_id") % 5L === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit(" !!  ")).as("text"))
+        graft.dedup.Dedup
+          .exactNormalized(d.unionByName(variants), "doc_id", "text")
+          .select("content_key", "doc_id", "n_copies")
+          .orderBy("content_key")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!  '
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |k AS (SELECT doc_id,
+          |   md5(trim(regexp_replace(regexp_replace(lower(text),
+          |     '[^a-z0-9 ]', '', 'g'), ' {2,}', ' ', 'g'))) AS content_key
+          | FROM u)
+          |SELECT content_key, min(doc_id) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_copies
+          |FROM k GROUP BY 1 ORDER BY content_key""".stripMargin
+      ),
+      doc = "normalization-insensitive exact dedup (RefinedWeb/C4 " +
+        "fuzzy-exact): lowercase + strip punctuation + collapse " +
+        "whitespace before digesting, so reformatted copies collapse " +
+        "while real edits survive; same (digest,id)-only shuffle shape"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_ngram_jaccard",
       covers = "dedup-jaccard",
       fn = (s, dir) =>

@@ -259,6 +259,24 @@ object TextAnalysis {
     * shape, so bare digit runs (order ids), timestamps (4-2-2), and
     * numeric ranges do not match.
     */
+  /** Text normalization for dedup keys and display cleanup: control
+    * characters → space, whitespace runs collapsed, trimmed. Explicit
+    * byte ranges (not \p classes) so the regex means the same thing in
+    * every engine's regex dialect.
+    */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " {2,}", " "))
+
+  /** The "fuzzy-exact" dedup key (RefinedWeb / C4 normalization):
+    * lowercase, strip everything but [a-z0-9 ], collapse whitespace,
+    * trim — then digest. Two documents that differ only in case,
+    * punctuation, or spacing share a key; real wording changes do not.
+    */
+  def normalizedDigest(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " {2,}", " ")))
+
   /** C4 line-level cleaning rules (Raffel et al. '20 §2.2, the C4
     * recipe; Dolma ships the same family): keep only lines that
     *  - end in a terminal punctuation mark (. ! ? ") after trimming,

@@ -423,6 +423,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((7L, "a b", 1L, 2L)))
   }
 
+  test("exactNormalized collapses reformatted copies, keeps real edits") {
+    val corpus = Seq(
+      (1L, "Hello, World! This is fine."),
+      (2L, "  hello world THIS IS FINE  "),   // same after normalization
+      (3L, "hello world this is different")   // a real edit
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("doc_id") == 3L && out(1).getAs[Long]("n_copies") == 1L)
+    // raw exact keeps all three distinct
+    assert(Dedup.exact(corpus, "doc_id", "text").count() == 3L)
+    // whitespace normalizer: control chars out, runs collapsed, trimmed
+    val norm = corpus.sparkSession.range(1)
+      .select(TextAnalysis.normalizeWhitespace(
+        org.apache.spark.sql.functions.lit("a\tb\u0000c   d ")).as("t"))
+      .head().getString(0)
+    assert(norm == "a b c d")
+  }
+
   test("paragraphDedup splits on newlines, trims, drops blank lines") {
     val corpus = Seq(
       (1L, "alpha beta\n\n  shared footer  \ngamma"),
