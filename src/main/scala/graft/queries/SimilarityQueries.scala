@@ -409,6 +409,32 @@ object SimilarityQueries {
   private def oracleOf(name: String): String =
     baseDefs.find(_.name == name).get.oracle.get
 
+  /** The IVF oracle's CTE chain up through the probed-list selection
+    * (everything before its final cosine ranking): e, k-means replay
+    * c0→c2, assignments a2, probe distances pd, plists.
+    */
+  private def ivfPrefix: String = {
+    val t = oracleOf("q_ann_topk_ivf")
+    val cut = t.indexOf("\ncos AS (")
+    require(cut > 0, "q_ann_topk_ivf oracle shape changed — update q_ann_topk_ivfpq")
+    t.substring(0, cut)
+  }
+
+  /** The PQ oracle's CTE chain (codebook replay + ADC distances),
+    * renamed so its CTE names cannot collide with the IVF chain's.
+    */
+  private def pqCtes: String = {
+    val t = oracleOf("q_ann_topk_pq")
+    val head = "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
+    require(t.startsWith(head), "q_ann_topk_pq oracle shape changed — update q_ann_topk_ivfpq")
+    val cut = t.indexOf("\nSELECT probe_id, rank, cand_id, dist FROM (")
+    require(cut > 0, "q_ann_topk_pq oracle shape changed — update q_ann_topk_ivfpq")
+    var body = t.substring(head.length, cut)
+    for ((from, to) <- Seq("a1" -> "qa1", "m1" -> "qm1", "c1" -> "qc1", "c0" -> "qc0"))
+      body = body.replaceAll("\\b" + from + "\\b", to)
+    body
+  }
+
   /** ANN QUALITY metric: recall@5 of each approximate method against
     * the brute-force baseline on identical probes, as integer rank-set
     * intersections — the number every ANN deployment tunes against.
@@ -418,7 +444,46 @@ object SimilarityQueries {
     * subqueries and intersects them, so a recall drift in EITHER
     * engine fails the gate.
     */
-  val defs: Seq[QueryDef] = baseDefs :+ QueryDef(
+  /** IVF-PQ composite: the FAISS production shape. Candidates come
+    * from the IVF probed lists (a2 ⋈ plists), distances from the PQ
+    * ADC chain, ranks recomputed over the intersection — both halves
+    * re-sourced verbatim from their already-proven oracles.
+    */
+  private def ivfPqDef = QueryDef(
+    "q_ann_topk_ivfpq",
+    covers = "ann-ivfpq",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      // index parameters MUST mirror q_ann_topk_ivf / q_ann_topk_pq —
+      // the composite oracle replays exactly those chains
+      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+      val pq = graft.similarity.Pq
+        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      graft.similarity.Pq
+        .topKIvfPq(ivf, pq, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
+          kNn = 5, nProbe = 4)
+        .orderBy("probe_id", "rank")
+    },
+    oracle = Some(
+      ivfPrefix + "\n" + pqCtes + """,
+cand AS (
+  SELECT DISTINCT pl.probe_id, a2.vec_id AS cand_id
+  FROM plists pl JOIN a2 ON a2.li = pl.li AND a2.vec_id != pl.probe_id)
+SELECT probe_id, rank, cand_id, dist FROM (
+  SELECT d.probe_id, d.cand_id, d.dist,
+    CAST(row_number() OVER (PARTITION BY d.probe_id
+      ORDER BY d.dist ASC, d.cand_id ASC) AS BIGINT) AS rank
+  FROM dist d JOIN cand ON cand.probe_id = d.probe_id
+    AND cand.cand_id = d.cand_id)
+WHERE rank <= 5 ORDER BY probe_id, rank"""),
+    doc = "IVF-PQ top-k (the FAISS production composite): coarse " +
+      "quantizer restricts each probe to nProbe/nLists of the corpus, " +
+      "PQ asymmetric distance ranks the survivors over 64×-compressed " +
+      "codes; oracle re-sources the proven IVF and PQ replays and " +
+      "intersects them, so the whole composite is bit-checked"
+  )
+
+  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ QueryDef(
     "q_ann_recall",
     covers = "ann-recall",
     fn = (s, dir) => {

@@ -241,14 +241,14 @@ object Ann {
 
   final case class IvfIndex(centroids: Array[Array[Double]], assignments: DataFrame)
 
-  private def toDense(v: Seq[Float]): Array[Double] = {
+  private[similarity] def toDense(v: Seq[Float]): Array[Double] = {
     val out = new Array[Double](v.length)
     var i = 0
     while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
     out
   }
 
-  private def nearestCentroids(x: Array[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
+  private[similarity] def nearestCentroids(x: Array[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
     cs.indices
       .map { c =>
         var d = 0.0

@@ -117,19 +117,15 @@ object Pq {
     * candidate's approximate squared L2 is m table adds in subspace
     * order. Ranks ascend by distance with cand-id ties — bit-stable.
     */
-  def pqTopK(
-      index: PqIndex,
-      probes: DataFrame,
-      idCol: String,
-      vecCol: String,
-      kNn: Int
-  ): DataFrame = {
-    val spark = probes.sparkSession
+  /** Per-probe ADC table: m×k squared distances probe-subvector →
+    * codebook entry (identical-order double chains).
+    */
+  private def mkTableUdf(index: PqIndex, spark: org.apache.spark.sql.SparkSession) = {
     val cb = index.codebooks
     val m = cb.length
     val sd = cb(0)(0).length
     val bc = spark.sparkContext.broadcast(cb)
-    val tableUdf = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val cbv = bc.value
       Array.tabulate(m, cbv(0).length) { (s, c) =>
         var d = 0.0
@@ -144,16 +140,79 @@ object Pq {
         d
       }.map(_.toSeq).toSeq
     }
-    val distUdf = udf { (table: Seq[Seq[Double]], codes: Seq[Int]) =>
-      var acc = 0.0
-      var s = 0
-      while (s < codes.length) { acc += table(s)(codes(s)); s += 1 }
-      acc
-    }
+  }
+
+  /** Candidate cost under ADC: m table adds in subspace order. */
+  private val distUdf = udf { (table: Seq[Seq[Double]], codes: Seq[Int]) =>
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) { acc += table(s)(codes(s)); s += 1 }
+    acc
+  }
+
+  def pqTopK(
+      index: PqIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    val tableUdf = mkTableUdf(index, spark)
     val p = probes.select(col(idCol).as("probe_id"), tableUdf(col(vecCol)).as("t"))
     val scored = index.codes
       .select(col(idCol).as("cand_id"), col("codes"))
       .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dist", distUdf(col("t"), col("codes")))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNn)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
+  }
+
+  /** IVF-PQ — the FAISS production shape, composed from the two
+    * indexes this library already builds: the IVF coarse quantizer
+    * restricts each probe to its `nProbe` nearest lists (scan fraction
+    * ~nProbe/nLists) and PQ's asymmetric distance ranks the surviving
+    * candidates at m-table-adds each over m-byte codes (~64×
+    * compression). Candidates are the id-keyed join of the IVF
+    * assignment relation with the PQ code relation — both bucketable
+    * on the corpus key at scale — and only (id, list_id, codes) rows
+    * ever move; the probe side (ADC tables + probed lists) broadcasts.
+    *
+    * Codes quantize the RAW vectors (not list residuals): the residual
+    * refinement is a recall/precision trade the paper discusses, and
+    * skipping it keeps every distance an identical-order double chain
+    * over already-proven replayable pieces, so the composite stays
+    * bit-checkable end to end (q_ann_topk_ivfpq re-sources the two
+    * existing oracles and intersects).
+    */
+  def topKIvfPq(
+      ivf: Ann.IvfIndex,
+      pq: PqIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    val tableUdf = mkTableUdf(pq, spark)
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val probeLists = udf { (v: Seq[Float]) =>
+      Ann.nearestCentroids(Ann.toDense(v), bcC.value, nProbe)
+    }
+    val p = probes.select(
+      col(idCol).as("probe_id"),
+      tableUdf(col(vecCol)).as("t"),
+      explode(probeLists(col(vecCol))).as("list_id"))
+    val cands = ivf.assignments
+      .select(col(idCol).as("cand_id"), col("list_id"))
+      .join(pq.codes.select(col(idCol).as("cand_id"), col("codes")), Seq("cand_id"))
+    val scored = cands
+      .join(broadcast(p), Seq("list_id"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dist", distUdf(col("t"), col("codes")))
     val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cand_id").asc)

@@ -61,4 +61,37 @@ class PqSpec extends SparkTestBase {
     val overlap = pq.intersect(exact).size.toDouble / exact.size
     assert(overlap > 0.1, s"overlap=$overlap")
   }
+
+  test("IVF-PQ with nProbe = nLists degenerates to plain PQ exactly") {
+    // probing every list removes the coarse filter, so the composite
+    // must reproduce pqTopK bit-for-bit — the algebraic identity that
+    // pins the candidate-selection join against the ADC ranking
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 8L)
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8, iters = 2)
+    val pqi = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val full = Pq.topKIvfPq(ivf, pqi, probes, "vec_id", "embedding",
+      kNn = 5, nProbe = 8).orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val plain = Pq.pqTopK(pqi, probes, "vec_id", "embedding", kNn = 5)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == plain)
+    assert(full.nonEmpty)
+  }
+
+  test("IVF-PQ with few probes returns a subset-ranked list per probe") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 8L)
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+    val pqi = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val out = Pq.topKIvfPq(ivf, pqi, probes, "vec_id", "embedding",
+      kNn = 5, nProbe = 4).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..n per probe and distances ascend with rank
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val ds = sorted.map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted)
+    }
+  }
 }
