@@ -510,6 +510,10 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
         .unionByName(graft.similarity.Pq
           .pqTopK(pqIdx, probes, "vec_id", "embedding", kNn = 5)
           .select(lit("pq").as("method"), col("probe_id"), col("cand_id")))
+        .unionByName(graft.similarity.Pq
+          .topKIvfPq(ivfIdx, pqIdx, probes, "vec_id", "embedding",
+            kNn = 5, nProbe = 4)
+          .select(lit("ivfpq").as("method"), col("probe_id"), col("cand_id")))
       approx
         .join(exact.withColumn("__hit", lit(1L)), Seq("probe_id", "cand_id"), "left")
         .groupBy(col("method"), col("probe_id"))
@@ -527,7 +531,9 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
         "  UNION ALL SELECT 'ivf' AS method, probe_id, cand_id FROM (\n" +
         oracleOf("q_ann_topk_ivf") + "\n)\n" +
         "  UNION ALL SELECT 'pq' AS method, probe_id, cand_id FROM (\n" +
-        oracleOf("q_ann_topk_pq") + "\n))\n" +
+        oracleOf("q_ann_topk_pq") + "\n)\n" +
+        "  UNION ALL SELECT 'ivfpq' AS method, probe_id, cand_id FROM (\n" +
+        ivfPqDef.oracle.get + "\n))\n" +
         "SELECT u.method, u.probe_id,\n" +
         "  CAST(count(ex.cand_id) AS BIGINT) AS n_hits,\n" +
         "  CAST(count(*) AS BIGINT) AS n_returned\n" +
