@@ -33,7 +33,7 @@ object DedupQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  private val baseDefs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
       "q_dedup_exact",
@@ -742,5 +742,51 @@ object DedupQueries {
         "to pixels, width/height/channel sums oracle-checked against " +
         "the fixture recipe (luminance histogram rides in features 8-16)"
     )
+  )
+
+  private def oracleOf(name: String): String =
+    baseDefs.find(_.name == name).get.oracle.get
+
+  /** Near-dup DEDUP quality metric, the q_ann_recall analog: recall of
+    * the banded MinHash-LSH candidate path against the exact
+    * all-shingle Jaccard truth at the same threshold, as integer
+    * pair-set intersections. The theoretical recall at s=0.12 with 8×4
+    * banding is low by design (1-(1-s^4)^8 — LSH is built for high
+    * thresholds); measuring it under the oracle gate is the point:
+    * both engines must agree on exactly WHICH pairs the bands caught.
+    */
+  val defs: Seq[QueryDef] = baseDefs :+ QueryDef(
+    "q_dedup_lsh_recall",
+    covers = "dedup-recall",
+    fn = (s, dir) => {
+      val d = table(s, dir, "documents")
+      val exact = Dedup
+        .ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.12,
+          maxDf = Long.MaxValue)
+        .select(col("a"), col("b"))
+        .cache()
+      val lsh = Dedup
+        .minHashLshPairs(d, "doc_id", "text", n = 3, bands = 8,
+          rowsPerBand = 4, minJaccard = 0.12)
+        .select(col("a"), col("b"))
+      exact
+        .join(lsh.withColumn("__hit", lit(1L)), Seq("a", "b"), "left")
+        .agg(
+          count(lit(1)).as("n_exact_pairs"),
+          count(col("__hit")).as("n_lsh_hits"))
+        .select(col("n_exact_pairs"), col("n_lsh_hits"))
+    },
+    oracle = Some(
+      "WITH ex AS (SELECT a, b FROM (\n" +
+        oracleOf("q_dedup_ngram_jaccard") + "\n)),\n" +
+        "l AS (SELECT a, b FROM (\n" +
+        oracleOf("q_dedup_minhash_lsh") + "\n))\n" +
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,\n" +
+        "  CAST(count(l.a) AS BIGINT) AS n_lsh_hits\n" +
+        "FROM ex LEFT JOIN l ON l.a = ex.a AND l.b = ex.b"),
+    doc = "near-dup dedup recall: MinHash-LSH candidate pairs vs the " +
+      "exact all-shingle Jaccard truth at the same threshold, as an " +
+      "integer pair-set intersection — both engines must agree on " +
+      "exactly which pairs the bands caught"
   )
 }
