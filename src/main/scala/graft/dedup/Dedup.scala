@@ -488,6 +488,57 @@ object Dedup {
     * Jaccard. bands*rowsPerBand hash functions total. Returns verified
     * pairs (a<b, jaccard ≥ minJaccard).
     */
+  /** One compiled loop computing the full MinHash signature of a
+    * hashed-shingle set (shared by the batch LSH join and the
+    * streaming bucket-state face).
+    */
+  private[graft] def minHashSigUdf(numHashes: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val coeffs = (0 until numHashes).map(perm)
+    val p = MinHashP
+    udf { (xs: Seq[Long]) =>
+      val out = new Array[Long](coeffs.length)
+      var i = 0
+      while (i < coeffs.length) {
+        val (a, b) = coeffs(i)
+        var best = Long.MaxValue
+        val it = xs.iterator
+        while (it.hasNext) {
+          val x = it.next()
+          val m = x % p; val xm = if (m < 0) m + p else m
+          val h = (xm * a + b) % p
+          if (h < best) best = h
+        }
+        out(i) = best
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Band keys of a signature column named `sig`: one (band, xxhash64
+    * of the band's quad) struct per band.
+    */
+  private[graft] def bandKeyStructs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { bIdx =>
+      val cols = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), bIdx * rowsPerBand + r + 1))
+      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("h"))
+    }
+
+  /** Sorted-array intersection count — the exact-verify core shared by
+    * the batch path's array_intersect and the streaming state face.
+    */
+  private[graft] def interCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -513,30 +564,8 @@ object Dedup {
       .cache()
     // one primitive-loop UDF call per doc beats numHashes interpreted
     // HOF lambdas per element (~80×32 boxed evals per row)
-    val coeffs = (0 until numHashes).map(perm)
-    val p = MinHashP
-    val sigUdf = udf { (xs: Seq[Long]) =>
-      val out = new Array[Long](coeffs.length)
-      var i = 0
-      while (i < coeffs.length) {
-        val (a, b) = coeffs(i)
-        var best = Long.MaxValue
-        val it = xs.iterator
-        while (it.hasNext) {
-          val x = it.next()
-          val m = x % p; val xm = if (m < 0) m + p else m
-          val h = (xm * a + b) % p
-          if (h < best) best = h
-        }
-        out(i) = best
-        i += 1
-      }
-      out
-    }
-    val bandCols = (0 until bands).map { bIdx =>
-      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), bIdx * rowsPerBand + r + 1))
-      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("h"))
-    }
+    val sigUdf = minHashSigUdf(numHashes)
+    val bandCols = bandKeyStructs(bands, rowsPerBand)
     val buckets = base
       .select(col(idCol), sigUdf(col("xs")).as("sig"))
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))

@@ -170,6 +170,81 @@ object Incremental {
       .start()
   }
 
+  /** Streaming NEAR-DUP front door — the stage the lambda split
+    * deferred to batch, as bounded LSH bucket state: each arriving
+    * document's MinHash signature routes it to its `bands` bucket
+    * groups, the group state holds the prior members' (id,
+    * hashed-shingle set), and the newcomer EXACT-verifies against them
+    * (the same sorted-array merge-intersect the batch path uses),
+    * emitting (a, b, jaccard) for every true near-dup pair it closes.
+    * With an unhit bucket cap the emitted pair set EQUALS batch
+    * `Dedup.minHashLshPairs` over the rows seen so far, regardless of
+    * how the stream is micro-batched (StreamBatchParitySpec proves
+    * it); a pair sharing several bands emits once per agreeing band —
+    * dedup downstream by (a, b).
+    *
+    * Scale: state is per-bucket lists of shingle-hash arrays;
+    * `maxPerBucket` bounds it (beyond the cap new members still
+    * verify against the stored ones but are not added — at a
+    * production threshold a full bucket is a boilerplate cluster
+    * whose membership is already decided). Production deployments add
+    * a state TTL (ProcessingTimeTimeout) to age out cold buckets. Ids
+    * ride as strings; pair order (a < b) is string comparison.
+    */
+  def nearDupStream(
+      docs: DataFrame, // streaming; (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8,
+      maxPerBucket: Int = 1024
+  ): Dataset[(String, String, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val base = docs
+      .select(col(idCol).cast("string").as("id"),
+        Dedup.shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("sig", Dedup.minHashSigUdf(bands * rowsPerBand)(col("xs")))
+      .select(col("id"), col("xs"),
+        explode(array(Dedup.bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"),
+        col("id"), col("xs"))
+      .as[(Int, Long, String, Array[Long])]
+    base
+      .groupByKey { case (band, h, _, _) => (band, h) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long),
+         rows: Iterator[(Int, Long, String, Array[Long])],
+         state: GroupState[Seq[(String, Array[Long])]]) => {
+          var st = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ListBuffer[(String, String, Double)]()
+          // in-batch arrivals sorted by id: cap-dropping is then
+          // deterministic for a given micro-batching
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, xs) =>
+            st.foreach { case (pid, pxs) =>
+              if (pid != id) {
+                val c = Dedup.interCount(xs, pxs)
+                val j = c.toDouble / (xs.length + pxs.length - c).toDouble
+                if (j >= minJaccard) {
+                  val (a, b) = if (id < pid) (id, pid) else (pid, id)
+                  out += ((a, b, j))
+                }
+              }
+            }
+            if (st.size < maxPerBucket) st = st :+ ((id, xs))
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF("a", "b", "jaccard")
+      .as[(String, String, Double)]
+  }
+
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the
     * lowest (salted-md5, id) pairs, folded across micro-batches and

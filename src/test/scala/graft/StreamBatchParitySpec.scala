@@ -218,6 +218,41 @@ class StreamBatchParitySpec extends SparkTestBase {
       graft.layout.Layout.dropWithLocation(spark, tableName)
   }
 
+  test("streaming near-dup (LSH bucket state) equals batch pairs across micro-batches") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graftneardup")
+    // two micro-batches split by parity — near-dup pairs crossing the
+    // batch boundary must be closed against first-batch bucket state
+    src.filter(col("doc_id") % 2L === 0L)
+      .write.parquet(dir.resolve("a").toString)
+    src.filter(col("doc_id") % 2L =!= 0L)
+      .write.parquet(dir.resolve("b").toString)
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val pairs = Incremental.nearDupStream(
+      stream, "doc_id", "text", minJaccard = 0.12)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("parity_neardup").start()
+    q.processAllAvailable()
+    val got = spark.sql("SELECT a, b, jaccard FROM parity_neardup")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) =>
+        val (x, y) = (a.toLong, b.toLong)
+        (math.min(x, y), math.max(x, y), j)
+      }.toSet
+    q.stop()
+    val want = graft.dedup.Dedup
+      .minHashLshPairs(src, "doc_id", "text", n = 3, bands = 8,
+        rowsPerBand = 4, minJaccard = 0.12)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream ${got.size} pairs vs batch ${want.size}: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
