@@ -130,7 +130,7 @@ object VideoMeta {
         hs + 12 <= he && fourcc(bytes, (hs + 8).toInt) == "vide"
       }
       if (!isVideo) None
-      else for {
+      else (for {
         (mh, _) <- child(bytes, ds, de, "mdhd")
         mts = {
           val ver = bytes(mh.toInt) & 0xff
@@ -138,16 +138,25 @@ object VideoMeta {
         }
         (fs, fe) <- child(bytes, ds, de, "minf")
         (ss, se) <- child(bytes, fs, fe, "stbl")
-        (sttsS, _) <- child(bytes, ss, se, "stts")
-        (stszS, _) <- child(bytes, ss, se, "stsz")
-        (stscS, _) <- child(bytes, ss, se, "stsc")
+        (sttsS, sttsE) <- child(bytes, ss, se, "stts")
+        (stszS, stszE) <- child(bytes, ss, se, "stsz")
+        (stscS, stscE) <- child(bytes, ss, se, "stsc")
         co <- child(bytes, ss, se, "stco")
           .map(c => (c, 4)).orElse(child(bytes, ss, se, "co64").map(c => (c, 8)))
+        // malformed-payload guard: every declared entry count must fit
+        // inside its own box, or a corrupted file could demand a
+        // multi-GB allocation from one scan task
+        uniform = u32(bytes, (stszS + 4).toInt)
+        k0 = u32(bytes, (stszS + 8).toInt)
+        if k0 >= 0 && k0 <= Int.MaxValue &&
+          (uniform != 0L || 12 + 4L * k0 <= stszE - stszS) &&
+          4 + 8L * u32(bytes, (sttsS + 4).toInt) <= sttsE - sttsS &&
+          4 + 12L * u32(bytes, (stscS + 4).toInt) <= stscE - stscS &&
+          4 + co._2.toLong * u32(bytes, (co._1._1 + 4).toInt) <= co._1._2 - co._1._1
       } yield {
         val ((coS, _), coW) = co
         // sizes
-        val uniform = u32(bytes, (stszS + 4).toInt)
-        val k = u32(bytes, (stszS + 8).toInt).toInt
+        val k = k0.toInt
         val sizes = Array.tabulate(k)(j =>
           if (uniform != 0L) uniform else u32(bytes, (stszS + 12 + 4L * j).toInt))
         // decode times from stts runs
@@ -197,7 +206,7 @@ object VideoMeta {
         }
         VideoTrack(mts,
           Array.tabulate(k)(j2 => FrameRef(j2, dts(j2), offsets(j2), sizes(j2))))
-      }
+      })
     }.headOption
   }
 

@@ -221,6 +221,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(VideoMeta.parseMp4(VideoMeta.fixtureMp4Track(9L)).get.timescale == 600L)
   }
 
+  test("videoTrack rejects corrupted sample tables instead of allocating") {
+    // a valid track fixture whose stsz sample_count is vandalized to
+    // 2^31-ish: the box-bounds guard must yield None, not a multi-GB
+    // Array.tabulate from one scan task
+    val bytes = VideoMeta.fixtureMp4Track(3L)
+    // locate the stsz box: scan for the 4cc and poke its sample_count
+    var i = 0
+    var stsz = -1
+    while (i < bytes.length - 4 && stsz < 0) {
+      if (bytes(i) == 's' && bytes(i + 1) == 't' && bytes(i + 2) == 's' &&
+        bytes(i + 3) == 'z') stsz = i - 4
+      i += 1
+    }
+    assert(stsz > 0)
+    val bad = bytes.clone()
+    val countOff = stsz + 16 // 8 hdr + 4 verflags + 4 sample_size
+    bad(countOff) = 0x7f.toByte; bad(countOff + 1) = 0xff.toByte
+    bad(countOff + 2) = 0xff.toByte; bad(countOff + 3) = 0xff.toByte
+    assert(VideoMeta.videoTrack(bad).isEmpty)
+    // and the sampler degrades to the whole-payload fallback
+    val out = Mp4FrameSampler.sampleBatch(Seq(bad), 3)
+    assert(out.head.length == 1 && out.head.head._3.sameElements(bad))
+    // the pristine fixture still parses
+    assert(VideoMeta.videoTrack(bytes).isDefined)
+  }
+
   test("Mp4FrameSampler slices coded frames; non-MP4 falls back whole") {
     val id = 7L
     val bytes = VideoMeta.fixtureMp4Track(id)
