@@ -600,6 +600,62 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup: pairs between a NEW batch and the HISTORY
+    * corpus — the refresh-time face of MinHash-LSH. A corpus refresh
+    * must not re-cluster 100 TB to admit a 0.1% batch; this joins the
+    * new batch's band buckets against the history's (at scale the
+    * history's (band, h, id, xs) relation is a bucketed table built
+    * once per epoch and appended like any other), exact-verifies the
+    * candidates with the same shingle-set intersection as the
+    * self-join path, and returns every (new_id, hist_id, jaccard ≥
+    * min) match. Composition contract: new-batch-internal duplicates
+    * are [[minHashLshPairs]] over the (small) batch alone; the union
+    * of the two pair sets equals the full-corpus self-join's pairs
+    * that touch the batch.
+    */
+  def minHashLshPairsAgainst(
+      newDf: DataFrame,
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigUdf = minHashSigUdf(numHashes)
+    def prep(df: DataFrame) = df
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    def buckets(base: DataFrame) = base
+      .select(col(idCol), sigUdf(col("xs")).as("sig"))
+      .select(col(idCol), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.h").as("h"))
+    val nb = prep(newDf)
+    val hb = prep(histDf)
+    val cand = buckets(nb).select(col(idCol).as("new_id"), col("band"), col("h"))
+      .join(buckets(hb).select(col(idCol).as("hist_id"), col("band"), col("h")),
+        Seq("band", "h"))
+      .select("new_id", "hist_id")
+      .distinct()
+    val verified = cand
+      .join(nb.select(col(idCol).as("new_id"), col("xs").as("xs_n")), Seq("new_id"))
+      .join(hb.select(col(idCol).as("hist_id"), col("xs").as("xs_h")), Seq("hist_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("xs_n"), col("xs_h"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("xs_n")) + size(col("xs_h")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "hist_id", "jaccard")
+    val out = verified.cache()
+    out.count()
+    nb.unpersist(); hb.unpersist()
+    out
+  }
+
   /** Connected components over a near-dup pair graph: iterative
     * min-label propagation (the alternating-star algorithm's simple
     * cousin — adequate because dup-cluster diameters are tiny). Each

@@ -277,6 +277,71 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_minhash_incremental",
+      covers = "dedup-minhash,T2",
+      fn = (s, dir) => {
+        // refresh shape: the batch (docs %3==0) checks against the
+        // standing history (%3!=0) without any history-internal work
+        val d = table(s, dir, "documents")
+        Dedup
+          .minHashLshPairsAgainst(
+            d.filter(col("doc_id") % 3L === 0L),
+            d.filter(col("doc_id") % 3L =!= 0L),
+            "doc_id", "text",
+            n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.12)
+          .orderBy("new_id", "hist_id")
+      },
+      // the self-join oracle's FNV/modular replay with the candidate
+      // join re-shaped new×history (no a<b; both slices from the same
+      // signature relation)
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      list_transform(range(1, len(toks) - 1),
+          |        i -> list_reduce(
+          |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |            list_transform(range(1, length(array_to_string(toks[i:i+2], ' ')) + 1),
+          |              k -> CAST(unicode(array_to_string(toks[i:i+2], ' ')[k:k]) AS HUGEINT))),
+          |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)),
+          |      hu -> CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+          |            THEN hu - 18446744073709551616 ELSE hu END AS BIGINT))) AS xs
+          |  FROM d WHERE len(toks) >= 3),
+          |sg AS (
+          |  SELECT doc_id, xs, len(xs) AS n_sh,
+          |    list_transform(range(0, 32),
+          |      i -> list_min(list_transform(xs,
+          |        x -> ((((x % 2147483647) + 2147483647) % 2147483647)
+          |              * (104729 * i + 12345) + 15485863 * (i + 1)) % 2147483647))) AS sig
+          |  FROM g WHERE len(xs) > 0),
+          |bd AS (
+          |  SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS hist_id
+          |  FROM bd x JOIN bd y ON x.band = y.band
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+          |    AND x.sig[4 * x.band + 1] = y.sig[4 * y.band + 1]
+          |    AND x.sig[4 * x.band + 2] = y.sig[4 * y.band + 2]
+          |    AND x.sig[4 * x.band + 3] = y.sig[4 * y.band + 3]
+          |    AND x.sig[4 * x.band + 4] = y.sig[4 * y.band + 4])
+          |SELECT new_id, hist_id,
+          |  CAST(len(list_intersect(gn.xs, gh.xs)) AS DOUBLE)
+          |    / CAST(gn.n_sh + gh.n_sh - len(list_intersect(gn.xs, gh.xs)) AS DOUBLE) AS jaccard
+          |FROM cand JOIN sg gn ON gn.doc_id = new_id
+          |JOIN sg gh ON gh.doc_id = hist_id
+          |WHERE CAST(len(list_intersect(gn.xs, gh.xs)) AS DOUBLE)
+          |    / CAST(gn.n_sh + gh.n_sh - len(list_intersect(gn.xs, gh.xs)) AS DOUBLE) >= 0.12
+          |ORDER BY new_id, hist_id""".stripMargin
+      ),
+      doc = "incremental near-dup (refresh shape): the new batch's LSH " +
+        "band buckets join the standing history's — no history-" +
+        "internal pairwork, no corpus re-cluster — with the same " +
+        "exact-Jaccard verification; the T2-for-near-dup story"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_simhash",
       covers = "dedup-simhash",
       fn = (s, dir) =>

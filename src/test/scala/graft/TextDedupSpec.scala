@@ -423,6 +423,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((7L, "a b", 1L, 2L)))
   }
 
+  test("incremental minhash composes: cross + batch-internal == full pairs touching the batch") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = d.filter(col("doc_id") % 3L === 0L)
+    val hist = d.filter(col("doc_id") % 3L =!= 0L)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b), r.getDouble(2))
+    }.toSet
+    val cross = norm(Dedup
+      .minHashLshPairsAgainst(batch, hist, "doc_id", "text", minJaccard = 0.12)
+      .collect())
+    val internal = norm(Dedup
+      .minHashLshPairs(batch, "doc_id", "text", minJaccard = 0.12).collect())
+    val fullTouching = norm(Dedup
+      .minHashLshPairs(d, "doc_id", "text", minJaccard = 0.12).collect())
+      .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(cross.nonEmpty)
+    assert((cross ++ internal) == fullTouching,
+      s"cross=${cross.size} internal=${internal.size} full=${fullTouching.size}")
+  }
+
   test("exactNormalized collapses reformatted copies, keeps real edits") {
     val corpus = Seq(
       (1L, "Hello, World! This is fine."),
