@@ -220,6 +220,47 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_repetition_gate",
+      covers = "text-quality,repetition-gate",
+      fn = (s, dir) => {
+        // the SHUFFLE-FREE per-row face (one compiled pass/doc) of the
+        // relational metrics above, plus the integer-exact keep
+        // decision the curation funnel applies (batch AND streaming)
+        val sig = TextAnalysis.repetitionSignalsUdf(col("text"))
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            sig.getField("_1").as("n_tok"),
+            sig.getField("_2").as("n_distinct_tok"),
+            sig.getField("_3").as("n_2gram"),
+            sig.getField("_4").as("top_2gram_n"),
+            TextAnalysis.repetitionKeep(col("text")).as("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(
+          |        range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS g2
+          |      FROM t WHERE len(tk) >= 2),
+          |pg AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
+          |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2gram,
+          |               max(c) AS top_2gram_n FROM pg GROUP BY doc_id),
+          |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+          |                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tok
+          |         FROM t)
+          |SELECT b.doc_id, n_tok, n_distinct_tok,
+          |  CAST(coalesce(r.n_2gram, 0) AS BIGINT) AS n_2gram,
+          |  CAST(coalesce(r.top_2gram_n, 0) AS BIGINT) AS top_2gram_n,
+          |  coalesce(r.top_2gram_n, 0) * 1000 <= coalesce(r.n_2gram, 0) * 200
+          |    AND n_distinct_tok * 1000 >= n_tok * 300 AS keep
+          |FROM base b LEFT JOIN rep r USING (doc_id) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "repetition GATE face: per-row compiled signals (no " +
+        "shuffle — streamable) + the funnel's integer cross-multiplied " +
+        "keep decision, against the relational explode/groupBy replay"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_bottomk_agg",
       covers = "sampling,per-group,native-aggregate",
       fn = (s, dir) =>

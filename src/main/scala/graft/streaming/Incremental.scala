@@ -118,7 +118,8 @@ object Incremental {
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&
           col("n_tok") >= cfg.minTokens &&
-          graft.text.CurationPipeline.gopherPredicate(col(textCol), cfg)
+          graft.text.CurationPipeline.gopherPredicate(col(textCol), cfg) &&
+          graft.text.CurationPipeline.repetitionPredicate(col(textCol), cfg)
       )
       .withColumn("content_key", md5(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)

@@ -36,6 +36,15 @@ object CurationPipeline {
         */
       useGopherGate: Boolean = false,
       gopherMinWords: Long = 50L,
+      /** additionally require TextAnalysis.repetitionKeep (Gopher's
+        * repetition rules: top-2gram fraction cap + distinct-token
+        * fraction floor, integer cross-multiplied) at the gate stage —
+        * per-row (one compiled pass, no shuffle), so batch and
+        * streaming faces apply it identically
+        */
+      useRepetitionGate: Boolean = false,
+      maxTop2gramPermille: Int = 200,
+      minDistinctPermille: Int = 300,
       /** optional CCNet-style LM quality gate (TextAnalysis.lmQuality)
         * against `lmModel` — corpus-global (needs a trained counts
         * relation), so it is a BATCH-only stage: the streaming face
@@ -95,6 +104,12 @@ object CurationPipeline {
       .gopherSignals(text, minWords = cfg.gopherMinWords)
       .toMap.apply("pass_gopher")
 
+  /** The shared (batch + streaming) optional repetition predicate. */
+  def repetitionPredicate(text: org.apache.spark.sql.Column, cfg: Config): org.apache.spark.sql.Column =
+    if (!cfg.useRepetitionGate) lit(true)
+    else TextAnalysis.repetitionKeep(text,
+      cfg.maxTop2gramPermille, cfg.minDistinctPermille)
+
   def run(input: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Outputs = {
     require(!cfg.useLmGate || cfg.lmModel.isDefined,
@@ -139,7 +154,8 @@ object CurationPipeline {
         col("lang_pred").isin(cfg.allowedLangs: _*) &&
           col("quality") >= cfg.minQuality &&
           col("n_tok") >= cfg.minTokens &&
-          gopherPredicate(col(textCol), cfg)
+          gopherPredicate(col(textCol), cfg) &&
+          repetitionPredicate(col(textCol), cfg)
       )
       .cache()
     val n1 = gated.count()

@@ -622,6 +622,58 @@ object TextAnalysis {
         col("top_2gram_n").cast("double") / col("n_2gram").cast("double"))
   }
 
+  /** Per-row repetition signals — the SHUFFLE-FREE face of
+    * [[repetitionMetrics]] (whose explode+groupBy formulation stays as
+    * the oracle face): one compiled pass per document computing
+    * (n_tok, n_distinct_tok, n_2gram, top_2gram_n) with a local hash
+    * map. Identical tokenization to [[ngramsUdf]] (split(" ", -1)), so
+    * the two faces agree exactly (spec-pinned). Per-row means it runs
+    * in the streaming funnel too.
+    */
+  val repetitionSignalsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) (0L, 0L, 0L, 0L)
+      else {
+        val toks = text.split(" ", -1)
+        val distinct = new java.util.HashSet[String]()
+        var i = 0
+        while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+        var n2 = 0L
+        var top = 0L
+        if (toks.length >= 2) {
+          val counts = new java.util.HashMap[String, Integer]()
+          i = 0
+          while (i < toks.length - 1) {
+            val g = toks(i) + " " + toks(i + 1)
+            val c = counts.merge(g, Integer.valueOf(1), (a, b) => a + b)
+            if (c.intValue > top) top = c.intValue.toLong
+            n2 += 1
+            i += 1
+          }
+        }
+        (toks.length.toLong, distinct.size.toLong, n2, top)
+      }
+    }
+
+  /** Gopher repetition KEEP decision from the per-row signals, as pure
+    * integer cross-multiplication (no float touches the gate):
+    * top-2gram fraction ≤ maxTop2gramPermille/1000 AND distinct-token
+    * fraction ≥ minDistinctPermille/1000. Docs with < 2 tokens have no
+    * 2-grams and pass the 2-gram rule vacuously.
+    */
+  def repetitionKeep(
+      text: Column,
+      maxTop2gramPermille: Int = 200,
+      minDistinctPermille: Int = 300): Column = {
+    val s = repetitionSignalsUdf(text)
+    val nTok = s.getField("_1")
+    val nDistinct = s.getField("_2")
+    val n2 = s.getField("_3")
+    val top = s.getField("_4")
+    (top * 1000L <= n2 * maxTop2gramPermille.toLong) &&
+      (nDistinct * 1000L >= nTok * minDistinctPermille.toLong)
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */

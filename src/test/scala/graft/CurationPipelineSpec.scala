@@ -128,6 +128,28 @@ class CurationPipelineSpec extends SparkTestBase {
     outUrl.unpersist()
   }
 
+  test("repetition gate drops the pathological repeater, keeps normal prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the story continues with more varied words here today"),
+      // stopword 'the' keeps it lang='en'; the cycling 2-grams each
+      // dominate far past the 20% cap and distinct ratio is 4/120
+      (2L, ("buy the item now " * 30).trim)
+    ).toDF("doc_id", "text")
+    val cfg = graft.text.CurationPipeline.Config(
+      useRepetitionGate = true, minTokens = 1L)
+    val out = graft.text.CurationPipeline.run(docs, "doc_id", "text", cfg)
+    val ids = out.docs.select("doc_id").as[Long].collect().toSet
+    out.unpersist()
+    assert(ids.contains(1L) && !ids.contains(2L))
+    // off by default: the repeater survives the gates
+    val out2 = graft.text.CurationPipeline.run(docs, "doc_id", "text",
+      graft.text.CurationPipeline.Config(minTokens = 1L))
+    val ids2 = out2.docs.select("doc_id").as[Long].collect().toSet
+    out2.unpersist()
+    assert(ids2.contains(2L))
+  }
+
   test("paragraphDedupWords stage rewrites docs and drops emptied ones") {
     val corpus = Seq(
       (1L, "the cat and the dog sat on the mat by noon"),

@@ -97,6 +97,42 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(batchKeys.nonEmpty && streamKeys.length < 500)
   }
 
+  test("repetition gate on: stream face still equals batch face") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftdocs4")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    val cfg = graft.text.CurationPipeline.Config(useRepetitionGate = true,
+      maxTop2gramPermille = 50) // tight enough to actually bite
+    import graft.text.TextAnalysis
+    val batchKeys = batch
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")))
+      .filter(
+        col("lang_pred").isin(cfg.allowedLangs: _*) &&
+          col("quality") >= cfg.minQuality &&
+          col("n_tok") >= cfg.minTokens &&
+          graft.text.CurationPipeline.repetitionPredicate(col("text"), cfg))
+      .select(md5(col("text")).as("content_key"))
+      .distinct().as[String].collect().toSet
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val cur = Incremental.curationStream(
+      stream.withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L)),
+      "doc_id", "text", "ets", cfg)
+    val q = cur.writeStream.outputMode("append").format("memory")
+      .queryName("parity_repetition").start()
+    q.processAllAvailable()
+    val streamKeys = spark.sql("SELECT content_key FROM parity_repetition")
+      .as[String].collect()
+    q.stop()
+    assert(streamKeys.toSet == batchKeys)
+    // the gate must actually bite at this threshold
+    assert(batchKeys.nonEmpty && streamKeys.length < 500)
+  }
+
   test("curation dedup state works ACROSS micro-batches") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
