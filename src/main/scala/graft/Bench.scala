@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // engine bootstrap default (see Graft.session): bucket pruning
+      // needs the bucketed scan even when no join wants the hash dist
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: absorb JVM/JIT/codegen/session warmup
@@ -42,13 +45,25 @@ object Bench {
     // relations (funnel stages, self-join sides) and CacheManager
     // matches canonicalized plans across invocations — without the
     // clear, later queries would partly measure cache reads.
+    //
+    // Each query runs TWICE and the MIN is recorded. The sf0.001
+    // warmup above absorbs session/codegen warmup, but r4 and r5 both
+    // committed single-shot numbers that recorded cold-JIT / ambient-
+    // load phantoms (r4's "2.9x regression" on cosine_exact was pure
+    // measurement noise — IsoBench min-of-3 showed 0.52 s vs the 1.05 s
+    // single shot). min-of-2 makes the committed file load-robust:
+    // re-running the bench back-to-back should move no query by >1.3x.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val first = once()
+      name -> math.min(first, once())
     }
     // Driver captures a bounded (~2000-char) tail of stdout — r1-r3 all
     // recorded parsed=null because the one JSON line outgrew it as the

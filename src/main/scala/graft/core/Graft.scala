@@ -21,6 +21,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // engine-wide default: keep bucketed scans ON even when no
+      // join/agg wants the hash distribution — bucket PRUNING (point
+      // lookups on the bucket key) only fires on a bucketed scan, and
+      // every other bucketed query here wants the bucketed scan too.
+      // Set at bootstrap, not inside a query fn, so results never
+      // depend on registry execution order.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

@@ -28,11 +28,18 @@ object Dedup {
     * copies collapse while real edits survive. Same shuffle shape as
     * [[exact]]: (digest, id) only, payload never moves.
     */
-  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      graft.text.TextAnalysis.normalizedDigest(col(textCol)).as("content_key"))
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = graft.text.TextAnalysis.normalizedText(col(textCol))
+    // a doc whose normalization is empty (pure punctuation/whitespace)
+    // shares no CONTENT with any other such doc — collapsing them all
+    // under md5('') would silently discard every one but the first, so
+    // each gets a per-doc key and survives as its own group
+    val key = when(length(norm) === 0,
+      concat(lit("empty:"), col(idCol).cast("string"))).otherwise(md5(norm))
+    df.select(col(idCol), key.as("content_key"))
       .groupBy("content_key")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
 
   /** Paragraph-level exact dedup (the C4 / Dolma recipe one level below
     * document dedup): split every document into NEWLINE-delimited
@@ -638,6 +645,11 @@ object Dedup {
     val cand = buckets(nb).select(col(idCol).as("new_id"), col("band"), col("h"))
       .join(buckets(hb).select(col(idCol).as("hist_id"), col("band"), col("h")),
         Seq("band", "h"))
+      // a re-delivered id present in both batch and history would pair
+      // with itself at jaccard 1.0 and be flagged a duplicate of
+      // itself, breaking the composition contract with the self-join
+      // path (which enforces a < b) — drop self-pairs at candidate time
+      .filter(col("new_id") =!= col("hist_id"))
       .select("new_id", "hist_id")
       .distinct()
     val verified = cand

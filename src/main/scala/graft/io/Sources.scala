@@ -225,16 +225,28 @@ final case class ProcessAudioFetcher(
     val f = fileFor(videoId)
     if (f.exists && f.length > 44L) // 44 = RIFF header; shorter is empty
       return ("OK", java.nio.file.Files.readAllBytes(f.toPath))
+    // fetch into a temp path and promote with an atomic rename only
+    // after exit 0 + size check — a fetch killed mid-write (timeout
+    // destroyForcibly, executor loss) must never leave a partial file
+    // that the resume shortcut above would hand back as completed
+    val tmp = new java.io.File(f.getPath + ".part")
+    if (tmp.exists) tmp.delete()
     val (code, _, err) = exec(fetchCmd.map(
-      _.replace("{id}", videoId).replace("{out}", f.getPath)))
+      _.replace("{id}", videoId).replace("{out}", tmp.getPath)))
     if (code != 0) {
+      tmp.delete()
       val e = err.toLowerCase
       if (e.contains("premiere")) ("PREMIERE_VIDEO", Array.emptyByteArray)
       else if (e.contains("offline") || e.contains("unavailable"))
         ("OFFLINE_VIDEO", Array.emptyByteArray)
       else ("NO_OUTPUT_FILE", Array.emptyByteArray)
-    } else if (!f.exists || f.length <= 44L)
+    } else if (!tmp.exists || tmp.length <= 44L) {
+      tmp.delete()
       ("NO_OUTPUT_FILE", Array.emptyByteArray)
-    else ("OK", java.nio.file.Files.readAllBytes(f.toPath))
+    } else {
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ("OK", java.nio.file.Files.readAllBytes(f.toPath))
+    }
   }
 }

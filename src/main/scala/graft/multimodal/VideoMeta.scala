@@ -148,11 +148,16 @@ object VideoMeta {
         // multi-GB allocation from one scan task
         uniform = u32(bytes, (stszS + 4).toInt)
         k0 = u32(bytes, (stszS + 8).toInt)
+        // guard layout: box content is version+flags (4) then
+        // entry_count (4), so entries start at +8 and the bound is
+        // 8 + entrySize*n. The uniform-stsz branch declares no entry
+        // table, so bound k0 by the file itself: k frames of >=1 byte
+        // each can never exceed the payload length.
         if k0 >= 0 && k0 <= Int.MaxValue &&
-          (uniform != 0L || 12 + 4L * k0 <= stszE - stszS) &&
-          4 + 8L * u32(bytes, (sttsS + 4).toInt) <= sttsE - sttsS &&
-          4 + 12L * u32(bytes, (stscS + 4).toInt) <= stscE - stscS &&
-          4 + co._2.toLong * u32(bytes, (co._1._1 + 4).toInt) <= co._1._2 - co._1._1
+          (if (uniform != 0L) k0 <= n else 12 + 4L * k0 <= stszE - stszS) &&
+          8 + 8L * u32(bytes, (sttsS + 4).toInt) <= sttsE - sttsS &&
+          8 + 12L * u32(bytes, (stscS + 4).toInt) <= stscE - stscS &&
+          8 + co._2.toLong * u32(bytes, (co._1._1 + 4).toInt) <= co._1._2 - co._1._1
       } yield {
         val ((coS, _), coW) = co
         // sizes

@@ -74,10 +74,14 @@ object DedupQueries {
           |  UNION ALL
           |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!  '
           |  FROM documents WHERE doc_id % 5 = 0),
+          |n AS (SELECT doc_id,
+          |   trim(regexp_replace(regexp_replace(lower(text),
+          |     '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+          | FROM u),
           |k AS (SELECT doc_id,
-          |   md5(trim(regexp_replace(regexp_replace(lower(text),
-          |     '[^a-z0-9 ]', '', 'g'), ' {2,}', ' ', 'g'))) AS content_key
-          | FROM u)
+          |   CASE WHEN norm = '' THEN 'empty:' || CAST(doc_id AS VARCHAR)
+          |        ELSE md5(norm) END AS content_key
+          | FROM n)
           |SELECT content_key, min(doc_id) AS doc_id,
           |  CAST(count(*) AS BIGINT) AS n_copies
           |FROM k GROUP BY 1 ORDER BY content_key""".stripMargin

@@ -158,11 +158,11 @@ object LayoutQueries {
         // corpus/262144-sized read per probe, the index-free point-get
         // this layout exists for. autoBucketedScan would turn the
         // bucketed scan (and with it bucket pruning) OFF here because
-        // no join/agg wants the hash distribution; pinned off for the
-        // session — every other bucketed query WANTS the bucketed
-        // scan, so this is a safe global default for the engine.
+        // no join/agg wants the hash distribution; pinned off at the
+        // SESSION BOOTSTRAP (Graft.session), not here — a query fn
+        // must not flip planner config the rest of the registry runs
+        // under, or results would depend on execution order.
         // LayoutSpec asserts SelectedBucketsCount on this exact shape.
-        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         val docs = table(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
         Layout.writeBucketed(docs, "graft_bkt_point", "doc_id", buckets = 8)

@@ -92,10 +92,10 @@ object PipelineQueries {
         // them (Bloom front door + exact anti-join), survivors run the
         // curation funnel (exact-Jaccard near-dup path: deterministic,
         // no LSH randomness surface), and the clean refresh lands as a
-        // BUCKETED corpus whose read-back aggregation is
-        // exchange-free. Rows-only by the e2e convention — every
-        // stage is oracle-checked alone (q_dedup_bloom_anti, the gate
-        // queries, q_dedup_clusters, q_layout_bucketed_agg).
+        // BUCKETED corpus. Output: every funnel stage count plus the
+        // read-back corpus rollup (docs/chars/langs), so the oracle
+        // checks the WHOLE composite's integer stage outputs — the
+        // same chained-CTE treatment q_text_curation_e2e got.
         val batch = table(s, dir, "documents")
         // the realistic refresh shape: MOST of the batch is already
         // ingested (2/3 here) and dies at the Bloom front door without
@@ -110,19 +110,142 @@ object PipelineQueries {
         graft.layout.Layout.writeBucketed(
           out.docs.select("doc_id", "lang", "clean_text"),
           "graft_refresh_corpus", "doc_id", buckets = 8)
-        val summary = graft.layout.Layout
+        val corpus = graft.layout.Layout
           .readTable(s, "graft_refresh_corpus")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("clean_text"))).as("n_chars"))
-          .orderBy("lang")
+          .agg(count(lit(1)).as("corpus_docs"),
+            sum(length(col("clean_text"))).as("corpus_chars"),
+            countDistinct(col("lang")).as("corpus_langs"))
+        val stages = Seq("batch" -> batch.count()) ++ out.funnel.map {
+          case ("input", v) => ("bloom_survivors", v) // run()'s input IS the Bloom survivor set
+          case kv           => kv
+        }
         out.docs.unpersist()
-        summary
+        s.createDataFrame(stages).toDF("stage", "n_docs")
+          .crossJoin(corpus)
+          .orderBy("stage")
       },
-      oracle = None,
+      // Chained per-stage CTEs: Bloom-survivor count (the anti-join is
+      // exact — the Bloom filter only pre-kills, q_dedup_bloom_anti
+      // proves the semantics) → lang/quality gate → exact-dedup window
+      // → exact-Jaccard near-dup (n=3, j≥0.8, WITH the library-default
+      // maxDf=1000 skew guard replayed: df counted over per-doc
+      // distinct shingles, rare-only common counts, FULL sizes) →
+      // connected components → drop non-canonical → PII redaction →
+      // bucketed-corpus rollup.
+      oracle = Some(
+        """WITH novel AS (
+          |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+          |ql AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n_cjk > 0 THEN 'zh'
+          |         WHEN s_de = g AND g > 0 THEN 'de'
+          |         WHEN s_en = g AND g > 0 THEN 'en'
+          |         WHEN s_es = g AND g > 0 THEN 'es'
+          |         WHEN s_fr = g AND g > 0 THEN 'fr'
+          |         ELSE 'und' END AS lang_pred,
+          |    n_tokens,
+          |    (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0
+          |     + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |     + CASE WHEN n_nonspace / CAST(n_tokens AS DOUBLE) >= 3.0
+          |            AND n_nonspace / CAST(n_tokens AS DOUBLE) <= 10.0
+          |            THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+          |  FROM (
+          |    SELECT doc_id,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('der','die','das','und','ein','eine','von','zu'))) AS s_de,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('el','la','de','los','las','un','una','por'))) AS s_es,
+          |      len(list_filter(string_split(text,' '),
+          |        t -> t IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+          |      greatest(
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('der','die','das','und','ein','eine','von','zu'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('the','a','of','and','to','in','is','it'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('el','la','de','los','las','un','una','por'))),
+          |        len(list_filter(string_split(text,' '),
+          |          t -> t IN ('le','la','et','les','des','un','une','du')))) AS g,
+          |      len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+          |      length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          |      len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+          |      len(list_filter(string_split(text, ' '),
+          |        t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+          |      CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace
+          |    FROM novel)),
+          |gate AS (
+          |  SELECT n.doc_id, n.text, n.lang FROM novel n JOIN ql USING (doc_id)
+          |  WHERE ql.lang_pred IN ('en','fr','es','de','zh')
+          |    AND ql.quality >= 0.25 AND ql.n_tokens >= 8),
+          |exact AS (
+          |  SELECT doc_id, text, lang FROM (
+          |    SELECT doc_id, text, lang,
+          |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM gate) WHERE rn = 1),
+          |sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM exact)),
+          |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh0),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |rare AS (
+          |  SELECT doc_id, shingle FROM (
+          |    SELECT doc_id, shingle,
+          |      count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+          |  WHERE df <= 1000),
+          |cm AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id),
+          |pairs AS (
+          |  SELECT p.a, p.b FROM cm p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  JOIN sizes sb ON sb.doc_id = p.b
+          |  WHERE CAST(p.n_common AS DOUBLE)
+          |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.8),
+          |edges AS (SELECT a AS src, b AS dst FROM pairs
+          |          UNION SELECT b, a FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(node, mn) AS (
+          |    SELECT src, src FROM edges
+          |    UNION
+          |    SELECT e.dst, r.mn FROM r JOIN edges e ON e.src = r.node
+          |  ) SELECT node, min(mn) AS component FROM r GROUP BY node),
+          |dropped AS (SELECT node AS doc_id FROM reach WHERE node <> component),
+          |clean AS (
+          |  SELECT e.doc_id, e.lang,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(e.text,
+          |      'https?://[^\s]+', '<URL>', 'g'),
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |      '\+\d[\d -]{7,14}\d|\(?\d{3}\)?[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')
+          |      AS clean_text
+          |  FROM exact e LEFT JOIN dropped USING (doc_id)
+          |  WHERE dropped.doc_id IS NULL),
+          |corpus AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS corpus_docs,
+          |    CAST(sum(length(clean_text)) AS BIGINT) AS corpus_chars,
+          |    CAST(count(DISTINCT lang) AS BIGINT) AS corpus_langs
+          |  FROM clean),
+          |funnel AS (
+          |  SELECT 'batch' AS stage,
+          |    (SELECT count(*) FROM documents) AS n_docs
+          |  UNION ALL SELECT 'bloom_survivors', (SELECT count(*) FROM novel)
+          |  UNION ALL SELECT 'lang_quality_gate', (SELECT count(*) FROM gate)
+          |  UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM exact)
+          |  UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM clean))
+          |SELECT f.stage, CAST(f.n_docs AS BIGINT) AS n_docs,
+          |  c.corpus_docs, c.corpus_chars, c.corpus_langs
+          |FROM funnel f CROSS JOIN corpus c
+          |ORDER BY f.stage""".stripMargin
+      ),
       doc = "incremental corpus refresh: Bloom-prefiltered resume " +
-        "anti-join -> curation funnel -> bucketed corpus write -> " +
-        "exchange-free read-back rollup; the T2+dedup+layout composite"
+        "anti-join -> curation funnel (exact-Jaccard near-dup) -> " +
+        "bucketed corpus write -> read-back rollup; every stage count " +
+        "oracle-checked via chained CTEs incl. the maxDf skew guard"
     )
   )
 }

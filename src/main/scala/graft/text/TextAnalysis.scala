@@ -268,14 +268,25 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " {2,}", " "))
 
-  /** The "fuzzy-exact" dedup key (RefinedWeb / C4 normalization):
-    * lowercase, strip everything but [a-z0-9 ], collapse whitespace,
-    * trim — then digest. Two documents that differ only in case,
-    * punctuation, or spacing share a key; real wording changes do not.
+  /** The "fuzzy-exact" normalization (RefinedWeb / C4): lowercase,
+    * strip ASCII punctuation and symbols — explicit byte ranges
+    * !-/ :-@ [-` {-~ (0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E),
+    * not \p classes, so the regex means the same thing in every
+    * engine's dialect — collapse whitespace runs, trim. The recipe
+    * removes punctuation, NOT non-Latin letters: zh/ru/ar text keeps
+    * its characters (stripping all non-[a-z0-9] would normalize every
+    * non-Latin document to '' and collapse them into one "duplicate"
+    * group).
     */
-  def normalizedDigest(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " {2,}", " ")))
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
+
+  /** Digest of [[normalizedText]]: two documents that differ only in
+    * case, punctuation, or spacing share a key; real wording changes
+    * do not.
+    */
+  def normalizedDigest(text: Column): Column = md5(normalizedText(text))
 
   /** C4 line-level cleaning rules (Raffel et al. '20 §2.2, the C4
     * recipe; Dolma ships the same family): keep only lines that

@@ -107,6 +107,26 @@ class ConnectorsSpec extends SparkTestBase {
     assert(st2 == "OK" && bytes2.sameElements(wav))
     val countAfter = java.nio.file.Files.readAllLines(dir.resolve("fetch_count")).size
     assert(countAfter == countBefore, "re-fetch spawned the downloader again")
+
+    // a fetch that dies mid-write (partial bytes, non-zero exit) must
+    // NOT leave a file the resume shortcut would accept as completed:
+    // the download goes to a temp path and is only renamed into place
+    // after exit 0 + size check, so the retry re-fetches for real
+    val partial = mkScript(dir, "partial.sh",
+      """head -c 4096 /dev/zero > "$2"; exit 1""")
+    val fp = graft.io.ProcessAudioFetcher(
+      listCmd = Seq(lister, "{url}"),
+      fetchCmd = Seq(partial, "{id}", "{out}"),
+      workDir = work, timeoutSec = 30L)
+    assert(fp.fetchAudio("vid_killed")._1 == "NO_OUTPUT_FILE")
+    // retry with a HEALTHY fetcher: gets the full wav, not 4096 zeros
+    val fr = graft.io.ProcessAudioFetcher(
+      listCmd = Seq(lister, "{url}"),
+      fetchCmd = Seq(fetcher, "{id}", "{out}"),
+      workDir = work, timeoutSec = 30L)
+    val (st3, bytes3) = fr.fetchAudio("vid_killed")
+    assert(st3 == "OK" && bytes3.sameElements(wav),
+      "partial write from a failed fetch leaked into the resume path")
   }
 
   test("Pipeline.run drives the process-spawning fetcher end to end (S7/S8/G4)") {

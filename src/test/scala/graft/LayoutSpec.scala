@@ -154,6 +154,9 @@ class LayoutSpec extends SparkTestBase {
     val q = graft.queries.Registry.byName("q_layout_bucket_prune")
     val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     try {
+      // the engine pins this at session bootstrap (Graft.session);
+      // the shared test session isn't built there, so mirror it
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val df = q.fn(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)

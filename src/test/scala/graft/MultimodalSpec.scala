@@ -243,6 +243,16 @@ class MultimodalSpec extends SparkTestBase {
     // and the sampler degrades to the whole-payload fallback
     val out = Mp4FrameSampler.sampleBatch(Seq(bad), 3)
     assert(out.head.length == 1 && out.head.head._3.sameElements(bad))
+    // uniform-stsz variant: sample_size != 0 declares NO entry table,
+    // so the box-bounds guard can't catch a vandalized count — the
+    // file-derived bound (k frames of >=1 byte can't exceed the
+    // payload) must reject it instead of allocating ~2^31 longs
+    val badU = bytes.clone()
+    val sizeOff = stsz + 12 // 8 hdr + 4 verflags
+    badU(sizeOff + 3) = 1   // uniform sample_size = 1
+    badU(countOff) = 0x7f.toByte; badU(countOff + 1) = 0xff.toByte
+    badU(countOff + 2) = 0xff.toByte; badU(countOff + 3) = 0xff.toByte
+    assert(VideoMeta.videoTrack(badU).isEmpty)
     // the pristine fixture still parses
     assert(VideoMeta.videoTrack(bytes).isDefined)
   }

@@ -465,6 +465,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(norm == "a b c d")
   }
 
+  test("exactNormalized keeps non-Latin scripts; pure-punct docs never collapse") {
+    val corpus = Seq(
+      (1L, "Привет, мир!"),        // ru with ASCII punctuation
+      (2L, "  привет мир  "),      // same content reformatted → collapses with 1
+      (3L, "你好世界"),             // zh — must NOT normalize to ''
+      (4L, "!!! ???"),             // pure ASCII punctuation → normalizes to ''
+      (5L, "... ---")              // also '' — but shares no content with 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // 1&2 collapse; 3 survives with its characters; 4 and 5 stay DISTINCT
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+    assert(out.count(_.getAs[String]("content_key").startsWith("empty:")) == 2)
+  }
+
   test("paragraphDedup splits on newlines, trims, drops blank lines") {
     val corpus = Seq(
       (1L, "alpha beta\n\n  shared footer  \ngamma"),
