@@ -184,63 +184,114 @@ object Incremental {
     * it); a pair sharing several bands emits once per agreeing band —
     * dedup downstream by (a, b).
     *
-    * Scale: state is per-bucket lists of shingle-hash arrays;
-    * `maxPerBucket` bounds it (beyond the cap new members still
-    * verify against the stored ones but are not added — at a
-    * production threshold a full bucket is a boilerplate cluster
-    * whose membership is already decided). Production deployments add
-    * a state TTL (ProcessingTimeTimeout) to age out cold buckets. Ids
+    * Scale: state is per-bucket lists of shingle-hash arrays, bounded
+    * on BOTH axes. `maxPerBucket` bounds each bucket's membership
+    * (beyond the cap new members still verify against the stored ones
+    * but are not added — at a production threshold a full bucket is a
+    * boilerplate cluster whose membership is already decided).
+    * `stateTtlMs` bounds the bucket COUNT: an event-time timeout
+    * (with `eventTimeCol` + watermark) clears any bucket that goes
+    * `stateTtlMs` of EVENT time without an arrival, so cold buckets
+    * age out instead of accumulating forever — the state footprint is
+    * what arrived within the TTL horizon, not the stream's lifetime
+    * key cardinality. Event-time (not processing-time) timeout is
+    * deliberate twice over: aging is then reprocessing-safe (a replay
+    * of the same stream ages the same buckets at the same points, so
+    * the emitted pair set is deterministic), and the engine only
+    * schedules extra micro-batches when the watermark actually moves
+    * (ProcessingTimeTimeout forces `shouldRunAnotherBatch` == always,
+    * i.e. a busy-loop of empty batches between arrivals). Within the
+    * horizon the pair set still equals the batch path's
+    * (StreamBatchParitySpec proves both faces); a pair whose members
+    * arrive farther apart than the TTL is the accepted trade — the
+    * corpus-global batch sweep (the lambda split, see
+    * [[curationStream]]) closes those. 0 disables the timeout. Ids
     * ride as strings; pair order (a < b) is string comparison.
     */
   def nearDupStream(
-      docs: DataFrame, // streaming; (idCol, textCol)
+      docs: DataFrame, // streaming; (idCol, textCol[, eventTimeCol])
       idCol: String,
       textCol: String,
       n: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.8,
-      maxPerBucket: Int = 1024
+      maxPerBucket: Int = 1024,
+      stateTtlMs: Long = 0L,
+      eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds"
   ): Dataset[(String, String, Double)] = {
+    require(stateTtlMs == 0L || eventTimeCol.nonEmpty,
+      "stateTtlMs needs an eventTimeCol to define the aging clock")
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.dedup.Dedup
-    val base = docs
+    val withWm =
+      if (stateTtlMs > 0L) docs.withWatermark(eventTimeCol, watermarkDelay)
+      else docs
+    // carry the watermarked TIMESTAMP attribute itself into the
+    // stateful operator — EventTimeTimeout's analysis check requires
+    // the watermark metadata to survive to the operator's child, and
+    // a unix-millis projection would strip it
+    val evCol =
+      if (stateTtlMs > 0L) col(eventTimeCol)
+      else lit(null).cast("timestamp")
+    val base = withWm
       .select(col(idCol).cast("string").as("id"),
-        Dedup.shingleHashesUdf(n)(col(textCol)).as("xs"))
+        Dedup.shingleHashesUdf(n)(col(textCol)).as("xs"),
+        evCol.as("ev"))
       .filter(size(col("xs")) > 0)
       .withColumn("sig", Dedup.minHashSigUdf(bands * rowsPerBand)(col("xs")))
-      .select(col("id"), col("xs"),
+      .select(col("id"), col("xs"), col("ev"),
         explode(array(Dedup.bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.h").as("h"),
-        col("id"), col("xs"))
-      .as[(Int, Long, String, Array[Long])]
+        col("id"), col("xs"), col("ev"))
+      .as[(Int, Long, String, Array[Long], java.sql.Timestamp)]
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     base
-      .groupByKey { case (band, h, _, _) => (band, h) }
+      .groupByKey { case (band, h, _, _, _) => (band, h) }
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, timeoutConf)(
         (_: (Int, Long),
-         rows: Iterator[(Int, Long, String, Array[Long])],
+         rows: Iterator[(Int, Long, String, Array[Long], java.sql.Timestamp)],
          state: GroupState[Seq[(String, Array[Long])]]) => {
-          var st = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ListBuffer[(String, String, Double)]()
-          // in-batch arrivals sorted by id: cap-dropping is then
-          // deterministic for a given micro-batching
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, xs) =>
-            st.foreach { case (pid, pxs) =>
-              if (pid != id) {
-                val c = Dedup.interCount(xs, pxs)
-                val j = c.toDouble / (xs.length + pxs.length - c).toDouble
-                if (j >= minJaccard) {
-                  val (a, b) = if (id < pid) (id, pid) else (pid, id)
-                  out += ((a, b, j))
+          if (state.hasTimedOut) {
+            // cold bucket: no arrival within the TTL — drop its state
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ListBuffer[(String, String, Double)]()
+            var maxEv = Long.MinValue
+            // in-batch arrivals sorted by id: cap-dropping is then
+            // deterministic for a given micro-batching
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, xs, ev) =>
+              if (ev != null && ev.getTime > maxEv) maxEv = ev.getTime
+              st.foreach { case (pid, pxs) =>
+                if (pid != id) {
+                  val c = Dedup.interCount(xs, pxs)
+                  val j = c.toDouble / (xs.length + pxs.length - c).toDouble
+                  if (j >= minJaccard) {
+                    val (a, b) = if (id < pid) (id, pid) else (pid, id)
+                    out += ((a, b, j))
+                  }
                 }
               }
+              if (st.size < maxPerBucket) st = st :+ ((id, xs))
             }
-            if (st.size < maxPerBucket) st = st :+ ((id, xs))
+            state.update(st)
+            // every arrival renews the bucket's lease: expire TTL past
+            // the newest member, but never at-or-below the current
+            // watermark (late rows inside the allowed lateness could
+            // otherwise set an already-expired timestamp, which the
+            // engine rejects)
+            if (stateTtlMs > 0L)
+              state.setTimeoutTimestamp(
+                math.max(maxEv + stateTtlMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
       .toDF("a", "b", "jaccard")
       .as[(String, String, Double)]

@@ -254,9 +254,14 @@ class StreamBatchParitySpec extends SparkTestBase {
       graft.layout.Layout.dropWithLocation(spark, tableName)
   }
 
-  test("streaming near-dup (LSH bucket state) equals batch pairs across micro-batches") {
+  private def nearDupParity(queryName: String, stateTtlMs: Long): Unit = {
     import spark.implicits._
-    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // synthetic event time for the TTL face: doc_id seconds apart, so
+    // the whole corpus spans ~10 min — far inside the 30-day horizon.
+    // +1 keeps doc 0 ABOVE the initial epoch-0 watermark (a row AT the
+    // watermark is filtered as late before the stateful operator)
+    val src = raw.withColumn("ets", timestamp_millis((col("doc_id") + 1L) * 1000L))
     val dir = Files.createTempDirectory("graftneardup")
     // two micro-batches split by parity — near-dup pairs crossing the
     // batch boundary must be closed against first-batch bucket state
@@ -267,12 +272,16 @@ class StreamBatchParitySpec extends SparkTestBase {
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString + "/*")
+    // generous lateness bound: the odd-id batch arrives entirely
+    // "late" relative to the even-id batch's max event time
     val pairs = Incremental.nearDupStream(
-      stream, "doc_id", "text", minJaccard = 0.12)
+      stream, "doc_id", "text", minJaccard = 0.12,
+      stateTtlMs = stateTtlMs, eventTimeCol = "ets",
+      watermarkDelay = "30 days")
     val q = pairs.writeStream.outputMode("append").format("memory")
-      .queryName("parity_neardup").start()
+      .queryName(queryName).start()
     q.processAllAvailable()
-    val got = spark.sql("SELECT a, b, jaccard FROM parity_neardup")
+    val got = spark.sql(s"SELECT a, b, jaccard FROM $queryName")
       .as[(String, String, Double)].collect()
       .map { case (a, b, j) =>
         val (x, y) = (a.toLong, b.toLong)
@@ -287,6 +296,57 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(got == want,
       s"stream ${got.size} pairs vs batch ${want.size}: " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streaming near-dup (LSH bucket state) equals batch pairs across micro-batches") {
+    nearDupParity("parity_neardup", stateTtlMs = 0L)
+  }
+
+  test("near-dup TTL face: parity holds within the TTL horizon") {
+    // generous TTL — the whole corpus arrives well inside the lease,
+    // so the EventTimeTimeout code path must reproduce the batch pair
+    // set exactly
+    nearDupParity("parity_neardup_ttl", stateTtlMs = 30L * 24 * 3600 * 1000)
+  }
+
+  test("near-dup TTL ages out cold bucket state under key churn") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "completely different content about distributed systems and shuffles here"
+    val ttl = 60_000L // 1 min of EVENT time — no wall-clock sleeps
+    val base = 1_600_000_000_000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val pairs = Incremental.nearDupStream(
+      input.toDF().toDF("doc_id", "text", "ets"), "doc_id", "text",
+      minJaccard = 0.8, stateTtlMs = ttl, eventTimeCol = "ets")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("ttl_churn_neardup").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // batch 1: an identical pair IN ONE BATCH; both docs share all 8
+    // (band, h) buckets, so state is 8 groups with a base+ttl lease
+    input.addData((1L, tA, ts(base)), (2L, tA, ts(base)))
+    q.processAllAvailable()
+    assert(stateRows == 8L, s"expected 8 bucket groups, got $stateRows")
+    // batch 2: an unrelated doc advances the watermark past the tA
+    // lease; the engine's follow-up batch must REMOVE the expired tA
+    // buckets — without the TTL this would settle at 16 state rows
+    input.addData((100L, tB, ts(base + ttl + 1000L)))
+    q.processAllAvailable()
+    assert(stateRows == 8L,
+      s"cold buckets survived the TTL: $stateRows state rows")
+    // batch 3: tA returns after the horizon — its old state is gone,
+    // so no pair against doc 1 or 2 can close
+    input.addData((3L, tA, ts(base + ttl + 2000L)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT a, b FROM ttl_churn_neardup")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(got == Set(("1", "2")),
+      s"expected only the within-horizon pair, got $got")
   }
 
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
