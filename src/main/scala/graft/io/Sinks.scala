@@ -89,8 +89,56 @@ object Sinks {
       .packSequences(df.select(col(idCol), col(textCol)), idCol, textCol,
         seqLen = tokensPerShard)
       .withColumn("shard", col("first_seq"))
-    df.join(packed.select(col(idCol), col("shard"), col("start_off")), Seq(idCol))
+    df.join(
+      packed.select(col(idCol), col("shard"), col("start_off"), col("end_off")),
+      Seq(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    packed
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("start_off")).as("min_start"),
+        max(col("end_off")).as("max_end"))
+  }
+
+  /** Incremental face of [[writeTrainingShards]] — one micro-batch (or
+    * ingest increment) APPENDED to an existing sharded corpus: the
+    * batch packs against the global token offset already on disk
+    * (max end_off — a metadata-sized aggregate over two long columns),
+    * so shard numbering continues exactly where the corpus left off
+    * and a shard spanning the batch boundary fills up instead of
+    * restarting. With increments delivered in id order the resulting
+    * table is IDENTICAL to one batch [[writeTrainingShards]] over the
+    * whole corpus (StreamBatchParitySpec proves it across a real
+    * micro-batch split); out-of-order delivery still yields a valid
+    * contiguous packing, just a different document order than the
+    * batch sort. Returns the batch's per-shard summary.
+    */
+  def appendTrainingShards(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      tokensPerShard: Long): DataFrame = {
+    val spark = df.sparkSession
+    val d = new java.io.File(path)
+    val existing = d.exists &&
+      Option(d.listFiles()).exists(_.exists(_.getName.startsWith("shard=")))
+    val base: Long =
+      if (existing)
+        spark.read.parquet(path).agg(max(col("end_off"))).first().getLong(0)
+      else 0L
+    val packed = graft.text.TextAnalysis
+      .packSequences(df.select(col(idCol), col(textCol)), idCol, textCol,
+        seqLen = tokensPerShard)
+      .withColumn("start_off", col("start_off") + base)
+      .withColumn("end_off", col("end_off") + base)
+      .withColumn("shard", expr(s"start_off div $tokensPerShard"))
+    df.join(
+      packed.select(col(idCol), col("shard"), col("start_off"), col("end_off")),
+      Seq(idCol))
+      .write.mode("append").partitionBy("shard").parquet(path)
     packed
       .groupBy(col("shard"))
       .agg(

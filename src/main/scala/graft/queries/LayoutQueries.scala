@@ -233,6 +233,99 @@ object LayoutQueries {
         "plan shape and that pruned-scan output rows shrink ~7x); the " +
         "oracle replays the join over the raw table",
       prepare = Some((s, dir) => { dppFixture(s, dir); () })
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_layout_compaction",
+      covers = "layout,compaction,small-files",
+      fn = (s, dir) => {
+        val path = compactionFixture(s, dir)
+        // the compaction PLANNER's sizing decisions at three targets:
+        // pure metadata arithmetic (listing + ceil division), which is
+        // exactly what must be deterministic for a rewrite of a 100 TB
+        // corpus to be right-sized instead of guess-partitioned
+        val rows = Seq(4096L, 65536L, 1048576L).map { target =>
+          val (nFiles, totalBytes, nOut) =
+            Layout.compactionPlan(s, path, target)
+          (target, nFiles, totalBytes, nOut.toLong)
+        }
+        import s.implicits._
+        rows.toDF("target_bytes", "n_files", "total_bytes", "n_out")
+          .orderBy("target_bytes")
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT doc_id % 12 AS grp,
+          |    CAST(sum(n_chars) AS BIGINT) AS bytes
+          |  FROM documents GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+          |    CAST(sum(bytes) AS BIGINT) AS total_bytes
+          |  FROM g),
+          |t AS (SELECT CAST(unnest([4096, 65536, 1048576]) AS BIGINT)
+          |        AS target_bytes)
+          |SELECT t.target_bytes, tot.n_files, tot.total_bytes,
+          |  CAST(greatest(1, (tot.total_bytes + t.target_bytes - 1)
+          |    // t.target_bytes) AS BIGINT) AS n_out
+          |FROM t CROSS JOIN tot ORDER BY t.target_bytes""".stripMargin
+      ),
+      doc = "compaction planner oracle: a small-files directory whose " +
+        "per-file sizes are data-derived (group-g file holds exactly " +
+        "sum(n_chars) of doc_id%12==g bytes) is listed and sized at " +
+        "three targets; DuckDB replays the listing as the group sums " +
+        "and the plan as ceil-division — files, total bytes, and " +
+        "output count all integer-exact",
+      prepare = Some((s, dir) => { compactionFixture(s, dir); () })
     )
   )
+
+  /** Idempotent small-files fixture for the compaction planner: one
+    * `part-gNN` file per doc_id%12 group, each holding EXACTLY the
+    * group's sum(n_chars) bytes — so the directory listing the
+    * planner sees is a pure function of the documents table and the
+    * DuckDB oracle can replay it relationally. Marker-guarded like
+    * [[dppFixture]]; Bench pre-builds it untimed.
+    */
+  private[queries] def compactionFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_compact_src_$key").getPath
+    val marker = new java.io.File(path, "_GRAFT_READY")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString("|")
+      else s"${f.length}:${f.lastModified}"
+    val want = sig(new java.io.File(dir, "documents.parquet"))
+    val fresh = marker.exists &&
+      java.nio.file.Files.readString(marker.toPath) == want
+    if (!fresh) {
+      // 12 (grp, bytes) rows — metadata-sized driver collect
+      val sizes = table(s, dir, "documents")
+        .groupBy((col("doc_id") % 12L).as("grp"))
+        .agg(sum(col("n_chars")).as("bytes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val d = new java.io.File(path)
+      if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
+      sizes.foreach { case (grp, bytes) =>
+        val f = new java.io.File(d, f"part-g$grp%02d")
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f))
+        try {
+          val chunk = new Array[Byte](65536)
+          var left = bytes
+          while (left > 0) {
+            val n = math.min(left, chunk.length.toLong).toInt
+            out.write(chunk, 0, n)
+            left -= n
+          }
+        } finally out.close()
+      }
+      java.nio.file.Files.writeString(marker.toPath, want)
+    }
+    path
+  }
 }

@@ -46,20 +46,153 @@ object PipelineQueries {
           Pipeline.Config(minSnr = 12.0, minSpeechScore = 0.5,
             minVideoDurationS = 4, shortVideoS = 3)
         )
-        // summary: per-channel segment/selection stats + meta rollup
-        out.segments
+        // Per-channel INTEGER stage counters — each one a deterministic
+        // function of the fake-source seed, so the whole composed loop
+        // (enumeration → statuses → early-abort state machine → VAD
+        // segmentation) is oracle-checked. The float faces (SNR values,
+        // speech scores, selection) stay out by the libm rule
+        // (QueryDef.scala #9) and are covered by q_g2_wada_table /
+        // q_a7_speech_score plus PipelineSpec's threshold tests.
+        val segAgg = out.segments
           .groupBy("channel_id")
           .agg(
-            count(lit(1)).as("n_segments"),
-            count(when(col("selected"), 1)).as("n_selected"),
-            min(col("snr")).as("min_snr"),
-            max(col("snr")).as("max_snr")
-          )
+            countDistinct(col("video_id")).as("n_downloaded"),
+            count(lit(1)).as("n_segments"))
+        val errAgg = out.videoErrors
+          .groupBy("channel_id")
+          .agg(
+            sum(when(col("status").isin("PREMIERE_VIDEO", "OFFLINE_VIDEO"), 1L)
+              .otherwise(0L)).as("n_premiere_offline"),
+            sum(when(col("status") === "NO_OUTPUT_FILE", 1L)
+              .otherwise(0L)).as("n_no_output"))
+        val aborts = out.skips.toDF()
+          .filter(col("reason") =!= "NOT_ENOUGH_VIDEOS")
+          .select(col("channel_id"), col("reason").as("abort_reason"))
+        channels.select(col("id").as("channel_id"))
+          .join(segAgg, Seq("channel_id"), "left")
+          .join(errAgg, Seq("channel_id"), "left")
+          .join(aborts, Seq("channel_id"), "left")
+          .select(
+            col("channel_id"),
+            coalesce(col("n_downloaded"), lit(0L)).as("n_downloaded"),
+            coalesce(col("n_premiere_offline"), lit(0L)).as("n_premiere_offline"),
+            coalesce(col("n_no_output"), lit(0L)).as("n_no_output"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            col("abort_reason"))
           .orderBy("channel_id")
       },
-      oracle = None,
+      // The oracle replays the WHOLE per-channel loop relationally:
+      // Java String.hashCode as a 32-bit list_reduce fold (channel url
+      // → video count + ids; video id → status + burst count), the
+      // quota bucketing, and the early-abort state machine as window
+      // prefix sums — DONE / OVER_QUOTA_ATTEMPTS / TOO_MANY_PREMIERES
+      // candidates ranked by (pos, loop precedence), events bounded at
+      // the winning abort (a premiere abort emits its own error event;
+      // the other two stop before the video). Segment counts ride the
+      // VAD-burst invariant k%3+2, pinned exhaustively for every OK
+      // video of every seed channel by IoSpec ("fake-source VAD
+      // invariant").
+      oracle = Some(
+        """WITH ch AS (
+          |  SELECT c_custkey AS ck,
+          |    'UC' || lpad(CAST(c_custkey AS VARCHAR), 22, '0') AS channel_id,
+          |    'https://yt/c/' || CAST(c_custkey AS VARCHAR) AS url
+          |  FROM customer WHERE c_custkey % 211 = 0),
+          |hu AS (
+          |  SELECT ck, channel_id,
+          |    abs(CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296 ELSE hraw END) AS hu,
+          |    CASE WHEN ck * 9973 % 250000 < 10000 THEN 10
+          |         WHEN ck * 9973 % 250000 < 30000 THEN 20
+          |         WHEN ck * 9973 % 250000 < 50000 THEN 30
+          |         WHEN ck * 9973 % 250000 < 100000 THEN 40
+          |         WHEN ck * 9973 % 250000 < 200000 THEN 50
+          |         ELSE 60 END AS quota
+          |  FROM (
+          |    SELECT ck, channel_id,
+          |      list_reduce(
+          |        list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(range(1, len(url) + 1),
+          |            i -> CAST(unicode(url[CAST(i AS INTEGER)]) AS BIGINT))),
+          |        (h, c) -> (h * 31 + c) & 4294967295) AS hraw
+          |    FROM ch)),
+          |v AS (
+          |  SELECT ck, channel_id, quota, i.i AS pos,
+          |    'v' || lpad(CAST(hu AS VARCHAR), 10, '0') || '_'
+          |      || lpad(CAST(i.i AS VARCHAR), 3, '0') AS vid
+          |  FROM hu CROSS JOIN range(0, 45) i(i)
+          |  WHERE i.i < hu % 40 + 5),
+          |kv AS (
+          |  SELECT ck, channel_id, quota, pos,
+          |    abs(CASE WHEN kraw >= 2147483648 THEN kraw - 4294967296 ELSE kraw END) AS k
+          |  FROM (
+          |    SELECT ck, channel_id, quota, pos,
+          |      list_reduce(
+          |        list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(range(1, len(vid) + 1),
+          |            i -> CAST(unicode(vid[CAST(i AS INTEGER)]) AS BIGINT))),
+          |        (h, c) -> (h * 31 + c) & 4294967295) AS kraw
+          |    FROM v)),
+          |st AS (
+          |  SELECT ck, channel_id, quota, pos,
+          |    CASE WHEN k % 17 = 0 OR k % 19 = 0 THEN 'PREM'
+          |         WHEN k % 23 = 0 THEN 'NOOUT' ELSE 'OK' END AS status,
+          |    CASE WHEN k % 17 != 0 AND k % 19 != 0 AND k % 23 != 0
+          |         THEN k % 3 + 2 ELSE 0 END AS nb
+          |  FROM kv),
+          |w AS (
+          |  SELECT ck, channel_id, quota, pos, status, nb,
+          |    coalesce(sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) OVER (
+          |      PARTITION BY ck ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dl_b,
+          |    coalesce(sum(CASE WHEN status = 'OK' THEN nb * 40000 // 16000 ELSE 0 END) OVER (
+          |      PARTITION BY ck ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dur_b,
+          |    sum(CASE WHEN status = 'PREM' THEN 1 ELSE 0 END) OVER (
+          |      PARTITION BY ck ORDER BY pos) AS prem_i
+          |  FROM st),
+          |w2 AS (
+          |  SELECT *,
+          |    CASE WHEN dl_b >= quota AND dur_b < 4 * quota THEN 1 ELSE 0 END AS extra_f,
+          |    sum(CASE WHEN dl_b >= quota AND dur_b < 4 * quota THEN 1 ELSE 0 END) OVER (
+          |      PARTITION BY ck ORDER BY pos) AS ex_i
+          |  FROM w),
+          |cand AS (
+          |  SELECT ck, pos, 1 AS prio, 'DONE' AS reason FROM w2
+          |    WHERE dl_b >= quota AND dur_b >= 4 * quota
+          |  UNION ALL
+          |  SELECT ck, pos, 2, 'OVER_QUOTA_ATTEMPTS' FROM w2
+          |    WHERE extra_f = 1 AND ex_i > 3
+          |  UNION ALL
+          |  SELECT ck, pos, 3, 'TOO_MANY_PREMIERES' FROM w2
+          |    WHERE status = 'PREM' AND prem_i > 3),
+          |ab AS (
+          |  SELECT ck, pos AS apos, reason FROM (
+          |    SELECT ck, pos, reason,
+          |      row_number() OVER (PARTITION BY ck ORDER BY pos, prio) AS rn
+          |    FROM cand) WHERE rn = 1),
+          |agg AS (
+          |  SELECT w2.ck, w2.channel_id,
+          |    CAST(sum(CASE WHEN w2.status = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS n_downloaded,
+          |    CAST(sum(CASE WHEN w2.status = 'PREM' THEN 1 ELSE 0 END) AS BIGINT) AS n_premiere_offline,
+          |    CAST(sum(CASE WHEN w2.status = 'NOOUT' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_output,
+          |    CAST(sum(CASE WHEN w2.status = 'OK' THEN w2.nb ELSE 0 END) AS BIGINT) AS n_segments
+          |  FROM w2 LEFT JOIN ab ON ab.ck = w2.ck
+          |  WHERE ab.apos IS NULL OR w2.pos < ab.apos
+          |     OR (w2.pos = ab.apos AND ab.reason = 'TOO_MANY_PREMIERES')
+          |  GROUP BY 1, 2)
+          |SELECT a.channel_id, a.n_downloaded, a.n_premiere_offline,
+          |  a.n_no_output, a.n_segments,
+          |  CASE WHEN ab.reason IN ('OVER_QUOTA_ATTEMPTS', 'TOO_MANY_PREMIERES')
+          |       THEN ab.reason END AS abort_reason
+          |FROM agg a LEFT JOIN ab ON ab.ck = a.ck
+          |ORDER BY a.channel_id""".stripMargin
+      ),
       doc = "end-to-end flagship pipeline over deterministic fakes " +
-        "(data_pipeline.py main loop, SURVEY §3.1)"
+        "(data_pipeline.py main loop, SURVEY §3.1) — per-channel " +
+        "integer stage counters (downloaded / premiere-offline / " +
+        "no-output / segments / abort reason) fully oracle-replayed: " +
+        "Java hashCode fold, quota buckets, early-abort window " +
+        "arithmetic, VAD-pinned segment counts"
     ),
     // ----------------------------------------------------------------
     QueryDef(
@@ -80,7 +213,87 @@ object PipelineQueries {
       },
       oracle = None,
       doc = "channel quality-probe pipeline (filter_channel.py, SURVEY " +
-        "§3.2): nested {url, snrss, acss} rows + within-array stats"
+        "§3.2): nested {url, snrss, acss} rows + within-array stats. " +
+        "Rows-only BY THE LIBM RULE (QueryDef.scala #9): n_snr_ok / " +
+        "n_ac_ok are counts of float-threshold decisions over WADA " +
+        "SNR (Math.log) and classifier scores — the same carve-out as " +
+        "q_g2_wada_snr's float face. The probe's integer scan " +
+        "topology is fully oracled by q_probe_scan below; the " +
+        "threshold logic itself is oracled on the integer core " +
+        "(q_g2_wada_table, q_a7_speech_score)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_probe_scan",
+      covers = "S3,S7,S8,G1,O5",
+      fn = (s, dir) => {
+        // same seed population as q_probe_quality, run through the
+        // REAL Probe.run path — the output is the integer scan
+        // skeleton: how many segments each channel's probe yielded
+        val urls = table(s, dir, "customer")
+          .filter(col("c_custkey") % 499L === 0L)
+          .select(concat(lit("https://yt/c/"), col("c_custkey")).as("url"))
+        val out = graft.pipeline.Probe.run(
+          s, urls, new graft.io.FakeAudioFetcher(2),
+          graft.pipeline.FakeClassifier, maxPerChannel = 2, probeCutS = 6)
+        out.quality.toDF()
+          .select(col("url"), size(col("snrss")).cast("long").as("n_segments"))
+          .orderBy("url")
+      },
+      // Replay: the probe's failure-extended scan window (taken < 2 &&
+      // idx < 2 + failures) reduces exactly to "the first 2 OK videos
+      // in playlist order" — the maxIdx increment compensates each
+      // failure one-for-one. Segment counts per probed video follow
+      // the 6s-middle-cut VAD pin (2 bursts fit whole → 2; 3+ bursts
+      // → 3), proven per-video by IoSpec's fake-source VAD invariant.
+      oracle = Some(
+        """WITH ch AS (
+          |  SELECT 'https://yt/c/' || CAST(c_custkey AS VARCHAR) AS url
+          |  FROM customer WHERE c_custkey % 499 = 0),
+          |hu AS (
+          |  SELECT url,
+          |    abs(CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296 ELSE hraw END) AS hu
+          |  FROM (
+          |    SELECT url,
+          |      list_reduce(
+          |        list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(range(1, len(url) + 1),
+          |            i -> CAST(unicode(url[CAST(i AS INTEGER)]) AS BIGINT))),
+          |        (h, c) -> (h * 31 + c) & 4294967295) AS hraw
+          |    FROM ch)),
+          |v AS (
+          |  SELECT url, i.i AS pos,
+          |    'v' || lpad(CAST(hu AS VARCHAR), 10, '0') || '_'
+          |      || lpad(CAST(i.i AS VARCHAR), 3, '0') AS vid
+          |  FROM hu CROSS JOIN range(0, 45) i(i)
+          |  WHERE i.i < hu % 40 + 5),
+          |kv AS (
+          |  SELECT url, pos,
+          |    abs(CASE WHEN kraw >= 2147483648 THEN kraw - 4294967296 ELSE kraw END) AS k
+          |  FROM (
+          |    SELECT url, pos,
+          |      list_reduce(
+          |        list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(range(1, len(vid) + 1),
+          |            i -> CAST(unicode(vid[CAST(i AS INTEGER)]) AS BIGINT))),
+          |        (h, c) -> (h * 31 + c) & 4294967295) AS kraw
+          |    FROM v)),
+          |ok AS (
+          |  SELECT url, pos, k % 3 + 2 AS nb,
+          |    row_number() OVER (PARTITION BY url ORDER BY pos) AS ok_rank
+          |  FROM kv WHERE k % 17 != 0 AND k % 19 != 0 AND k % 23 != 0),
+          |seg AS (
+          |  SELECT url,
+          |    CAST(sum(CASE WHEN nb = 2 THEN 2 ELSE 3 END) AS BIGINT) AS n_segments
+          |  FROM ok WHERE ok_rank <= 2 GROUP BY url)
+          |SELECT ch.url, coalesce(seg.n_segments, 0) AS n_segments
+          |FROM ch LEFT JOIN seg USING (url)
+          |ORDER BY ch.url""".stripMargin
+      ),
+      doc = "probe-pipeline scan skeleton, oracle-replayed: hashCode " +
+        "fold -> playlist -> statuses -> first-2-OK window (the " +
+        "failure-extension identity) -> 6s-cut VAD segment counts " +
+        "(spec-pinned) — the integer face of q_probe_quality"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -483,7 +483,180 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
       "intersects them, so the whole composite is bit-checked"
   )
 
-  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ QueryDef(
+  /** Parametric multi-table sign-LSH top-k oracle: per-table planes
+    * (rows t·bits+i of the planeInt grid — table 0 IS the single-table
+    * grid), per-table bucket routing, DISTINCT candidate union, then
+    * the proven quantized-exact cosine rank.
+    */
+  private def lshOracle(bits: Int, tables: Int, kNn: Int): String = {
+    val planes3d = (0 until tables).map { t =>
+      (0 until bits).map(i =>
+        (0 until 64).map(j => Ann.planeInt(t * bits + i, j))
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    s"""WITH qe AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pl AS (SELECT $planes3d AS p),
+       |bk AS (
+       |  SELECT vec_id, t.t AS t,
+       |    list_sum(list_transform(range(1, ${bits + 1}),
+       |      i -> CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+       |             j -> q[j] * p[t.t][i][j])) >= 0
+       |           THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+       |           ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM qe CROSS JOIN pl CROSS JOIN range(1, ${tables + 1}) t(t)),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM bk p JOIN bk c ON p.t = c.t AND p.bucket = c.bucket
+       |  WHERE p.vec_id < 8 AND p.vec_id != c.vec_id),
+       |nm AS (SELECT vec_id, q,
+       |    sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |  FROM qe),
+       |cos AS (
+       |  SELECT cand.probe_id, cand.cand_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, len(np.q) + 1),
+       |      j -> np.q[j] * nc.q[j])) AS BIGINT) AS DOUBLE) / (np.nrm * nc.nrm) AS cos
+       |  FROM cand JOIN nm np ON np.vec_id = cand.probe_id
+       |  JOIN nm nc ON nc.vec_id = cand.cand_id)
+       |SELECT probe_id, rank, cand_id, cos FROM (
+       |  SELECT probe_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM cos)
+       |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Parametric PQ ADC top-k oracle: the q_ann_topk_pq replay with m
+    * subspaces of sd = 64/m dims and k centroids each (init = first k
+    * vectors' subvectors, one integer-exact Lloyd step, ORDER
+    * BY-controlled list_sum so addition order matches the Scala
+    * loops).
+    */
+  private def pqOracle(m: Int, k: Int, kNn: Int): String = {
+    val sd = 64 / m
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
+       |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $k)),
+       |a1 AS (
+       |  SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code
+       |  FROM (
+       |    SELECT E.vec_id, s.s AS s,
+       |      list_transform(range(1, ${k + 1}),
+       |        c -> list_sum(list_transform(range(1, ${sd + 1}),
+       |          d -> (CAST(E.embedding[$sd * (s.s - 1) + d] AS DOUBLE) - vs[c][$sd * (s.s - 1) + d])
+       |             * (CAST(E.embedding[$sd * (s.s - 1) + d] AS DOUBLE) - vs[c][$sd * (s.s - 1) + d])))) AS ds
+       |    FROM e E CROSS JOIN range(1, ${m + 1}) s(s) CROSS JOIN c0)),
+       |m1 AS (
+       |  SELECT a1.s, a1.code, d.d,
+       |    sum(CAST(round(CAST(E.embedding[$sd * (a1.s - 1) + d.d] AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS mq,
+       |    count(*) AS cnt
+       |  FROM a1 JOIN e E USING (vec_id) CROSS JOIN range(1, ${sd + 1}) d(d)
+       |  GROUP BY 1, 2, 3),
+       |c1 AS (
+       |  SELECT s.s, c.c, d.d,
+       |    coalesce(
+       |      CAST(CAST(m1.mq AS BIGINT) AS DOUBLE) / (1048576.0 * CAST(m1.cnt AS DOUBLE)),
+       |      c0.vs[c.c][$sd * (s.s - 1) + d.d]) AS v
+       |  FROM range(1, ${m + 1}) s(s)
+       |  CROSS JOIN range(1, ${k + 1}) c(c)
+       |  CROSS JOIN range(1, ${sd + 1}) d(d)
+       |  CROSS JOIN c0
+       |  LEFT JOIN m1 ON m1.s = s.s AND m1.code = c.c - 1 AND m1.d = d.d),
+       |pt AS (
+       |  SELECT P.vec_id AS probe_id, c1.s, c1.c,
+       |    list_sum(list(
+       |      (CAST(P.embedding[$sd * (c1.s - 1) + c1.d] AS DOUBLE) - c1.v)
+       |      * (CAST(P.embedding[$sd * (c1.s - 1) + c1.d] AS DOUBLE) - c1.v)
+       |      ORDER BY c1.d)) AS t
+       |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 8) P CROSS JOIN c1
+       |  GROUP BY 1, 2, 3),
+       |dist AS (
+       |  SELECT pt.probe_id, a1.vec_id AS cand_id,
+       |    list_sum(list(pt.t ORDER BY pt.s)) AS dist
+       |  FROM a1 JOIN pt ON pt.s = a1.s AND pt.c = a1.code + 1
+       |  WHERE a1.vec_id != pt.probe_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, rank, cand_id, dist FROM (
+       |  SELECT probe_id, cand_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY dist ASC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM dist)
+       |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** The q_ann_topk_ivf oracle re-probed at nProbe lists (the chain is
+    * identical; only the probed-list rank cut moves).
+    */
+  private def ivfOracleAtNProbe(nProbe: Int): String = {
+    val t = oracleOf("q_ann_topk_ivf")
+    require(t.contains("rn <= 4"),
+      "q_ann_topk_ivf oracle shape changed — update ivfOracleAtNProbe")
+    t.replace("rn <= 4", s"rn <= $nProbe")
+  }
+
+  private def recallTunedDef = QueryDef(
+    "q_ann_recall_tuned",
+    covers = "ann-recall-tuning",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 8L)
+      val exact = Ann
+        .topKExact(
+          probes.withColumnRenamed("vec_id", "probe_id"),
+          e.withColumnRenamed("vec_id", "cand_id"),
+          "probe_id", "cand_id", "embedding", k = 5)
+        .select(col("probe_id"), col("cand_id"))
+        .cache()
+      // production-ish points on each method's tuning axis (vs the
+      // q_ann_recall baseline): LSH 1→16 tables, IVF nProbe 4→8 on the
+      // same index, PQ 4×16 → 8×64 codebooks
+      val ivfIdx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+      val pqIdx = graft.similarity.Pq
+        .pqBuild(e, "vec_id", "embedding", m = 8, k = 64, iters = 1)
+      val approx = Ann
+        .topKLsh(e, probes, "vec_id", "embedding", k = 5, bits = 4, tables = 16)
+        .select(lit("lsh").as("method"), col("probe_id"), col("cand_id"))
+        .unionByName(Ann
+          .topKIvf(ivfIdx, probes, "vec_id", "embedding", k = 5, nProbe = 8)
+          .select(lit("ivf").as("method"), col("probe_id"), col("cand_id")))
+        .unionByName(graft.similarity.Pq
+          .pqTopK(pqIdx, probes, "vec_id", "embedding", kNn = 5)
+          .select(lit("pq").as("method"), col("probe_id"), col("cand_id")))
+      approx
+        .join(exact.withColumn("__hit", lit(1L)), Seq("probe_id", "cand_id"), "left")
+        .groupBy(col("method"), col("probe_id"))
+        .agg(
+          count(col("__hit")).as("n_hits"),
+          count(lit(1)).as("n_returned"))
+        .orderBy("method", "probe_id")
+    },
+    oracle = Some(
+      "WITH ex AS (SELECT probe_id, cand_id FROM (\n" +
+        oracleOf("q_ann_topk_exact") + "\n)),\n" +
+        "u AS (\n" +
+        "  SELECT 'lsh' AS method, probe_id, cand_id FROM (\n" +
+        lshOracle(bits = 4, tables = 16, kNn = 5) + "\n)\n" +
+        "  UNION ALL SELECT 'ivf' AS method, probe_id, cand_id FROM (\n" +
+        ivfOracleAtNProbe(8) + "\n)\n" +
+        "  UNION ALL SELECT 'pq' AS method, probe_id, cand_id FROM (\n" +
+        pqOracle(m = 8, k = 64, kNn = 5) + "\n))\n" +
+        "SELECT u.method, u.probe_id,\n" +
+        "  CAST(count(ex.cand_id) AS BIGINT) AS n_hits,\n" +
+        "  CAST(count(*) AS BIGINT) AS n_returned\n" +
+        "FROM u LEFT JOIN ex ON ex.probe_id = u.probe_id AND ex.cand_id = u.cand_id\n" +
+        "GROUP BY u.method, u.probe_id\n" +
+        "ORDER BY u.method, u.probe_id"),
+    doc = "recall@5 at production-ish params — the tuning-curve point " +
+      "past q_ann_recall's baseline: 16 LSH tables (vs 1), IVF " +
+      "nProbe=8 (vs 4), PQ 8x64 codebooks (vs 4x16); same " +
+      "oracle-checked rank-set intersections, demonstrating recall " +
+      "climbs with the knobs every ANN deployment turns"
+  )
+
+  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ recallTunedDef :+ QueryDef(
     "q_ann_recall",
     covers = "ann-recall",
     fn = (s, dir) => {

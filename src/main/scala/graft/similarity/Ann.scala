@@ -199,11 +199,54 @@ object Ann {
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
     df.withColumn("bucket", bucketUdf(lit(bits), col(vecCol)))
 
-  /** LSH-bucketed top-k: probes only compare against candidates in the
-    * same bucket. Recall < 1; bucket count 2^bits controls the
-    * scan-fraction / recall trade-off. In-bucket scoring uses the
-    * quantized-exact cosine (same machinery as topKExact), so ranks
-    * are bit-stable and the whole query is oracle-checkable.
+  /** One bucket id PER HASH TABLE: table t projects onto hyperplane
+    * rows t·bits .. t·bits+bits−1 of the same planeInt grid, so table
+    * 0 reproduces [[signLshBuckets]] exactly and extra tables are new
+    * independent projections — the standard LSH recall knob (union of
+    * per-table candidates). Same exact-integer sign decisions as
+    * bucketUdf.
+    */
+  private val tableBucketsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bits: Int, tables: Int, v: Seq[Float]) =>
+      val n = v.length
+      val q = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        val x = v(j).toDouble * QuantScale
+        q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+        j += 1
+      }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var i = 0
+        while (i < bits) {
+          var s = 0L
+          j = 0
+          while (j < n) { s += q(j) * planeInt(t * bits + i, j); j += 1 }
+          if (s >= 0L) bucket |= (1L << i)
+          i += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
+    }
+
+  /** LSH-bucketed top-k: probes only compare against candidates
+    * sharing a bucket in ANY of `tables` independent hash tables.
+    * 2^bits controls the per-table scan fraction; `tables` is the
+    * recall knob (candidate union grows, misses shrink — the
+    * multi-table construction of Indyk–Motwani / E2LSH). With
+    * tables=1 this is exactly the single-table shape. In-bucket
+    * scoring uses the quantized-exact cosine (same machinery as
+    * topKExact), so ranks are bit-stable and the whole query —
+    * including the per-table bucket routing — is oracle-checkable.
+    *
+    * Scale: the pair-candidate distinct shuffles (probe_id, cand_id)
+    * ids only; vectors stay bucket-local until the single post-dedup
+    * scoring join.
     */
   def topKLsh(
       df: DataFrame,
@@ -211,17 +254,26 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8
+      bits: Int = 8,
+      tables: Int = 1
   ): DataFrame = {
-    val bucketed = signLshBuckets(df, idCol, vecCol, bits)
-      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"), col("bucket"))
+    require(bits >= 1 && tables >= 1, "topKLsh needs bits >= 1 and tables >= 1")
+    val cand = df
+      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"),
+        posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
+          .as(Seq("t", "bucket")))
       .withColumn("nb", quantDot(col("qb"), col("qb")))
-    val pb = signLshBuckets(probes, idCol, vecCol, bits)
-      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"), col("bucket"))
+    val pb = probes
+      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"),
+        posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
+          .as(Seq("t", "bucket")))
       .withColumn("na", quantDot(col("qa"), col("qa")))
-    val scored = bucketed
-      .join(broadcast(pb), Seq("bucket"))
+    val scored = cand
+      .join(broadcast(pb), Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
+      // a pair agreeing in several tables scores once — every dup row
+      // carries the identical (qa, qb, na, nb) payload
+      .dropDuplicates("probe_id", "cand_id")
       .withColumn(
         "cos",
         quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))

@@ -171,6 +171,34 @@ object Incremental {
       .start()
   }
 
+  /** Streaming face of the training-shard sink: every micro-batch of
+    * curated docs lands in the token-balanced shard layout via
+    * [[graft.io.Sinks.appendTrainingShards]], packing against the
+    * global token offset already on disk — shard numbering continues
+    * across micro-batches (a boundary-spanning shard fills up instead
+    * of restarting), so the refresh story ends at training shards,
+    * not just a bucketed append. Under in-order delivery the final
+    * table is identical to one batch `writeTrainingShards` over the
+    * accumulated corpus (StreamBatchParitySpec proves it).
+    */
+  def shardStream(
+      docs: DataFrame, // streaming; (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      tokensPerShard: Long): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Sinks
+          .appendTrainingShards(batch, idCol, textCol, path, tokensPerShard)
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-DUP front door — the stage the lambda split
     * deferred to batch, as bounded LSH bucket state: each arriving
     * document's MinHash signature routes it to its `bands` bucket

@@ -286,4 +286,47 @@ class IoSpec extends SparkTestBase {
     assert(shard0.sameElements(shard0.sorted))
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("shard=")))
   }
+
+  test("fake-source VAD invariant: segment count is the hash burst count " +
+    "(full wav AND the probe's 6s middle cut)") {
+    // The q_pipeline_e2e / q_probe_scan oracles replay stage counts
+    // relationally from the video-id hash; the one non-relational link
+    // is "energy VAD over the synthesized wav recovers exactly the
+    // burst layout". This pins that link for EVERY OK video of every
+    // sf0.01 seed channel (the correctness-gate population), so the
+    // oracles' segment arithmetic rests on an exhaustively-checked
+    // invariant, not an assumption.
+    val fetcher = new FakeAudioFetcher(segmentSeconds = 2)
+    def habs(s: String): Long = math.abs(s.hashCode.toLong)
+    val urls = (1 to 7).map(i => s"https://yt/c/${i * 211}")
+    var okVids = 0
+    for (url <- urls; vid <- fetcher.listVideoIds(url)) {
+      val k = habs(vid)
+      if (k % 17 != 0 && k % 19 != 0 && k % 23 != 0) {
+        okVids += 1
+        val (st, bytes) = fetcher.fetchAudio(vid)
+        assert(st == "OK")
+        val (sr, wav) = Signal.wavDecode(bytes)
+        val nBursts = (k % 3 + 2).toInt
+        assert(wav.length == nBursts * (2 * sr + sr / 2), s"$vid layout")
+        // e2e face: durS < 180 → whole wav, one segment per burst
+        assert(Signal.energyVad(wav).size == nBursts, s"$vid full-wav VAD")
+        // probe face: 6 s middle cut — 2 bursts fit whole; 3+ bursts
+        // leave two full bursts plus >=0.5 s of a cut burst on each
+        // side of the window, of which the leading partial merges only
+        // if long enough: empirically 3 segments
+        val want = 6 * sr
+        val cut =
+          if (wav.length <= want) wav
+          else {
+            val start = (wav.length - want) / 2
+            java.util.Arrays.copyOfRange(wav, start, start + want)
+          }
+        val got = Signal.energyVad(cut).size
+        val expect = if (nBursts == 2) 2 else 3
+        assert(got == expect, s"$vid 6s-cut VAD: $got != $expect (nBursts=$nBursts)")
+      }
+    }
+    assert(okVids > 50, s"fixture population too small: $okVids OK videos")
+  }
 }

@@ -349,6 +349,55 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"expected only the within-horizon pair, got $got")
   }
 
+  test("streaming training shards equal the batch sink under in-order delivery") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graftshards")
+    val batchPath = root.resolve("batch").toString
+    val streamPath = root.resolve("stream").toString
+    graft.io.Sinks.writeTrainingShards(
+      src, "doc_id", "text", batchPath, tokensPerShard = 512L)
+    // two in-order increments: low ids arrive (and commit) before high
+    // ids — one file each so maxFilesPerTrigger=1 gives exactly that
+    // split; explicit mtimes pin the file-source ordering
+    val mid = src.agg(expr("percentile_approx(doc_id, 0.5)")).first().getLong(0)
+    val inDir = root.resolve("in")
+    src.filter(col("doc_id") <= mid).coalesce(1).write.parquet(inDir.resolve("a").toString)
+    src.filter(col("doc_id") > mid).coalesce(1).write.parquet(inDir.resolve("b").toString)
+    val now = System.currentTimeMillis()
+    new java.io.File(inDir.resolve("a").toString).listFiles()
+      .foreach(_.setLastModified(now - 60000L))
+    new java.io.File(inDir.resolve("b").toString).listFiles()
+      .foreach(_.setLastModified(now))
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/*")
+    val q = Incremental.shardStream(
+      stream, "doc_id", "text", streamPath,
+      root.resolve("ckpt").toString, tokensPerShard = 512L)
+    q.awaitTermination()
+    // the stream-built table IS the batch table: same per-doc shard
+    // assignment and offsets, same per-shard manifest
+    def docs(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("shard").cast("long"),
+        col("start_off"), col("end_off"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bd = docs(batchPath)
+    val sd = docs(streamPath)
+    assert(bd.nonEmpty && bd.map(_._2).size > 1, "fixture spans several shards")
+    assert(sd == bd,
+      s"doc-level shard assignment diverged: ${(bd -- sd).take(3)} vs ${(sd -- bd).take(3)}")
+    def manifest(p: String) = spark.read.parquet(p)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("end_off") - col("start_off")).as("n_tokens"),
+        min(col("start_off")).as("min_start"),
+        max(col("end_off")).as("max_end"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(manifest(streamPath) == manifest(batchPath))
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
