@@ -46,13 +46,18 @@ object Bench {
     // matches canonicalized plans across invocations — without the
     // clear, later queries would partly measure cache reads.
     //
-    // Each query runs TWICE and the MIN is recorded. The sf0.001
-    // warmup above absorbs session/codegen warmup, but r4 and r5 both
-    // committed single-shot numbers that recorded cold-JIT / ambient-
-    // load phantoms (r4's "2.9x regression" on cosine_exact was pure
-    // measurement noise — IsoBench min-of-3 showed 0.52 s vs the 1.05 s
-    // single shot). min-of-2 makes the committed file load-robust:
-    // re-running the bench back-to-back should move no query by >1.3x.
+    // Each query runs TWICE and the MIN is recorded — plus an ADAPTIVE
+    // third run when the two disagree by >1.3x (one of them was an
+    // ambient-load/JIT artifact; a third sample almost always sides
+    // with the true steady state). The sf0.001 warmup above absorbs
+    // session/codegen warmup, but r4 and r5 both committed single-shot
+    // numbers that recorded cold-JIT / ambient-load phantoms (r4's
+    // "2.9x regression" on cosine_exact was pure measurement noise —
+    // IsoBench min-of-3 showed 0.52 s vs the 1.05 s single shot).
+    // Plain min-of-2 was measured insufficient on this shared box
+    // (9/127 queries still moved >1.3x between back-to-back benches);
+    // the disagreement-triggered third run bounds the extra cost to
+    // the unstable queries only.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache()
@@ -63,7 +68,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      name -> math.min(first, once())
+      val second = once()
+      val best =
+        if (math.max(first, second) > 1.3 * math.min(first, second))
+          math.min(math.min(first, second), once())
+        else math.min(first, second)
+      name -> best
     }
     // Driver captures a bounded (~2000-char) tail of stdout — r1-r3 all
     // recorded parsed=null because the one JSON line outgrew it as the

@@ -921,6 +921,12 @@ object Dedup {
       fpp: Double = 0.01
   ): DataFrame = {
     val spark = newDf.sparkSession
+    // An EMPTY history admits everything: stat.bloomFilter over zero
+    // rows returns a null buffer (engine NPE on readFrom), and the
+    // anti-join against nothing is the identity — short-circuit. This
+    // is the cold-start shape of every resume loop (first run, no
+    // manifest yet), so it must work, not throw.
+    if (hist.isEmpty) return newDf
     // Build and probe MUST hash the same representation: stat
     // .bloomFilter hashes integral columns as longs and strings as
     // bytes, so the probe is typed to match (a string probe against a

@@ -154,6 +154,7 @@ object Incremental {
       watermarkDelay: String = "1 hour",
       buckets: Int = 8
   ): StreamingQuery = {
+    val owner = docs.sparkSession
     val novel = graft.dedup.Dedup.bloomAntiJoin(docs, history, idCol)
     val curated = curationStream(novel, idCol, textCol, eventTimeCol, cfg, watermarkDelay)
       .select(col(idCol), col("lang_pred"), col("clean_text"))
@@ -167,6 +168,14 @@ object Incremental {
           graft.layout.Layout.appendBucketed(batch, tableName)
         else
           graft.layout.Layout.writeBucketed(batch, tableName, idCol, buckets)
+        // foreachBatch executes in a CLONED session whose insertInto
+        // auto-refresh touches only the clone's relation cache — the
+        // OWNING session (which started the query and will read the
+        // table) would otherwise keep a stale file listing for any
+        // table it had already scanned before this append (bit us as
+        // "restart appended nothing": the append was on disk, the
+        // reader's cached listing predated it)
+        owner.catalog.refreshTable(tableName)
       }
       .start()
   }

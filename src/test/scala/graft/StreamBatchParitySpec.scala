@@ -349,6 +349,53 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"expected only the within-horizon pair, got $got")
   }
 
+  test("refresh stream RESUMES from its checkpoint: a restart processes only " +
+    "new files and the dedup state survives the restart") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 120L)
+    val dir = Files.createTempDirectory("graftresume")
+    val tableName = "graft_resume_stream_t"
+    val ckpt = Files.createTempDirectory("graftresumeckpt").toString
+    val history = src.limit(0).select("doc_id")
+    val cfg = graft.text.CurationPipeline.Config()
+    def ets(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(src.schema)
+        .parquet(dir.toString + "/*")
+      Incremental.refreshStream(
+        ets(stream), history, "doc_id", "text", "ets", tableName, ckpt, cfg)
+        .awaitTermination()
+    }
+    try {
+      // run 1: first crawl increment lands
+      src.filter(col("doc_id") < 60L).write.parquet(dir.resolve("a").toString)
+      runOnce()
+      val t1 = graft.layout.Layout.readTable(spark, tableName)
+        .select("doc_id").as[Long].collect().toSet
+      assert(t1.nonEmpty && t1.forall(_ < 60L))
+      // run 2, SAME checkpoint: a second increment arrives — including
+      // doc 200, an exact duplicate of a run-1 survivor, which must die
+      // against the RESTORED dedup state, not re-enter
+      val dupSrc = src.filter(col("doc_id") === t1.min)
+        .withColumn("doc_id", lit(200L))
+      src.filter(col("doc_id") >= 60L).unionByName(dupSrc)
+        .write.parquet(dir.resolve("b").toString)
+      runOnce()
+      val t2 = graft.layout.Layout.readTable(spark, tableName)
+        .select("doc_id").as[Long].collect().toSeq
+      // run-1 rows were NOT reprocessed (no duplicate appends) ...
+      assert(t2.size == t2.distinct.size, "restart re-appended old rows")
+      assert(t1.subsetOf(t2.toSet))
+      // ... new docs landed, and the cross-restart duplicate did not
+      assert(t2.exists(id => id >= 60L && id < 120L))
+      assert(!t2.contains(200L),
+        "cross-restart duplicate survived: dedup state was not restored")
+    } finally
+      graft.layout.Layout.dropWithLocation(spark, tableName)
+  }
+
   test("streaming training shards equal the batch sink under in-order delivery") {
     import spark.implicits._
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

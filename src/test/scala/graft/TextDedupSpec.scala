@@ -234,6 +234,17 @@ class TextDedupSpec extends SparkTestBase {
     assert(got.forall(i => i % 3 != 0 || i > 60L))
   }
 
+  test("bloomAntiJoin with an EMPTY history admits everything (cold start)") {
+    // the first run of any resume loop has no manifest yet;
+    // stat.bloomFilter over zero rows NPEs, so the identity
+    // short-circuit is load-bearing, not an optimization
+    val fresh = (1L to 20L).map(i => (i, s"key_$i")).toDF("id", "k")
+    val hist = fresh.limit(0).select("k")
+    val got = Dedup.bloomAntiJoin(fresh, hist, "k")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 20L).toSeq)
+  }
+
   test("bloomAntiJoin filters LONG keys (build/probe hash the same representation)") {
     // regression: the filter was built over longs but probed as
     // strings — never hit, so every HISTORY row leaked through as
