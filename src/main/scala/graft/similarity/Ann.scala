@@ -244,9 +244,12 @@ object Ann {
     * topKExact), so ranks are bit-stable and the whole query —
     * including the per-table bucket routing — is oracle-checkable.
     *
-    * Scale: the pair-candidate distinct shuffles (probe_id, cand_id)
-    * ids only; vectors stay bucket-local until the single post-dedup
-    * scoring join.
+    * Scale: the candidate join and the pair dedup move (t, bucket,
+    * id) and (probe_id, cand_id) ONLY — no vector ever rides a
+    * shuffle (ScaleSpec asserts the distinct's exchange feeder is
+    * array-free). Vectors enter late: the deduped pair set joins the
+    * corpus once for candidate vectors (co-partitioned by id) and
+    * broadcasts the probe vectors.
     */
   def topKLsh(
       df: DataFrame,
@@ -258,22 +261,30 @@ object Ann {
       tables: Int = 1
   ): DataFrame = {
     require(bits >= 1 && tables >= 1, "topKLsh needs bits >= 1 and tables >= 1")
-    val cand = df
-      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"),
+    val candKeys = df
+      .select(col(idCol).as("cand_id"),
         posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
           .as(Seq("t", "bucket")))
-      .withColumn("nb", quantDot(col("qb"), col("qb")))
-    val pb = probes
-      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"),
+    val probeKeys = probes
+      .select(col(idCol).as("probe_id"),
         posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
           .as(Seq("t", "bucket")))
-      .withColumn("na", quantDot(col("qa"), col("qa")))
-    val scored = cand
-      .join(broadcast(pb), Seq("t", "bucket"))
+    // a pair agreeing in several tables scores once; the dedup
+    // exchange carries two ids per row, nothing else
+    val pairs = candKeys
+      .join(broadcast(probeKeys), Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      // a pair agreeing in several tables scores once — every dup row
-      // carries the identical (qa, qb, na, nb) payload
-      .dropDuplicates("probe_id", "cand_id")
+      .select("probe_id", "cand_id")
+      .distinct()
+    val cv = df
+      .select(col(idCol).as("cand_id"), quantizeUdf(col(vecCol)).as("qb"))
+      .withColumn("nb", quantDot(col("qb"), col("qb")))
+    val pv = probes
+      .select(col(idCol).as("probe_id"), quantizeUdf(col(vecCol)).as("qa"))
+      .withColumn("na", quantDot(col("qa"), col("qa")))
+    val scored = pairs
+      .join(cv, Seq("cand_id"))
+      .join(broadcast(pv), Seq("probe_id"))
       .withColumn(
         "cos",
         quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))

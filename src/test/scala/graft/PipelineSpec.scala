@@ -287,6 +287,38 @@ class IoSpec extends SparkTestBase {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("shard=")))
   }
 
+  test("appendTrainingShards out of order still packs contiguously") {
+    // in-order delivery reproduces the batch sink bit-for-bit
+    // (StreamBatchParitySpec); OUT-of-order delivery must still yield
+    // a VALID packing — offsets contiguous from 0, every doc whole,
+    // shard = start_off div target — just in arrival order
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40L)
+    val path = Files.createTempDirectory("graftooo").resolve("t").toString
+    // high ids arrive FIRST
+    graft.io.Sinks.appendTrainingShards(
+      docs.filter(col("doc_id") >= 20L), "doc_id", "text", path, 64L)
+    graft.io.Sinks.appendTrainingShards(
+      docs.filter(col("doc_id") < 20L), "doc_id", "text", path, 64L)
+    val back = spark.read.parquet(path)
+      .select(col("doc_id"), col("start_off"), col("end_off"),
+        col("shard").cast("long").as("shard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(back.length == 40)
+    assert(back.map(_._1).distinct.length == 40, "a doc was split or duplicated")
+    // contiguous global offsets from 0, no gaps or overlaps
+    assert(back.head._2 == 0L)
+    back.sliding(2).foreach {
+      case Array((_, _, e1, _), (_, s2, _, _)) =>
+        assert(e1 == s2, s"offset gap/overlap: $e1 vs $s2")
+      case _ =>
+    }
+    // shard assignment is the packing rule at the GLOBAL offset
+    back.foreach { case (_, s, _, shard) => assert(shard == s / 64L) }
+  }
+
   test("fake-source VAD invariant: segment count is the hash burst count " +
     "(full wav AND the probe's 6s middle cut)") {
     // The q_pipeline_e2e / q_probe_scan oracles replay stage counts

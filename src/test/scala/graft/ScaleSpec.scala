@@ -111,6 +111,26 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("multi-table LSH pair dedup shuffles ids only, never vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = graft.similarity.Ann
+      .topKLsh(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8L),
+        "vec_id", "embedding", k = 5, bits = 4, tables = 8)
+      .queryExecution.executedPlan.toString
+    // the pair-distinct aggregation keys on (probe_id, cand_id); the
+    // exchange between its partial and final halves must carry the two
+    // ids and nothing array-typed (qa/qb enter only AFTER the dedup).
+    // NOT the later rank exchange, which keys on probe_id alone.
+    val m = "Exchange hashpartitioning\\(probe_id#\\d+L, cand_id#\\d+L".r
+      .findFirstMatchIn(p)
+    assert(m.isDefined, s"no (probe_id, cand_id)-keyed exchange found:\n$p")
+    val at = m.get.start
+    val feeder = p.substring(at,
+      math.min(p.length, p.indexOf("\n", p.indexOf("HashAggregate", at))))
+    assert(!feeder.contains("qa#") && !feeder.contains("qb#"),
+      s"pair-dedup exchange carries vector attributes:\n$feeder")
+  }
+
   test("GraftExtensions injects native SQL functions") {
     val s3 = SparkSession.builder()
       .master("local[2]")
