@@ -326,6 +326,52 @@ object SamplingQueries {
         "rank cut by cross-multiplied integer thresholds — split sizes " +
         "exact per stratum (vs splitAssign's in-expectation sizes), " +
         "decision float-free and engine-exact"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_epoch_expand",
+      covers = "sampling-epochs,upsampling",
+      fn = (s, dir) => {
+        import graft.text.{Sampling, TextAnalysis}
+        val docs = table(s, dir, "documents")
+        // a 2.125-epoch target per source: every doc repeats twice in
+        // full, and the remainder eighth-epoch is a salted-order
+        // scan-until prefix — exercises both halves of the rule
+        val targets = docs
+          .groupBy(col("lang"))
+          .agg(sum(TextAnalysis.tokenCountWs(col("text"))).as("t"))
+          .select(col("lang"), expr("(17 * t) div 8").as("target_tok"))
+        Sampling
+          .epochExpand(docs, "lang", "doc_id", "text", targets, salt = "epoch")
+          .orderBy("lang", "doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT lang, doc_id,
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+          |      AS BIGINT) AS n_tok
+          |  FROM documents),
+          |t AS (
+          |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total,
+          |    (17 * CAST(sum(n_tok) AS BIGINT)) // 8 AS target
+          |  FROM d GROUP BY lang),
+          |w AS (
+          |  SELECT d.lang, d.doc_id, d.n_tok,
+          |    t.target // t.total AS fullep, t.target % t.total AS rem,
+          |    coalesce(sum(d.n_tok) OVER (PARTITION BY d.lang
+          |      ORDER BY md5('epoch:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          |  FROM d JOIN t USING (lang))
+          |SELECT lang, doc_id, n_tok,
+          |  CAST(fullep + CASE WHEN bef < rem THEN 1 ELSE 0 END
+          |    AS BIGINT) AS n_copies
+          |FROM w ORDER BY lang, doc_id""".stripMargin
+      ),
+      doc = "epoch-repeat mixture materialization (the Llama-style " +
+        "data-recipe step after temperaturePlan): per-source full-epoch " +
+        "repeat factor plus a deterministic salted-order partial epoch " +
+        "filled by the scan-until rule — per-doc n_copies, " +
+        "integer-exact, window-prefix-sum replayed"
     )
   )
 }

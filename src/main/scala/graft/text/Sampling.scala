@@ -220,4 +220,48 @@ object Sampling {
       .withColumn("epochs_permille", expr("(target_tok * 1000) div n_tok_total"))
       .select(sourceCol, "n_tok_total", "w_q", "target_tok", "epochs_permille")
   }
+
+  /** Materialize a per-source token-budget plan at DOCUMENT level —
+    * the step between [[temperaturePlan]]'s (source, target_tok) and
+    * an actual training mix: every source repeats
+    * `target_tok div total` FULL epochs (every doc), and the
+    * remainder epoch takes docs in salted-shuffle order until the
+    * leftover token budget is covered, INCLUDING the first doc to
+    * cross the line (the scan-until rule, O6) — so the emitted token
+    * mass meets the target, overshooting by less than one document.
+    * Output: one row per doc with `n_copies` ≥ 0 — the Llama-style
+    * data-recipe repeat factor, doc-level deterministic (same salt →
+    * same partial epoch on any cluster).
+    *
+    * Scale: a per-source window rank + exclusive prefix sum over
+    * (id, n_tok) rows — text never moves; same shuffle shape as
+    * [[perGroupSample]]. Replication itself stays lazy: downstream
+    * materializes copies via `explode(sequence(1, n_copies))` only at
+    * the final write, or passes n_copies to a repeat-aware loader.
+    */
+  def epochExpand(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      textCol: String,
+      targets: DataFrame, // (sourceCol, target_tok)
+      salt: String): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__shuf").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(sourceCol), col(idCol),
+        TextAnalysis.tokenCountWs(col(textCol)).as("n_tok"))
+      .join(targets.select(col(sourceCol), col("target_tok")), Seq(sourceCol))
+      .withColumn("__total", sum(col("n_tok")).over(wSrc))
+      .withColumn("__full", expr("target_tok div __total"))
+      .withColumn("__rem", expr("target_tok % __total"))
+      .withColumn("__shuf", shuffleKey(salt, col(idCol)))
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(wPrefix), lit(0L)))
+      .withColumn("n_copies",
+        (col("__full") +
+          when(col("__before") < col("__rem"), 1L).otherwise(0L)).cast("long"))
+      .select(col(sourceCol), col(idCol), col("n_tok"), col("n_copies"))
+  }
 }

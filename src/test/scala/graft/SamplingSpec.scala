@@ -236,4 +236,43 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("epochs_permille")).toMap
     assert(ep("lo") == 300000L && ep("hi") == 75000L)
   }
+
+  test("epochExpand: emitted token mass meets the target, overshoot < one doc") {
+    import graft.text.{Sampling, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")))
+    val totals = withTok.groupBy("lang").agg(
+      sum(col("n_tok")).as("total"), max(col("n_tok")).as("max_tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // fractional targets per source: 17/8 epochs (2 full + partial)
+    val targets = withTok.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("t"))
+      .select(col("lang"), expr("(17 * t) div 8").as("target_tok"))
+    val out = Sampling
+      .epochExpand(docs, "lang", "doc_id", "text", targets, salt = "spec")
+      .groupBy("lang")
+      .agg(sum(col("n_tok") * col("n_copies")).as("emitted"),
+        min(col("n_copies")).as("min_c"), max(col("n_copies")).as("max_c"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val (total, maxTok) = totals(lang)
+      val target = 17L * total / 8L
+      val emitted = r.getLong(1)
+      // the scan-until rule: covered, overshoot bounded by ONE doc
+      assert(emitted >= target, s"$lang under target: $emitted < $target")
+      assert(emitted < target + maxTok,
+        s"$lang overshot by a whole doc: $emitted vs $target (+$maxTok)")
+      // 2.125 epochs → every doc at least twice, partial docs thrice
+      assert(r.getLong(2) == 2L && r.getLong(3) == 3L, s"$lang copies")
+    }
+    // determinism: same salt → identical expansion
+    val a = Sampling.epochExpand(docs, "lang", "doc_id", "text", targets, "s2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val b = Sampling.epochExpand(docs, "lang", "doc_id", "text", targets, "s2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(a == b)
+  }
 }
