@@ -44,16 +44,26 @@ object Sources {
     * are born inside their partition and stay there.
     */
   def wavFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    // corruption-tolerant: a malformed file becomes a ROW with a
+    // decode_error (DLQ-able, K3 style), never a task failure — one
+    // truncated upload must not kill a corpus-wide scan job
     val decode = udf { (bytes: Array[Byte]) =>
-      val (sr, samples) = graft.signal.Signal.wavDecode(bytes)
-      (sr, samples)
+      try {
+        val (sr, samples) = graft.signal.Signal.wavDecode(bytes)
+        (sr, samples, null: String)
+      } catch {
+        case e: Exception =>
+          (-1, null: Array[Double],
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
     }
     spark.read
       .format("binaryFile")
       .option("pathGlobFilter", "*.wav")
       .load(pathGlob)
       .select(col("path"), decode(col("content")).as("d"))
-      .select(col("path"), col("d._1").as("sample_rate"), col("d._2").as("samples"))
+      .select(col("path"), col("d._1").as("sample_rate"),
+        col("d._2").as("samples"), col("d._3").as("decode_error"))
   }
 }
 

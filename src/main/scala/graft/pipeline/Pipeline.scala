@@ -297,7 +297,17 @@ object Pipeline {
                   if (premieres > cfg.maxPremieres) abortReason = "TOO_MANY_PREMIERES"
                 }
               } else {
-                val (sr, wav) = Signal.wavDecode(bytes)
+                // a COMPLETE but corrupt download (truncated upload,
+                // transcode garbage) must become a typed error event,
+                // not a task-killing exception — same contract as the
+                // fetch statuses
+                val decoded =
+                  try Some(Signal.wavDecode(bytes))
+                  catch { case _: Exception => None }
+                if (decoded.isEmpty) {
+                  out += ev(vid, pos, "VIDEO_ERROR", "BAD_AUDIO")
+                } else {
+                val (sr, wav) = decoded.get
                 val durS = wav.length.toLong / sr
                 if (durS < cfg.shortVideoS) {
                   shorts += 1
@@ -331,6 +341,7 @@ object Pipeline {
                   }
                   downloaded += 1
                   totalDur += (to - ss)
+                }
                 }
               }
             }

@@ -161,6 +161,37 @@ class PipelineSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("corrupt audio becomes a typed BAD_AUDIO error; the channel continues") {
+    // a fetcher that returns OK with garbage bytes for one video and a
+    // real wav for the rest — the loop must emit VIDEO_ERROR BAD_AUDIO
+    // for the bad one and keep segmenting the good ones
+    val inner = new FakeAudioFetcher(segmentSeconds = 4)
+    val badVid = inner.listVideoIds("https://yt/c/UC_a")
+      .find(v => inner.fetchAudio(v)._1 == "OK").get
+    val corrupting = new graft.io.AudioFetcher {
+      def listVideoIds(url: String) = inner.listVideoIds(url)
+      def fetchAudio(videoId: String) =
+        if (videoId == badVid) ("OK", Array.fill[Byte](4096)(0x2f))
+        else inner.fetchAudio(videoId)
+    }
+    val out = Pipeline.run(
+      spark,
+      mkChannels(("UC_a", 20L, 5000L)),
+      ingested = Seq.empty[String].toDF("video_id"),
+      fetcher = corrupting,
+      classifier = FakeClassifier,
+      cfg = Pipeline.Config(minSnr = 15.0, minSpeechScore = 0.5,
+        minVideoDurationS = 8, shortVideoS = 5)
+    )
+    val errs = out.videoErrors.collect()
+    assert(errs.exists(r => r.getAs[String]("video_id") == badVid &&
+      r.getAs[String]("status") == "BAD_AUDIO"))
+    // the channel still produced segments from the other videos
+    assert(out.segments.filter(col("video_id") =!= badVid).count() > 0)
+    assert(out.segments.filter(col("video_id") === badVid).count() == 0)
+    out.unpersist()
+  }
+
   test("resume: ingested videos are never fetched again (F4/T2)") {
     val all = outputs.segments.select("video_id").distinct().as[String].collect()
     val out2 = Pipeline.run(
@@ -228,6 +259,27 @@ class IoSpec extends SparkTestBase {
     val row = df.collect().head
     assert(row.getAs[Int]("sample_rate") == 16000)
     assert(row.getAs[collection.Seq[Double]]("samples").size == 1600)
+    assert(row.getAs[String]("decode_error") == null)
+  }
+
+  test("wav scan survives a corrupt file: error row, not a task failure (S9/K3)") {
+    val dir = Files.createTempDirectory("graftwavbad").toFile
+    val good = Signal.wavEncode(Array.tabulate(800)(i => 0.3 * math.sin(i * 0.2)), 16000)
+    Files.write(new java.io.File(dir, "good.wav").toPath, good)
+    // a truncated upload: RIFF magic intact, body gone mid-header
+    Files.write(new java.io.File(dir, "trunc.wav").toPath, good.take(20))
+    // and plain garbage under the .wav extension
+    Files.write(new java.io.File(dir, "junk.wav").toPath,
+      Array.fill[Byte](128)(0x5a))
+    val rows = Sources.wavFiles(spark, dir.getPath).collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getAs[String]("path").split('/').last -> r).toMap
+    assert(byName("good.wav").getAs[String]("decode_error") == null)
+    assert(byName("good.wav").getAs[collection.Seq[Double]]("samples").size == 800)
+    for (bad <- Seq("trunc.wav", "junk.wav")) {
+      assert(byName(bad).getAs[String]("decode_error") != null, bad)
+      assert(byName(bad).getAs[collection.Seq[Double]]("samples") == null, bad)
+    }
   }
 
   test("quality rows round-trip through the JSONL sink/source (K2/S2)") {
