@@ -618,6 +618,57 @@ object CurationOpsQueries {
       doc = "corpus snapshot diff: per-id added/removed/changed/" +
         "unchanged between two drops, decided on content digests — " +
         "one full-outer join of (id, digest); text never shuffles"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_url_blocklist",
+      covers = "url-blocklist,domain-filter",
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        // four synthetic sites; ids %7==0 sit at the APEX domain (no
+        // subdomain) so both match branches — exact host and
+        // lives-under — are exercised against the same blocklist
+        val srcNum = expr("CAST(substring(source, 4) AS BIGINT)")
+        val url = concat(
+          lit("http://"),
+          when(col("doc_id") % 7 === 0, lit("")).otherwise(lit("www.")),
+          lit("site"), (srcNum % 4).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+        val blocklist = Seq("site0.example.com", "site3.example.com")
+          .toDF("domain")
+        graft.text.UrlOps
+          .blockByDomain(d.select(col("doc_id"), url.as("url")), "url", blocklist)
+          .orderBy("doc_id")
+      },
+      // the oracle replays the SUFFIX semantics, not the fixture's
+      // arithmetic: a row dies iff its host equals a blocked domain or
+      // ends with "." + one
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    'http://'
+          |      || CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'www.' END
+          |      || 'site'
+          |      || CAST(CAST(substring(source, 4) AS BIGINT) % 4 AS VARCHAR)
+          |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          |  FROM documents),
+          |b AS (SELECT unnest(['site0.example.com', 'site3.example.com']) AS domain),
+          |h AS (
+          |  SELECT doc_id, url,
+          |    lower(regexp_extract(url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+          |  FROM d)
+          |SELECT doc_id, url FROM h
+          |WHERE NOT EXISTS (SELECT 1 FROM b
+          |  WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "domain-blocklist front door: drop every url whose host " +
+        "equals or lives under a blocked domain — suffix explode + " +
+        "broadcast semi-join (a million-entry blocklist is a " +
+        "broadcast table, not a regex union); oracle replays the " +
+        "suffix semantics generically"
     )
   )
 }

@@ -155,7 +155,13 @@ object Incremental {
       buckets: Int = 8
   ): StreamingQuery = {
     val owner = docs.sparkSession
-    val novel = graft.dedup.Dedup.bloomAntiJoin(docs, history, idCol)
+    // size the Bloom front door to the ACTUAL history cardinality (one
+    // count at query start, not per batch) so the advertised ~1% fpp
+    // holds at 10^9-key histories instead of silently degrading —
+    // undersizing is still CORRECT (the exact anti-join kills false
+    // positives), just slower
+    val novel = graft.dedup.Dedup.bloomAntiJoin(docs, history, idCol,
+      expectedItems = math.max(1000000L, history.count()))
     val curated = curationStream(novel, idCol, textCol, eventTimeCol, cfg, watermarkDelay)
       .select(col(idCol), col("lang_pred"), col("clean_text"))
     curated.writeStream

@@ -67,4 +67,40 @@ object UrlOps {
     val host = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
+
+  /** Every dot-suffix of the url's host, longest first: host
+    * `a.b.example.com` → [a.b.example.com, b.example.com, example.com,
+    * com]. The unit a domain BLOCKLIST matches on — blocking
+    * `example.com` must catch every subdomain.
+    */
+  def hostSuffixes(url: Column): Column = {
+    val host = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val parts = split(regexp_replace(host, ":[0-9]+$", ""), "\\.")
+    transform(
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Domain-blocklist front door (the spam/adult/SEO-farm filter every
+    * web-corpus pipeline runs before anything expensive): drop rows
+    * whose host equals a blocked domain OR lives under one. The match
+    * is relational — explode the host's dot-suffixes, LEFT SEMI join
+    * the (broadcast) blocklist, anti the hits — so a million-entry
+    * blocklist is a broadcast table, not a regex union, and the scan
+    * side shuffles nothing.
+    */
+  def blockByDomain(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      blocklist: org.apache.spark.sql.DataFrame, // one `domain` column
+      blockedCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val hits = df
+      .select(col(urlCol), explode(hostSuffixes(col(urlCol))).as("__sfx"))
+      .join(
+        broadcast(blocklist.select(lower(col(blockedCol)).as("__sfx"))),
+        Seq("__sfx"), "left_semi")
+      .select(col(urlCol))
+      .distinct()
+    df.join(hits, Seq(urlCol), "left_anti")
+  }
 }

@@ -88,4 +88,21 @@ class UrlOpsSpec extends SparkTestBase {
       .toSeq
     assert(got == Seq("example.com", "example.org", "a.com"))
   }
+
+  test("blockByDomain: exact host and subdomains die; lookalikes survive") {
+    val docs = Seq(
+      (1L, "http://bad.example.com/a"),        // exact blocked host
+      (2L, "http://deep.sub.bad.example.com/b"), // lives under it
+      (3L, "http://BAD.EXAMPLE.COM:8080/c"),   // case + port variants
+      (4L, "http://notbad.example.com/d"),     // sibling — must SURVIVE
+      (5L, "http://bad.example.common/e"),     // string lookalike — survives
+      (6L, "http://good.org/f"),
+      (7L, "http://evil.net/g"),               // second blocklist entry
+      (8L, "http://example.com/h")             // parent of the block — survives
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("bad.example.com", "evil.net").toDF("domain")
+    val kept = UrlOps.blockByDomain(docs, "url", blocklist)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L, 8L))
+  }
 }
