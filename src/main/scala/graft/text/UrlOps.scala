@@ -81,6 +81,18 @@ object UrlOps {
       i => array_join(slice(parts, i, size(parts)), "."))
   }
 
+  /** Streaming-safe face of the blocklist: a pure per-row PREDICATE
+    * (no join, no shuffle) for a driver-held blocklist — true iff the
+    * host equals or lives under a blocked domain. Use inside
+    * streaming gates (curationStream-style filters) where the
+    * relational [[blockByDomain]]'s aggregate+anti shape isn't
+    * available; same semantics (UrlOpsSpec proves agreement).
+    */
+  def isBlockedDomain(url: Column, blocked: Seq[String]): Column =
+    arrays_overlap(
+      hostSuffixes(url),
+      lit(blocked.map(_.toLowerCase).distinct.toArray))
+
   /** Domain-blocklist front door (the spam/adult/SEO-farm filter every
     * web-corpus pipeline runs before anything expensive): drop rows
     * whose host equals a blocked domain OR lives under one. The match

@@ -104,5 +104,11 @@ class UrlOpsSpec extends SparkTestBase {
     val kept = UrlOps.blockByDomain(docs, "url", blocklist)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(4L, 5L, 6L, 8L))
+    // the streaming-safe per-row predicate agrees exactly with the
+    // relational face on the same inputs
+    val keptPred = docs
+      .filter(!UrlOps.isBlockedDomain($"url", Seq("bad.example.com", "evil.net")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptPred == kept)
   }
 }
