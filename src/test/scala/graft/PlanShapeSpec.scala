@@ -122,6 +122,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_url_blocklist matches via a BROADCAST semi-join (no blocklist shuffle)") {
+    val p = plan("q_url_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"blocklist match is not a broadcast semi-join:\n$p")
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
