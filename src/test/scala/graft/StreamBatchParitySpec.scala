@@ -396,6 +396,66 @@ class StreamBatchParitySpec extends SparkTestBase {
       graft.layout.Layout.dropWithLocation(spark, tableName)
   }
 
+  test("full refresh composition: stream-curate -> batch near-dup sweep -> " +
+    "training shards (the lambda split, end to end)") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graftcompose")
+    val tableName = "graft_compose_stream_t"
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      // phase 1 (STREAM): two crawl increments through refreshStream —
+      // gates + watermark-keyed exact dedup land a bucketed corpus
+      // inputs under their own subdir — the glob must not swallow the
+      // checkpoint living next to them
+      src.filter(col("doc_id") % 2L === 0L)
+        .write.parquet(dir.resolve("in").resolve("a").toString)
+      src.filter(col("doc_id") % 2L =!= 0L)
+        .write.parquet(dir.resolve("in").resolve("b").toString)
+      val realStream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.resolve("in").toString + "/*")
+        .withColumn("ets", timestamp_micros((col("doc_id") + 1L) * 1000L))
+      Incremental.refreshStream(
+        realStream, src.limit(0).select("doc_id"), "doc_id", "text", "ets",
+        tableName, ckpt).awaitTermination()
+      val corpus = graft.layout.Layout.readTable(spark, tableName)
+      val nCorpus = corpus.count()
+      assert(nCorpus > 0)
+      // phase 2 (BATCH, the lambda split): corpus-global LSH near-dup
+      // clusters + quality-aware representative selection
+      val clusters = graft.dedup.Dedup.lshClusters(
+        corpus, "doc_id", "clean_text", n = 3, minJaccard = 0.6)
+      val scored = corpus.select(col("doc_id"),
+        length(col("clean_text")).cast("double").as("score"))
+      val decisions = graft.dedup.Dedup.clusterRepresentatives(
+        clusters, scored, "doc_id", "score")
+      val keep = corpus.join(
+        decisions.filter(col("is_representative")).select("doc_id"),
+        Seq("doc_id"))
+      val nKeep = keep.count()
+      assert(nKeep > 0 && nKeep < nCorpus,
+        s"near-dup sweep should drop something: $nKeep of $nCorpus")
+      // phase 3 (SINK): token-balanced training shards over the kept set
+      val shardPath = dir.resolve("shards").toString
+      graft.io.Sinks.writeTrainingShards(
+        keep, "doc_id", "clean_text", shardPath, tokensPerShard = 256L)
+      val back = spark.read.parquet(shardPath)
+      assert(back.count() == nKeep)
+      assert(back.select("doc_id").distinct().count() == nKeep,
+        "a kept doc was split or duplicated across shards")
+      // token mass conservation: shard offsets account for exactly the
+      // kept corpus's tokens
+      val tokKeep = keep
+        .agg(sum(graft.text.TextAnalysis.tokenCountWs(col("clean_text"))))
+        .head().getLong(0)
+      val tokShards = back
+        .agg(sum(col("end_off") - col("start_off"))).head().getLong(0)
+      assert(tokShards == tokKeep, s"token mass drifted: $tokShards vs $tokKeep")
+    } finally
+      graft.layout.Layout.dropWithLocation(spark, tableName)
+  }
+
   test("streaming training shards equal the batch sink under in-order delivery") {
     import spark.implicits._
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
