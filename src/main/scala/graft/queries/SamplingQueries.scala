@@ -193,6 +193,36 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_decontaminate_report",
+      covers = "decontamination,audit",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 97L === 0L)
+        val corpus = d.filter(col("doc_id") % 97L =!= 0L)
+        TextAnalysis
+          .decontaminationReport(corpus, bench, "doc_id", "text", n = 3)
+          .orderBy("doc_id", "bench_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |        range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+          |      FROM t WHERE len(tk) >= 3),
+          |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+          |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+          |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
+          |  min(c.gram) AS first_shared_gram
+          |FROM c JOIN b USING (gram)
+          |GROUP BY c.doc_id, b.bench_id
+          |ORDER BY c.doc_id, b.bench_id""".stripMargin
+      ),
+      doc = "contamination AUDIT report: per (corpus doc, eval item) " +
+        "pair with shared-distinct-3-gram count and the first shared " +
+        "gram as quotable evidence — the report face of " +
+        "q_decontaminate's yes/no filter"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_repetition",
       covers = "text-quality,repetition",
       fn = (s, dir) =>

@@ -537,6 +537,36 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared") > 0L)
   }
 
+  /** The AUDIT face of [[decontaminate]]: per (corpus doc, benchmark
+    * item) pair, how many distinct n-grams they share and the
+    * lexicographically-first shared gram — the concrete evidence row
+    * a contamination report cites (WHICH eval item leaked into WHICH
+    * doc, with a quotable n-gram), where [[decontaminate]] only
+    * answers "is this doc dirty". Same broadcast shape: the eval
+    * suite's (bench_id, gram) pairs broadcast, the corpus explodes
+    * its distinct grams once, and only matching pairs reach the
+    * aggregate.
+    */
+  def decontaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val grams = ngramsUdf(n, distinct = true)
+    val benchGrams = benchmark
+      .select(col(idCol).as("bench_id"), explode(grams(col(textCol))).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        min(col("gram")).as("first_shared_gram"))
+  }
+
   /** Reference bigram LM counts: (bigram, c2) with multiplicity over
     * the reference corpus, pruned by minCount (Zipf concentration
     * makes the pruned model orders of magnitude smaller than its V²
