@@ -31,10 +31,12 @@ object Dedup {
   def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = graft.text.TextAnalysis.normalizedText(col(textCol))
     // a doc whose normalization is empty (pure punctuation/whitespace)
-    // shares no CONTENT with any other such doc — collapsing them all
-    // under md5('') would silently discard every one but the first, so
-    // each gets a per-doc key and survives as its own group
-    val key = when(length(norm) === 0,
+    // OR null (null text normalizes to null, and length(null)/md5(null)
+    // are null — without the guard every null-text doc would collapse
+    // into one null content_key group) shares no CONTENT with any
+    // other such doc, so each gets a per-doc key and survives as its
+    // own group
+    val key = when(norm.isNull || length(norm) === 0,
       concat(lit("empty:"), col(idCol).cast("string"))).otherwise(md5(norm))
     df.select(col(idCol), key.as("content_key"))
       .groupBy("content_key")

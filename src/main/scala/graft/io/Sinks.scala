@@ -114,17 +114,55 @@ object Sinks {
     * micro-batch split); out-of-order delivery still yields a valid
     * contiguous packing, just a different document order than the
     * batch sort. Returns the batch's per-shard summary.
+    *
+    * The existing-corpus probe and all manifest IO go through the
+    * Hadoop FileSystem API (not java.io.File), so the corpus can live
+    * on hdfs:// or s3a:// — a local-only probe would misread a remote
+    * corpus as absent, reset base to 0, and overlap the offset range.
+    *
+    * `batchId` (>= 0) makes replays idempotent: foreachBatch is
+    * at-least-once, and a blind re-append after a crash between the
+    * parquet commit and the checkpoint commit would land the same
+    * docs at NEW offsets (the replay re-reads an already-advanced
+    * max end_off), silently corrupting the packing. With a batchId
+    * the sink records the last applied (tag, id) in a `_last_batch`
+    * manifest written after the append, and a replayed batch (same
+    * tag, batchId <= recorded) is a no-op — the same
+    * idempotent-publisher pattern publishStream uses. `batchTag`
+    * namespaces the ids per streaming run lineage (shardStream passes
+    * its checkpointDir): batchIds restart at 0 under a FRESH
+    * checkpoint, and without the tag the stale manifest would
+    * silently swallow the new run's first batches. The unclosed
+    * window is one crash BETWEEN the parquet append and the manifest
+    * write; exactly-once there needs a transactional table format,
+    * which plain parquet is not. batchId = -1 (the default) keeps the
+    * unconditional batch-append behavior for non-streaming callers.
     */
   def appendTrainingShards(
       df: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      tokensPerShard: Long): DataFrame = {
+      tokensPerShard: Long,
+      batchId: Long = -1L,
+      batchTag: String = ""): DataFrame = {
     val spark = df.sparkSession
-    val d = new java.io.File(path)
-    val existing = d.exists &&
-      Option(d.listFiles()).exists(_.exists(_.getName.startsWith("shard=")))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId >= 0L &&
+      lastAppliedShardBatch(fs, root).exists {
+        case (tag, id) => tag == batchTag && batchId <= id
+      }) {
+      // replayed micro-batch: already on disk, emit an empty summary
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("shard", "n_docs", "n_tokens", "min_start", "max_end").map(
+          org.apache.spark.sql.types.StructField(
+            _, org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val existing = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("shard="))
     val base: Long =
       if (existing)
         spark.read.parquet(path).agg(max(col("end_off"))).first().getLong(0)
@@ -139,6 +177,7 @@ object Sinks {
       packed.select(col(idCol), col("shard"), col("start_off"), col("end_off")),
       Seq(idCol))
       .write.mode("append").partitionBy("shard").parquet(path)
+    if (batchId >= 0L) recordShardBatch(fs, root, batchId, batchTag)
     packed
       .groupBy(col("shard"))
       .agg(
@@ -146,6 +185,47 @@ object Sinks {
         sum(col("n_tok")).as("n_tokens"),
         min(col("start_off")).as("min_start"),
         max(col("end_off")).as("max_end"))
+  }
+
+  /** Last (batchTag, batchId) applied to the shard corpus at `root`,
+    * or None if the `_last_batch` manifest is absent (cold start /
+    * pre-manifest corpus). Manifest format: tag line, then id line.
+    */
+  private[graft] def lastAppliedShardBatch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(String, Long)] = {
+    val m = new org.apache.hadoop.fs.Path(root, "_last_batch")
+    if (!fs.exists(m)) None
+    else {
+      val len = fs.getFileStatus(m).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(m)
+      try in.readFully(0, buf)
+      finally in.close()
+      val lines =
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).split("\n", 2)
+      Some((lines(0), lines(1).trim.toLong))
+    }
+  }
+
+  /** Durably record (batchTag, batchId) as applied: write to a temp
+    * name, then rename over `_last_batch` — rename is atomic on
+    * HDFS/local, so a reader never sees a torn manifest.
+    */
+  private def recordShardBatch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      batchId: Long,
+      batchTag: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._last_batch.$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"$batchTag\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, "_last_batch")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 }
 

@@ -195,6 +195,12 @@ object Incremental {
     * not just a bucketed append. Under in-order delivery the final
     * table is identical to one batch `writeTrainingShards` over the
     * accumulated corpus (StreamBatchParitySpec proves it).
+    *
+    * The batchId is passed through to the sink's `_last_batch`
+    * manifest, so an at-least-once replay of a committed micro-batch
+    * (crash between parquet append and checkpoint commit) is a no-op
+    * instead of a silent double-append at fresh offsets
+    * (StreamBatchParitySpec drives the replay).
     */
   def shardStream(
       docs: DataFrame, // streaming; (idCol, textCol)
@@ -207,9 +213,13 @@ object Incremental {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // checkpointDir as the manifest tag: batchIds are only
+        // monotone within one checkpoint lineage — a fresh checkpoint
+        // restarts at 0 and must not be swallowed by a stale manifest
         graft.io.Sinks
-          .appendTrainingShards(batch, idCol, textCol, path, tokensPerShard)
+          .appendTrainingShards(batch, idCol, textCol, path, tokensPerShard,
+            batchId = batchId, batchTag = checkpointDir)
         ()
       }
       .start()

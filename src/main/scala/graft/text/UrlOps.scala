@@ -71,10 +71,20 @@ object UrlOps {
   /** Every dot-suffix of the url's host, longest first: host
     * `a.b.example.com` → [a.b.example.com, b.example.com, example.com,
     * com]. The unit a domain BLOCKLIST matches on — blocking
-    * `example.com` must catch every subdomain.
+    * `example.com` must catch every subdomain. Scheme-less URLs
+    * (`www.bad.example.com/x`, common in crawl metadata) fall back to
+    * the leading host token — a missing `https://` must not bypass
+    * the blocklist.
     */
   def hostSuffixes(url: Column): Column = {
-    val host = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val t = trim(url)
+    val schemed = regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    // no scheme matched → the host is the leading token up to any
+    // path/query/port delimiter (a bare `mailto:`-style scheme stops
+    // at its colon and yields a harmless single-label suffix)
+    val host = lower(
+      when(schemed === "", regexp_extract(t, "^([^/?#:]+)", 1))
+        .otherwise(schemed))
     val parts = split(regexp_replace(host, ":[0-9]+$", ""), "\\.")
     transform(
       sequence(lit(1), size(parts)),

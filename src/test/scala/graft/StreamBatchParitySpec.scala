@@ -505,6 +505,59 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(manifest(streamPath) == manifest(batchPath))
   }
 
+  test("shard sink replay: a re-applied micro-batch is a no-op, a fresh " +
+    "checkpoint lineage is not swallowed by the stale manifest") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graftshardreplay")
+    val path = root.resolve("shards").toString
+    val lo = src.filter($"doc_id" < 100L)
+    val hi = src.filter($"doc_id" >= 100L && $"doc_id" < 200L)
+    val later = src.filter($"doc_id" >= 200L && $"doc_id" < 250L)
+    def snapshot() = spark.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long"),
+        col("start_off"), col("end_off"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    graft.io.Sinks.appendTrainingShards(
+      lo, "doc_id", "text", path, 512L, batchId = 0L, batchTag = "ck1")
+    graft.io.Sinks.appendTrainingShards(
+      hi, "doc_id", "text", path, 512L, batchId = 1L, batchTag = "ck1")
+    val committed = snapshot()
+
+    // at-least-once replay of batch 1 (crash after parquet append +
+    // manifest write, before checkpoint commit): must change NOTHING —
+    // without the manifest gate the docs would re-land at new offsets
+    graft.io.Sinks.appendTrainingShards(
+      hi, "doc_id", "text", path, 512L, batchId = 1L, batchTag = "ck1")
+    assert(snapshot() == committed,
+      "replayed micro-batch mutated the shard table")
+    // replay of an EARLIER batch too (offset-log rewind)
+    graft.io.Sinks.appendTrainingShards(
+      lo, "doc_id", "text", path, 512L, batchId = 0L, batchTag = "ck1")
+    assert(snapshot() == committed)
+
+    // fresh checkpoint lineage: batchIds restart at 0 — the stale
+    // ck1 manifest (id 1) must NOT swallow the new run's batch 0
+    graft.io.Sinks.appendTrainingShards(
+      later, "doc_id", "text", path, 512L, batchId = 0L, batchTag = "ck2")
+    val after = snapshot()
+    assert(after.size == committed.size + later.count().toInt,
+      "fresh-lineage batch 0 was swallowed by the stale manifest")
+    // and the packing is still valid: gapless offsets from 0, shard =
+    // start_off div target
+    val rows = spark.read.parquet(path)
+      .select(col("shard").cast("long"), col("start_off"), col("end_off"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(rows.head._2 == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 == b._2, s"offset gap between $a and $b")
+      case _           => ()
+    }
+    rows.foreach { case (sh, so, _) => assert(sh == so / 512L) }
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"

@@ -492,6 +492,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(out.count(_.getAs[String]("content_key").startsWith("empty:")) == 2)
   }
 
+  test("exactNormalized: null-text docs never collapse into one group") {
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, "real content")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "text", org.apache.spark.sql.types.StringType))))
+    val out = Dedup.exactNormalized(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // without the null guard md5(null)=null groups 1 and 2 together
+    // and doc 2 is silently discarded as a "duplicate" of unrelated 1
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("n_copies") == 1L))
+    assert(out.count(_.getAs[String]("content_key").startsWith("empty:")) == 2)
+  }
+
   test("paragraphDedup splits on newlines, trims, drops blank lines") {
     val corpus = Seq(
       (1L, "alpha beta\n\n  shared footer  \ngamma"),

@@ -111,4 +111,23 @@ class UrlOpsSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keptPred == kept)
   }
+
+  test("scheme-less URLs cannot bypass the blocklist") {
+    val docs = Seq(
+      (1L, "www.bad.example.com/x"),        // no scheme — still blocked
+      (2L, "bad.example.com"),              // bare host
+      (3L, "bad.example.com:8080/path?q=1"), // bare host + port + path
+      (4L, "notbad.example.com/y"),         // scheme-less sibling survives
+      (5L, "https://bad.example.com/z"),    // schemed control
+      (6L, "mailto:someone@good.org")       // odd scheme: harmless, survives
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("bad.example.com").toDF("domain")
+    val kept = UrlOps.blockByDomain(docs, "url", blocklist)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 6L))
+    val keptPred = docs
+      .filter(!UrlOps.isBlockedDomain($"url", Seq("bad.example.com")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptPred == kept)
+  }
 }
