@@ -794,8 +794,11 @@ object Dedup {
     * materialized, as CurationPipeline.run does after the clean corpus
     * count. Internal iteration caches are released before returning.
     */
-  def clusterize(pairs: DataFrame, idCol: String): DataFrame = {
-    val comps = connectedComponents(pairs)
+  def clusterize(
+      pairs: DataFrame,
+      idCol: String,
+      localThreshold: Long = 500000L): DataFrame = {
+    val comps = connectedComponents(pairs, localThreshold = localThreshold)
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     // materialize the (small — one row per node that appears in a
     // pair) label table, then release the distributed-path iteration
@@ -871,10 +874,15 @@ object Dedup {
       textCol: String,
       n: Int,
       minJaccard: Double,
-      maxDf: Long = 1000L
+      maxDf: Long = 1000L,
+      /** forwarded to [[connectedComponents]]; 0 forces the
+        * distributed label-propagation tier — the components path a
+        * 100 TB corpus actually runs
+        */
+      localThreshold: Long = 500000L
   ): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
-    val out = clusterize(pairs, idCol) // materialized by clusterize
+    val out = clusterize(pairs, idCol, localThreshold) // materialized by clusterize
     pairs.unpersist()
     out
   }

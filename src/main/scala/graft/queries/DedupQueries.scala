@@ -219,6 +219,61 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters_dist",
+      covers = "dedup-clusters,scale-tier",
+      // localThreshold=0 forces connectedComponentsDistributed — the
+      // iterative min-label-propagation tier a 100 TB pair graph
+      // actually runs (the driver union-find tier above certifies only
+      // graphs small enough to collect). Same pair graph, same
+      // recursive-CTE truth: the two tiers must be indistinguishable
+      // from the outside.
+      fn = (s, dir) =>
+        Dedup
+          .jaccardClusters(table(s, dir, "documents"), "doc_id", "text",
+            n = 3, minJaccard = 0.12, maxDf = Long.MaxValue,
+            localThreshold = 0L)
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |cm AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id),
+          |pairs AS (
+          |  SELECT p.a, p.b FROM cm p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  JOIN sizes sb ON sb.doc_id = p.b
+          |  WHERE CAST(p.n_common AS DOUBLE)
+          |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.12),
+          |edges AS (SELECT a AS src, b AS dst FROM pairs
+          |          UNION SELECT b, a FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(node, mn) AS (
+          |    SELECT src, src FROM edges
+          |    UNION
+          |    SELECT e.dst, r.mn FROM r JOIN edges e ON e.src = r.node
+          |  ) SELECT node, min(mn) AS component FROM r GROUP BY node),
+          |csize AS (SELECT component, count(*) AS cluster_size
+          |          FROM reach GROUP BY component)
+          |SELECT r.node AS doc_id, r.component, c.cluster_size,
+          |       r.node = r.component AS is_canonical
+          |FROM reach r JOIN csize c USING (component)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "near-dup clustering through the DISTRIBUTED tier " +
+        "(localThreshold=0 → iterative min-label propagation, no " +
+        "driver union-find, no edge collect) against the same " +
+        "recursive-CTE oracle as q_dedup_clusters — certifies the " +
+        "components path you'd actually run at 100 TB"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_minhash_lsh",
       covers = "dedup-minhash",
       fn = (s, dir) =>

@@ -131,6 +131,32 @@ class ScaleSpec extends SparkTestBase {
       s"pair-dedup exchange carries vector attributes:\n$feeder")
   }
 
+  test("distributed connected components never collects the edge set") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.12,
+        maxDf = Long.MaxValue)
+    val dist = graft.dedup.Dedup
+      .connectedComponents(pairs, localThreshold = 0L)
+    // the driver tier materializes collected edges back through
+    // parallelize → its plan is a bare scan of an ExistingRDD/
+    // LocalTableScan; the distributed tier's labels are the fixpoint
+    // of join+agg iterations, so joins MUST appear in the plan and
+    // RDD-scan-of-local-rows must not
+    val p = dist.queryExecution.executedPlan.toString
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"distributed tier plan has no joins — did it fall back to the driver tier?\n$p")
+    assert(!p.contains("LocalTableScan"),
+      s"distributed tier plan scans driver-local rows:\n$p")
+    // and the two tiers agree bit-for-bit on the real pair graph
+    val local = graft.dedup.Dedup
+      .connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    assert(dist.as[(Long, Long)].collect().toSet == local)
+    pairs.unpersist()
+  }
+
   test("GraftExtensions injects native SQL functions") {
     val s3 = SparkSession.builder()
       .master("local[2]")
