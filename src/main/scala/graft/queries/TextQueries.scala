@@ -803,6 +803,108 @@ object TextQueries {
         "greedy non-overlapping merge APPLICATION, round over round " +
         "(oracle unrolls the rounds as CTEs with a list_reduce fold " +
         "for the greedy scan)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_encode",
+      covers = "bpe,tokenizer-encode",
+      fn = (s, dir) => {
+        // Train 3 merges, then ENCODE the corpus with them — the op an
+        // LLM pipeline actually runs at corpus scale (training is the
+        // small part). Per-doc output: the token stream (| - joined)
+        // and its length.
+        val docs = table(s, dir, "documents")
+        val (merges, vocab) = graft.text.Bpe.train(docs, "text", rounds = 3)
+        require(merges.length == 3, s"expected 3 merges, got $merges")
+        vocab.unpersist()
+        graft.text.Bpe
+          .encode(docs, "text", merges.map(m => (m._2, m._3)), s)
+          .select(
+            col("doc_id"),
+            array_join(col("tokens"), "|").as("token_str"),
+            size(col("tokens")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      // Encode applies the merges per WORD (greedy scans never cross
+      // the whitespace boundary), and every corpus word is in the
+      // trained vocabulary — so a document's token stream is exactly
+      // its words' final symbolizations (the v3 table the train3
+      // oracle already derives) concatenated in word order. The oracle
+      // reuses the three merge-round CTEs verbatim and joins each
+      // document's ordered words against v3.
+      oracle = Some(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
+          |v0 AS (SELECT word, CAST(n AS BIGINT) AS n,
+          |         array_to_string(string_split(word, ''), ' ') AS sym FROM wc),
+          |pc0 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v0))
+          |  GROUP BY pair),
+          |m0 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc0 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v1 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v0.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m0 m) AS sym FROM v0),
+          |pc1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v1))
+          |  GROUP BY pair),
+          |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v2 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v1.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m1 m) AS sym FROM v1),
+          |pc2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v2))
+          |  GROUP BY pair),
+          |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v3 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v2.sym, ' '), (acc, x) -> CASE
+          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+          |     ELSE acc || ' ' || x END) FROM m2 m) AS sym FROM v2),
+          |dw AS (
+          |  SELECT doc_id, u.pos AS pos, u.word AS word
+          |  FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, len(ws) + 1),
+          |        i -> {'pos': i, 'word': ws[i]})) AS u
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          |          FROM documents))
+          |  WHERE len(u.word) >= 1),
+          |tok AS (
+          |  SELECT dw.doc_id,
+          |    string_agg(replace(v3.sym, ' ', '|'), '|' ORDER BY dw.pos)
+          |      AS token_str,
+          |    CAST(sum(len(string_split(v3.sym, ' '))) AS BIGINT)
+          |      AS n_tokens
+          |  FROM dw JOIN v3 ON v3.word = dw.word
+          |  GROUP BY dw.doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(t.token_str, '') AS token_str,
+          |  coalesce(t.n_tokens, 0) AS n_tokens
+          |FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "BPE corpus ENCODING with a trained merge table: per-doc " +
+        "token stream + token count — merges broadcast, one compiled " +
+        "per-row greedy scan, no shuffle beyond the source read; the " +
+        "oracle replays the whole train->encode chain (merge-round " +
+        "CTEs, then each document's ordered words joined against the " +
+        "final symbolization)"
     )
   )
 }
