@@ -189,28 +189,38 @@ object Sinks {
 
   /** Last (batchTag, batchId) applied to the shard corpus at `root`,
     * or None if the `_last_batch` manifest is absent (cold start /
-    * pre-manifest corpus). Manifest format: tag line, then id line.
+    * pre-manifest corpus) OR unreadable/malformed — a truncated or
+    * torn manifest (non-atomic object-store rename, partial create)
+    * must degrade to the documented at-least-once re-append window,
+    * not permanently crash every subsequent micro-batch. Manifest
+    * format: tag line, then id line.
     */
   private[graft] def lastAppliedShardBatch(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[(String, Long)] = {
     val m = new org.apache.hadoop.fs.Path(root, "_last_batch")
     if (!fs.exists(m)) None
-    else {
-      val len = fs.getFileStatus(m).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(m)
-      try in.readFully(0, buf)
-      finally in.close()
-      val lines =
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8).split("\n", 2)
-      Some((lines(0), lines(1).trim.toLong))
-    }
+    else
+      scala.util.Try {
+        val len = fs.getFileStatus(m).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(m)
+        try in.readFully(0, buf)
+        finally in.close()
+        val lines =
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8).split("\n", 2)
+        (lines(0), lines(1).trim.toLong)
+      }.toOption
   }
 
   /** Durably record (batchTag, batchId) as applied: write to a temp
-    * name, then rename over `_last_batch` — rename is atomic on
-    * HDFS/local, so a reader never sees a torn manifest.
+    * name, then rename over `_last_batch` with OVERWRITE semantics —
+    * a single atomic metadata op on HDFS/local (no delete-then-rename
+    * gap in which a crash or concurrent reader sees no manifest at
+    * all). Caveat: object stores (s3a) implement rename as
+    * copy+delete, so no manifest scheme is atomic there — a torn read
+    * degrades to the at-least-once re-append window via
+    * [[lastAppliedShardBatch]]'s fail-open parse.
     */
   private def recordShardBatch(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -223,9 +233,10 @@ object Sinks {
       s"$batchTag\n$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, "_last_batch")
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    fc.rename(
+      fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 

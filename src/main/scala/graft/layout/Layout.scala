@@ -50,16 +50,15 @@ object Layout {
     */
   def dropWithLocation(spark: SparkSession, tableName: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = new java.io.File(new java.net.URI(
+    // Hadoop FS, not java.io.File: a warehouse on hdfs://s3a:// must
+    // resolve through the table location's own filesystem (the same
+    // remote-FS blind spot fixed in appendTrainingShards' corpus probe)
+    val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog
         .defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-        .toString))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 
   /** Write `df` as a bucketed+sorted managed parquet table. Idempotent
@@ -183,10 +182,13 @@ object Layout {
       path: String,
       targetBytes: Long): (Long, Long, Int) = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val files = new java.io.File(path)
-      .listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val totalBytes = files.map(_.length()).sum
+    // Hadoop FS listing so the planner sizes hdfs://s3a:// ingest
+    // directories, not only warehouse-local ones
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     (files.length.toLong, totalBytes, nOut.toInt)
   }

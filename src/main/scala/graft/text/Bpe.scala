@@ -124,8 +124,12 @@ object Bpe {
       merges: Seq[(String, String)],
       spark: SparkSession): DataFrame = {
     val bc = spark.sparkContext.broadcast(merges)
+    // Spark passes null through to object-typed UDF params: a null-text
+    // document must tokenize to [] (matching train/wordCounts and the
+    // oracle's LEFT JOIN + coalesce), not NPE the job.
     val encodeUdf = udf { (text: String) =>
-      text.split(" ").filter(_.nonEmpty).flatMap { w =>
+      (if (text == null) Array.empty[String]
+       else text.split(" ")).filter(_.nonEmpty).flatMap { w =>
         var ss: Seq[String] = w.split("").toSeq
         bc.value.foreach { case (l, r) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

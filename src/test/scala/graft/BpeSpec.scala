@@ -56,6 +56,19 @@ class BpeSpec extends SparkTestBase {
     assert(toks == Seq("low", "er", "low", "er"))
   }
 
+  test("encode tolerates null and empty text (no NPE, empty tokens)") {
+    val (merges, vocab) = Bpe.train(docs, "text", rounds = 3)
+    vocab.unpersist()
+    val withNull = Seq((10L, null: String), (11L, ""), (12L, "low"))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(withNull, "text", merges.map(m => (m._2, m._3)), spark)
+      .select("doc_id", "tokens").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(out(10L) == Seq.empty)
+    assert(out(11L) == Seq.empty)
+    assert(out(12L) == Seq("low"))
+  }
+
   test("train stops early when no pairs remain") {
     val single = Seq((1L, "a b c")).toDF("doc_id", "text")
     val (merges, vocab) = Bpe.train(single, "text", rounds = 5)

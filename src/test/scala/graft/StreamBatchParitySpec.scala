@@ -558,6 +558,40 @@ class StreamBatchParitySpec extends SparkTestBase {
     rows.foreach { case (sh, so, _) => assert(sh == so / 512L) }
   }
 
+  test("shard sink: a truncated/corrupt _last_batch manifest fails open " +
+    "to at-least-once, not to a permanent crash") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graftshardcorrupt")
+    val path = root.resolve("shards").toString
+    val lo = src.filter($"doc_id" < 100L)
+    graft.io.Sinks.appendTrainingShards(
+      lo, "doc_id", "text", path, 512L, batchId = 0L, batchTag = "ck1")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(path, "_last_batch")
+
+    // truncated manifest (one line, no id) — parse must yield None
+    for (corrupt <- Seq("ck1", "", "ck1\nnot-a-number")) {
+      val out = fs.create(manifest, true)
+      try out.write(corrupt.getBytes("UTF-8")) finally out.close()
+      assert(graft.io.Sinks.lastAppliedShardBatch(
+        fs, new org.apache.hadoop.fs.Path(path)).isEmpty,
+        s"malformed manifest ${corrupt.replace("\n", "\\n")} did not fail open")
+    }
+
+    // and the NEXT micro-batch still lands (re-append window accepted,
+    // no ArrayIndexOutOfBounds/NumberFormatException crash loop)
+    val hi = src.filter($"doc_id" >= 100L && $"doc_id" < 150L)
+    graft.io.Sinks.appendTrainingShards(
+      hi, "doc_id", "text", path, 512L, batchId = 1L, batchTag = "ck1")
+    assert(graft.io.Sinks.lastAppliedShardBatch(
+      fs, new org.apache.hadoop.fs.Path(path)).contains(("ck1", 1L)))
+    val n = spark.read.parquet(path).count()
+    assert(n == lo.count() + hi.count())
+  }
+
   test("windowed rollup: stream face equals batch face on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.001/events.parquet"
