@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Scale-up fixture generator (driver-tool tier, like check.py).
+
+Builds sf(K/10) = K disjoint, re-keyed images of the driver's sf0.1
+fixture, preserving physical parquet schemas exactly (events.ts stays
+TIMESTAMP(NANOS) — the nanosAsLong gotcha — order/ship dates stay
+TIMESTAMP(MILLIS), embeddings stay list<float>, int32 columns stay
+int32). The transform is a pure function of (copy index, row) — no RNG,
+fully deterministic, reproducible byte-for-byte.
+
+Design goal: "10x MORE data of the same kind", not "the same data 10
+times". Exact replication would be a degenerate scale-up: every doc
+would gain 9 exact duplicates, near-dup pair counts would explode
+quadratically in the copy count, and the bench would measure a fixture
+artifact instead of the engine. Instead each copy is an ISOMORPHIC but
+DISJOINT image:
+
+- keys/FKs: offset by copy * cardinality(sf0.1), consistently across
+  referencing tables (orders.o_custkey moves with customer.c_custkey,
+  lineitem's three FKs move with orders/part/supplier, events.user_id
+  with its own id space). Key-encoding names (Customer#%09d,
+  Supplier#%09d) are re-derived from the new key.
+- documents.text: per-copy Caesar shift over [a-z] (the fixture
+  alphabet is exactly [a-z ]). Within a copy, every shingle/minhash/
+  simhash/Jaccard/edit-distance relation is an exact image of sf0.1
+  (letter permutations are structure-preserving for all of them);
+  across copies the shingle universes are disjoint, so dup groups and
+  candidate pairs scale LINEARLY (x K), which is what a 10x crawl
+  looks like. n_chars is preserved by construction. Honest caveat,
+  annotated in NOTES: copies 1..K-1 are not English, so
+  language-dependent gates (langid, stopword ratios) classify them
+  differently than copy 0 — irrelevant for Spark-vs-DuckDB agreement
+  and for per-row gate cost, visible only in gate selectivities.
+- documents.source: src(n + 20*copy) — 10x sources at 10x docs keeps
+  per-source group size constant (the web-corpus scale model).
+- embeddings.embedding: cyclic rotation of the 64 components by
+  copy*7. Rotation preserves norms and all within-copy inner products
+  exactly (ANN/cosine structure is an exact image); cross-copy dot
+  products of rotated random vectors are ~0, far below near-dup
+  thresholds, so cosine pair counts also scale linearly.
+- region/nation: fixed dimension tables (TPC-H semantics), copied
+  verbatim once.
+
+Usage: python3 tools/gen_scale.py [K] [src_dir] [dst_dir]
+defaults:                          10  /root/testdata/sf0.1  testdata/sf1
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+DST = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "testdata", "sf1")
+
+os.makedirs(DST, exist_ok=True)
+
+# sf0.1 key cardinalities (dense 0..N-1, asserted below)
+CARD = {
+    "customer": 15_000, "supplier": 1_000, "part": 20_000,
+    "orders": 150_000, "events_user": 1_500, "events_id": 100_000,
+    "documents": 5_000, "embeddings": 2_000, "documents_sources": 20,
+}
+
+
+def read(name):
+    return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+
+
+def offset(col, step, i):
+    return pc.add(col, pa.scalar(i * step, type=col.type))
+
+
+def renumber(fmt, col):
+    return pa.array([fmt % k for k in col.to_pylist()], type=pa.string())
+
+
+def caesar(texts, i):
+    if i == 0:
+        return texts
+    src = "abcdefghijklmnopqrstuvwxyz"
+    tr = str.maketrans(src, src[i % 26:] + src[: i % 26])
+    return pa.array(
+        [None if t is None else t.translate(tr) for t in texts.to_pylist()],
+        type=pa.string())
+
+
+def rotate_embeddings(col, i, dim=64):
+    flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float32)
+    assert flat.size == len(col) * dim, "embeddings are not fixed 64-dim"
+    rolled = np.roll(flat.reshape(-1, dim), shift=(i * 7) % dim, axis=1)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(rolled.ravel(), type=pa.float32()), dim).cast(
+        pa.list_(pa.float32()))
+
+
+def write_copies(name, transform, row_group_size=300_000):
+    t = read(name)
+    out = os.path.join(DST, f"{name}.parquet")
+    writer = pq.ParquetWriter(out, t.schema)
+    for i in range(K):
+        ti = transform(t, i) if i > 0 else t
+        ti = ti.cast(t.schema)
+        writer.write_table(ti, row_group_size=row_group_size)
+    writer.close()
+    n = pq.read_metadata(out).num_rows
+    assert n == K * t.num_rows, (name, n, K * t.num_rows)
+    print(f"{name}: {t.num_rows} -> {n} rows")
+
+
+def replace(t, **cols):
+    arrays = []
+    for f in t.schema.names:
+        arrays.append(cols[f] if f in cols else t.column(f))
+    return pa.table(dict(zip(t.schema.names, arrays)))
+
+
+# ---- sanity: dense key spaces (the offset math depends on it) ----
+for name, key, card in [
+    ("customer", "c_custkey", CARD["customer"]),
+    ("supplier", "s_suppkey", CARD["supplier"]),
+    ("part", "p_partkey", CARD["part"]),
+    ("orders", "o_orderkey", CARD["orders"]),
+    ("documents", "doc_id", CARD["documents"]),
+    ("embeddings", "vec_id", CARD["embeddings"]),
+]:
+    t = read(name)
+    mn = pc.min(t.column(key)).as_py()
+    mx = pc.max(t.column(key)).as_py()
+    assert (mn, mx, t.num_rows) == (0, card - 1, card), (name, mn, mx, t.num_rows)
+
+# ---- dimension tables: verbatim ----
+for name in ("region", "nation"):
+    t = read(name)
+    pq.write_table(t, os.path.join(DST, f"{name}.parquet"))
+    print(f"{name}: {t.num_rows} rows (verbatim dimension)")
+
+write_copies("customer", lambda t, i: replace(
+    t,
+    c_custkey=offset(t.column("c_custkey"), CARD["customer"], i),
+    c_name=renumber("Customer#%09d",
+                    offset(t.column("c_custkey"), CARD["customer"], i)),
+))
+
+write_copies("supplier", lambda t, i: replace(
+    t,
+    s_suppkey=offset(t.column("s_suppkey"), CARD["supplier"], i),
+    s_name=renumber("Supplier#%09d",
+                    offset(t.column("s_suppkey"), CARD["supplier"], i)),
+))
+
+write_copies("part", lambda t, i: replace(
+    t,
+    p_partkey=offset(t.column("p_partkey"), CARD["part"], i),
+))
+
+write_copies("orders", lambda t, i: replace(
+    t,
+    o_orderkey=offset(t.column("o_orderkey"), CARD["orders"], i),
+    o_custkey=offset(t.column("o_custkey"), CARD["customer"], i),
+))
+
+write_copies("lineitem", lambda t, i: replace(
+    t,
+    l_orderkey=offset(t.column("l_orderkey"), CARD["orders"], i),
+    l_partkey=offset(t.column("l_partkey"), CARD["part"], i),
+    l_suppkey=offset(t.column("l_suppkey"), CARD["supplier"], i),
+), row_group_size=200_000)
+
+write_copies("events", lambda t, i: replace(
+    t,
+    event_id=offset(t.column("event_id"), CARD["events_id"], i),
+    user_id=offset(t.column("user_id"), CARD["events_user"], i),
+))
+
+write_copies("documents", lambda t, i: replace(
+    t,
+    doc_id=offset(t.column("doc_id"), CARD["documents"], i),
+    text=caesar(t.column("text"), i),
+    source=pa.array(
+        ["src%d" % (int(s[3:]) + CARD["documents_sources"] * i)
+         for s in t.column("source").to_pylist()], type=pa.string()),
+))
+
+write_copies("embeddings", lambda t, i: replace(
+    t,
+    vec_id=offset(t.column("vec_id"), CARD["embeddings"], i),
+    embedding=rotate_embeddings(t.column("embedding"), i),
+))
+
+print(f"done: {DST} (K={K})")
