@@ -33,13 +33,33 @@ object Graft {
 
   /** One TPC-H-ish testdata table (TESTDATA.md). Plain parquet scan so
     * Catalyst pushes filters/projections into the file source.
+    *
+    * Fixture vintages differ on `events.ts`: older generators wrote
+    * parquet TIMESTAMP(NANOS) (readable only as long nanos via
+    * `nanosAsLong`); newer ones write TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
+    * engine's time arithmetic is integer-exact on epoch nanos, so
+    * normalize any timestamp-typed `ts` to long epoch nanos here —
+    * every use site (and `tsCol` below) then works on either vintage.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
-    // as a timestamp; read it as long nanoseconds and convert at use
-    // sites (tsCol below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+          Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // Session TZ is UTC, so the NTZ→instant cast is the identity
+        // wall-clock mapping — the same interpretation DuckDB's
+        // epoch_ns applies to naive timestamps. micros→nanos ×1000 is
+        // lossless (epoch ~1.7e18 ns < 2^63).
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions
+              .col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** events.ts (long nanos under nanosAsLong) → TimestampType. The

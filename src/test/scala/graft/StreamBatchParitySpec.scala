@@ -601,8 +601,15 @@ class StreamBatchParitySpec extends SparkTestBase {
 
     val batch = spark.read.parquet(src)
     val schema = batch.schema
+    // fixture-vintage adaptive: ts is long nanos (old TIMESTAMP(NANOS)
+    // via nanosAsLong) or TIMESTAMP_NTZ micros (current fixtures)
     def prep(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+        case _ =>
+          df.withColumn("ets", col("ts").cast("timestamp"))
+      }
 
     val batchResult = prep(batch)
       .groupBy(window(col("ets"), "5 minutes"), col("event_type"))

@@ -2,10 +2,17 @@
 """Scale-up fixture generator (driver-tool tier, like check.py).
 
 Builds sf(K/10) = K disjoint, re-keyed images of the driver's sf0.1
-fixture, preserving physical parquet schemas exactly (events.ts stays
-TIMESTAMP(NANOS) — the nanosAsLong gotcha — order/ship dates stay
-TIMESTAMP(MILLIS), embeddings stay list<float>, int32 columns stay
-int32). The transform is a pure function of (copy index, row) — no RNG,
+fixture, preserving physical parquet schemas exactly: every output
+column passes through the SOURCE fixture's schema verbatim
+(ParquetWriter(t.schema) + ti.cast(t.schema)), so whatever timestamp
+vintage the driver last generated is what the scale-up carries.
+Current driver fixtures (2026-08-13 regen) write events.ts as
+TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark: TIMESTAMP_NTZ) and
+order/ship dates as TIMESTAMP(MICROS); older vintages wrote events.ts
+TIMESTAMP(NANOS) — the nanosAsLong gotcha. Graft.table normalizes both
+vintages to long epoch nanos, and this generator is byte-compatible
+with either source. embeddings stay list<float>, int32 columns stay
+int32. The transform is a pure function of (copy index, row) — no RNG,
 fully deterministic, reproducible byte-for-byte.
 
 Design goal: "10x MORE data of the same kind", not "the same data 10
