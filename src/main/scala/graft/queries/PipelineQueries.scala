@@ -220,7 +220,12 @@ object PipelineQueries {
         "q_g2_wada_snr's float face. The probe's integer scan " +
         "topology is fully oracled by q_probe_scan below; the " +
         "threshold logic itself is oracled on the integer core " +
-        "(q_g2_wada_table, q_a7_speech_score)"
+        "(q_g2_wada_table, q_a7_speech_score). The residual float " +
+        "risk — a libm perturbation flipping a threshold decision — " +
+        "is closed by ProbeMarginSpec: every segment any fixture SF " +
+        "up to sf1 can produce sits > 1e-3 from both thresholds, nine " +
+        "orders of magnitude above cross-libm ulp noise, so the " +
+        "counts are perturbation-invariant"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -587,6 +587,62 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
        |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** The pq-ADC oracle cut at rank ≤ shortlist, then re-ranked by the
+    * exact ×2^20-quantized cosine restricted to those pairs — the SQL
+    * replay of [[graft.similarity.Pq.pqTopKRerank]]'s two stages (the
+    * cosine CTEs are the q_ann_topk_exact chain verbatim, joined to
+    * the shortlist instead of the full cross product).
+    */
+  private def pqRerankOracle(m: Int, k: Int, shortlist: Int, kNn: Int): String =
+    s"""WITH sl AS (SELECT probe_id, cand_id FROM (
+       |${pqOracle(m, k, shortlist)}
+       |)),
+       |qe AS (SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
+       |    generate_subscripts(embedding, 1) AS pos
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) AS nrm
+       |  FROM qe GROUP BY vec_id),
+       |dots AS (
+       |  SELECT s.probe_id, s.cand_id,
+       |    CAST(CAST(sum(p.xq * c.xq) AS BIGINT) AS DOUBLE) AS dot
+       |  FROM sl s JOIN qe p ON p.vec_id = s.probe_id
+       |            JOIN qe c ON c.vec_id = s.cand_id AND c.pos = p.pos
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT d.probe_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cos
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.probe_id
+       |  JOIN norms nb ON nb.vec_id = d.cand_id)
+       |SELECT probe_id, rank, cand_id, cos FROM (
+       |  SELECT probe_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM cos)
+       |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
+
+  private def pqRerankDef = QueryDef(
+    "q_ann_topk_pq_rerank",
+    covers = "ann-pq-rerank",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      // SAME coarse 4×16 codebooks as q_ann_topk_pq: the point is that
+      // the refine stage rescues recall without touching the index
+      val idx = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding",
+        m = 4, k = 16, iters = 1)
+      graft.similarity.Pq
+        .pqTopKRerank(idx, e, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
+          kNn = 5, shortlist = 64)
+        .orderBy("probe_id", "rank")
+    },
+    oracle = Some(pqRerankOracle(m = 4, k = 16, shortlist = 64, kNn = 5)),
+    doc = "PQ two-stage search (FAISS refine): ADC shortlist of 64 per " +
+      "probe over the compressed codes, exact quantized-cosine re-rank " +
+      "of only those candidates — full vectors move shortlist·|probes| " +
+      "rows, never corpus-wide"
+  )
+
   /** The q_ann_topk_ivf oracle re-probed at nProbe lists (the chain is
     * identical; only the probed-list rank cut moves).
     */
@@ -623,7 +679,8 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
           .topKIvf(ivfIdx, probes, "vec_id", "embedding", k = 5, nProbe = 8)
           .select(lit("ivf").as("method"), col("probe_id"), col("cand_id")))
         .unionByName(graft.similarity.Pq
-          .pqTopK(pqIdx, probes, "vec_id", "embedding", kNn = 5)
+          .pqTopKRerank(pqIdx, e, probes, "vec_id", "embedding",
+            kNn = 5, shortlist = 64)
           .select(lit("pq").as("method"), col("probe_id"), col("cand_id")))
       approx
         .join(exact.withColumn("__hit", lit(1L)), Seq("probe_id", "cand_id"), "left")
@@ -642,7 +699,7 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
         "  UNION ALL SELECT 'ivf' AS method, probe_id, cand_id FROM (\n" +
         ivfOracleAtNProbe(8) + "\n)\n" +
         "  UNION ALL SELECT 'pq' AS method, probe_id, cand_id FROM (\n" +
-        pqOracle(m = 8, k = 64, kNn = 5) + "\n))\n" +
+        pqRerankOracle(m = 8, k = 64, shortlist = 64, kNn = 5) + "\n))\n" +
         "SELECT u.method, u.probe_id,\n" +
         "  CAST(count(ex.cand_id) AS BIGINT) AS n_hits,\n" +
         "  CAST(count(*) AS BIGINT) AS n_returned\n" +
@@ -651,12 +708,13 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
         "ORDER BY u.method, u.probe_id"),
     doc = "recall@5 at production-ish params — the tuning-curve point " +
       "past q_ann_recall's baseline: 16 LSH tables (vs 1), IVF " +
-      "nProbe=8 (vs 4), PQ 8x64 codebooks (vs 4x16); same " +
-      "oracle-checked rank-set intersections, demonstrating recall " +
-      "climbs with the knobs every ANN deployment turns"
+      "nProbe=8 (vs 4), PQ 8x64 codebooks + ADC-shortlist-64 exact " +
+      "re-rank (vs raw 4x16 ADC); same oracle-checked rank-set " +
+      "intersections, demonstrating recall climbs with the knobs " +
+      "every ANN deployment turns"
   )
 
-  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ recallTunedDef :+ QueryDef(
+  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ pqRerankDef :+ recallTunedDef :+ QueryDef(
     "q_ann_recall",
     covers = "ann-recall",
     fn = (s, dir) => {

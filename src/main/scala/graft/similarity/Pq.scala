@@ -172,6 +172,54 @@ object Pq {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
   }
 
+  /** ADC shortlist → exact re-rank (the FAISS refine/RFlat stage): PQ
+    * compression quantizes distances, so the ADC rank near the cut is
+    * noisy — recall@k against exact cosine plateaus well below 1 no
+    * matter the codebooks. The production fix is NOT bigger codebooks
+    * (memory) but a two-stage search: ADC ranks the whole corpus
+    * cheaply (m table adds per candidate over m-byte codes), keeps a
+    * `shortlist` of candidates per probe, and only those ~shortlist
+    * rows join back to the full-precision vectors for an exact
+    * re-rank. At 100 TB the full vectors never shuffle corpus-wide —
+    * the shortlist join is id-keyed against the (bucketable) corpus
+    * table and moves shortlist·|probes| rows.
+    *
+    * The re-rank metric is the same ×2^20-quantized cosine as
+    * [[Ann.topKExact]] (identical-order chains, ties to smallest
+    * cand_id), so the final ranks are bit-replayable by composing the
+    * two existing oracle chains: pq-ADC at rank ≤ shortlist, then the
+    * exact-cosine formula restricted to those pairs.
+    */
+  def pqTopKRerank(
+      index: PqIndex,
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int,
+      shortlist: Int = 64
+  ): DataFrame = {
+    val sl = pqTopK(index, probes, idCol, vecCol, shortlist)
+      .select(col("probe_id"), col("cand_id"))
+    val c = corpus
+      .select(col(idCol).as("cand_id"), Ann.quantizeUdf(col(vecCol)).as("qb"))
+      .withColumn("nb", Ann.quantDot(col("qb"), col("qb")))
+    val p = probes
+      .select(col(idCol).as("probe_id"), Ann.quantizeUdf(col(vecCol)).as("qa"))
+      .withColumn("na", Ann.quantDot(col("qa"), col("qa")))
+    val rescored = sl
+      .join(c, Seq("cand_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn(
+        "cos",
+        Ann.quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
+    rescored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNn)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
   /** IVF-PQ — the FAISS production shape, composed from the two
     * indexes this library already builds: the IVF coarse quantizer
     * restricts each probe to its `nProbe` nearest lists (scan fraction

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input matrix: every resume/refresh entry point must treat
+  * "nothing there yet" as a normal state, not a crash — an empty
+  * blocklist, a cold-start history, a zero-row micro-batch, an empty
+  * corpus. These are the FIRST states every production deployment runs
+  * through (first crawl, fresh checkpoint, empty partition of a
+  * skewed upstream), so each gets the identity/no-op it advertises.
+  */
+class DegenerateInputSpec extends SparkTestBase {
+
+  test("empty blocklist through blockByDomain is the identity") {
+    import spark.implicits._
+    val docs = Seq(
+      "https://keep.example.com/a",
+      "http://also-keep.org/b?q=1").toDF("url")
+    val out = graft.text.UrlOps.blockByDomain(
+      docs, "url", Seq.empty[String].toDF("domain"))
+    assert(out.select("url").as[String].collect().sorted.toSeq ==
+      docs.select("url").as[String].collect().sorted.toSeq)
+  }
+
+  test("empty history and empty batch through minHashLshPairsAgainst " +
+    "yield zero pairs, not an error") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup
+      .minHashLshPairsAgainst(corpus, empty, "doc_id", "text", minJaccard = 0.1)
+      .count() == 0L)
+    assert(graft.dedup.Dedup
+      .minHashLshPairsAgainst(empty, corpus, "doc_id", "text", minJaccard = 0.1)
+      .count() == 0L)
+  }
+
+  test("zero-row batch through appendTrainingShards is a no-op; the next " +
+    "real batch still packs from offset 0") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftdegshard")
+    val path = root.resolve("shards").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.io.Sinks.appendTrainingShards(
+      empty, "doc_id", "text", path, 64L, batchId = 0L, batchTag = "ck")
+    val real = Seq((1L, "a b c d"), (2L, "e f g h i")).toDF("doc_id", "text")
+    graft.io.Sinks.appendTrainingShards(
+      real, "doc_id", "text", path, 64L, batchId = 1L, batchTag = "ck")
+    val rows = spark.read.parquet(path)
+      .select(col("doc_id"), col("start_off"), col("end_off"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+    assert(rows.head._2 == 0L, "first real doc must pack from offset 0")
+  }
+
+  test("zero-row micro-batch through shardStream: query completes, table " +
+    "holds exactly the later real rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftdegstream")
+    val inDir = root.resolve("in")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val real = Seq((1L, "a b c d"), (2L, "e f g h i")).toDF("doc_id", "text")
+    empty.coalesce(1).write.parquet(inDir.resolve("a").toString)
+    real.coalesce(1).write.parquet(inDir.resolve("b").toString)
+    val now = System.currentTimeMillis()
+    new java.io.File(inDir.resolve("a").toString).listFiles()
+      .foreach(_.setLastModified(now - 60000L))
+    new java.io.File(inDir.resolve("b").toString).listFiles()
+      .foreach(_.setLastModified(now))
+    val stream = spark.readStream.schema(real.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.Incremental.shardStream(
+      stream, "doc_id", "text", root.resolve("out").toString,
+      root.resolve("ckpt").toString, tokensPerShard = 64L)
+    q.awaitTermination()
+    val out = spark.read.parquet(root.resolve("out").toString)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(out.agg(min("start_off")).first().getLong(0) == 0L)
+  }
+
+  test("zero-row batch through refreshStream (cold-start empty history): " +
+    "query completes and the target table reads back empty") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftdegrefresh")
+    val inDir = root.resolve("in")
+    val tbl = "deg_refresh_empty_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("doc_id", "text", "ets")
+    empty.coalesce(1).write.parquet(inDir.toString)
+    val stream = spark.readStream.schema(empty.schema).parquet(inDir.toString)
+    val hist = Seq.empty[Long].toDF("doc_id")
+    val q = graft.streaming.Incremental.refreshStream(
+      stream, hist, "doc_id", "text", "ets", tbl,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    if (spark.catalog.tableExists(tbl)) {
+      assert(spark.table(tbl).count() == 0L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("empty corpus through CurationPipeline.run: zero docs/chunks/" +
+    "packing and a recorded all-zero funnel") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.text.CurationPipeline.run(empty, "doc_id", "text")
+    assert(out.docs.count() == 0L)
+    assert(out.chunks.count() == 0L)
+    assert(out.packing.count() == 0L)
+    assert(out.funnel.nonEmpty, "funnel stages must still be recorded")
+    assert(out.funnel.forall(_._2 == 0L), s"non-zero funnel: ${out.funnel}")
+    out.unpersist()
+  }
+}

@@ -505,6 +505,68 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(manifest(streamPath) == manifest(batchPath))
   }
 
+  test("streaming training shards under OUT-OF-ORDER delivery: packing " +
+    "invariants hold and the doc payloads match the batch sink") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graftshardsooo")
+    val batchPath = root.resolve("batch").toString
+    val streamPath = root.resolve("stream").toString
+    graft.io.Sinks.writeTrainingShards(
+      src, "doc_id", "text", batchPath, tokensPerShard = 512L)
+    // REVERSED delivery: the high-id half arrives (and commits) before
+    // the low-id half — a shuffled upstream, a backfill, a repartition
+    val mid = src.agg(expr("percentile_approx(doc_id, 0.5)")).first().getLong(0)
+    val inDir = root.resolve("in")
+    src.filter(col("doc_id") > mid).coalesce(1).write.parquet(inDir.resolve("a").toString)
+    src.filter(col("doc_id") <= mid).coalesce(1).write.parquet(inDir.resolve("b").toString)
+    val now = System.currentTimeMillis()
+    new java.io.File(inDir.resolve("a").toString).listFiles()
+      .foreach(_.setLastModified(now - 60000L))
+    new java.io.File(inDir.resolve("b").toString).listFiles()
+      .foreach(_.setLastModified(now))
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/*")
+    val q = Incremental.shardStream(
+      stream, "doc_id", "text", streamPath,
+      root.resolve("ckpt").toString, tokensPerShard = 512L)
+    q.awaitTermination()
+
+    // doc→shard ASSIGNMENT legitimately differs from the batch face
+    // (packing is arrival-ordered); what must hold out of order:
+    val rows = spark.read.parquet(streamPath)
+      .select(col("doc_id"), col("shard").cast("long"),
+        col("start_off"), col("end_off"))
+      .as[(Long, Long, Long, Long)].collect()
+    // 1. every doc present exactly once (whole docs, no splits/dups)
+    assert(rows.map(_._1).toSeq.sorted == src.select("doc_id")
+      .as[Long].collect().toSeq.sorted)
+    // 2. gapless offsets from 0 in arrival order
+    val byOff = rows.sortBy(_._3)
+    assert(byOff.head._3 == 0L)
+    byOff.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 == b._3, s"offset gap between $a and $b")
+      case _           => ()
+    }
+    // 3. shard = start_off div target
+    byOff.foreach { case (_, sh, so, _) => assert(sh == so / 512L) }
+    // 4. per-doc token spans match the batch face exactly (payload
+    //    integrity is delivery-order independent)
+    val spanOf = rows.map(r => r._1 -> (r._4 - r._3)).toMap
+    spark.read.parquet(batchPath)
+      .select(col("doc_id"), (col("end_off") - col("start_off")).as("len"))
+      .as[(Long, Long)].collect()
+      .foreach { case (id, len) => assert(spanOf(id) == len, s"doc $id span") }
+    // 5. manifest recorded the final batch of the lineage
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val last = graft.io.Sinks.lastAppliedShardBatch(
+      fs, new org.apache.hadoop.fs.Path(streamPath))
+    assert(last.exists(_._2 == 1L), s"manifest should end at batch 1, got $last")
+  }
+
   test("shard sink replay: a re-applied micro-batch is a no-op, a fresh " +
     "checkpoint lineage is not swallowed by the stale manifest") {
     import spark.implicits._
