@@ -78,6 +78,47 @@ class PqSpec extends SparkTestBase {
     assert(full.nonEmpty)
   }
 
+  test("pqTopKRerank with shortlist >= corpus degenerates to the exact " +
+    "cosine top-k (the refine stage's correctness anchor)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 8L)
+    val n = e.count().toInt
+    val idx = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val reranked = Pq
+      .pqTopKRerank(idx, e, probes, "vec_id", "embedding", kNn = 5, shortlist = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exact = Ann
+      .topKExact(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        e.withColumnRenamed("vec_id", "cand_id"),
+        "probe_id", "cand_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(reranked == exact,
+      s"refine-at-full-shortlist diverged from exact: ${(exact -- reranked).take(3)}")
+  }
+
+  test("pqTopKRerank recall at a tight shortlist dominates raw ADC recall") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 8L)
+    val idx = Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val exact = Ann
+      .topKExact(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        e.withColumnRenamed("vec_id", "cand_id"),
+        "probe_id", "cand_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet.intersect(exact).size
+    val adc = hits(Pq.pqTopK(idx, probes, "vec_id", "embedding", kNn = 5))
+    val rr = hits(Pq.pqTopKRerank(idx, e, probes, "vec_id", "embedding",
+      kNn = 5, shortlist = 8))
+    assert(rr >= adc, s"re-rank recall $rr fell below raw ADC $adc")
+  }
+
   test("IVF-PQ with few probes returns a subset-ranked list per probe") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 8L)

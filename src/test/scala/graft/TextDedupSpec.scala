@@ -89,6 +89,53 @@ class TextDedupSpec extends SparkTestBase {
     assert(ham(1L, 2L) < ham(1L, 4L))
   }
 
+  test("simHashPairs combinatorial banding is a COMPLETE cover: pair set " +
+    "equals brute-force popcount at maxHamming 0, 3 and 7") {
+    import spark.implicits._
+    // a corpus engineered for near-collisions: word-permuted and
+    // one-word-edited variants of a few base sentences
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump",
+      "sphinx of black quartz judge my vow")
+    val corpus = (0 until 80).map { i =>
+      val b = base(i % base.length).split(" ")
+      val rot = (b.drop(i % b.length) ++ b.take(i % b.length)).toSeq
+      val edited = if (i % 3 == 0) rot.updated(0, s"w$i") else rot
+      (i.toLong, edited.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = graft.dedup.Dedup.simHash(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(0, 3, 7)) {
+      val expected = (for {
+        a <- fp.keys; b <- fp.keys
+        if a < b && java.lang.Long.bitCount(fp(a) ^ fp(b)) <= k
+      } yield (a, b)).toSet
+      val got = graft.dedup.Dedup
+        .simHashPairs(corpus, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"k=$k: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      assert(expected.nonEmpty || k == 0, s"k=$k fixture produced no pairs")
+    }
+  }
+
+  test("simHashPairs maxPerBucket cap: a generous cap changes nothing, a " +
+    "tight cap only ever SUBTRACTS pairs") {
+    import spark.implicits._
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta gamma delta w${i % 7} epsilon zeta")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) = graft.dedup.Dedup
+      .simHashPairs(corpus, "doc_id", "text", maxHamming = 7, maxPerBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(pairs(Some(1000)) == exact)
+    val capped = pairs(Some(3))
+    assert(capped.subsetOf(exact))
+  }
+
   test("algebraic invariants: dedup partitions rows, jaccard bounded, simhash reflexive") {
     // exact dedup partitions the corpus: copies sum to row count
     val total = docs.count()
