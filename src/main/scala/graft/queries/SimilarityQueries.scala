@@ -449,6 +449,22 @@ object SimilarityQueries {
     * ADC chain, ranks recomputed over the intersection — both halves
     * re-sourced verbatim from their already-proven oracles.
     */
+  /** The IVF-PQ composite oracle at a parameterized rank cut: IVF CTE
+    * chain + renamed PQ ADC chain + probed-list candidate intersect.
+    */
+  private def ivfPqOracle(kNn: Int): String =
+    ivfPrefix + "\n" + pqCtes + s""",
+cand AS (
+  SELECT DISTINCT pl.probe_id, a2.vec_id AS cand_id
+  FROM plists pl JOIN a2 ON a2.li = pl.li AND a2.vec_id != pl.probe_id)
+SELECT probe_id, rank, cand_id, dist FROM (
+  SELECT d.probe_id, d.cand_id, d.dist,
+    CAST(row_number() OVER (PARTITION BY d.probe_id
+      ORDER BY d.dist ASC, d.cand_id ASC) AS BIGINT) AS rank
+  FROM dist d JOIN cand ON cand.probe_id = d.probe_id
+    AND cand.cand_id = d.cand_id)
+WHERE rank <= $kNn ORDER BY probe_id, rank"""
+
   private def ivfPqDef = QueryDef(
     "q_ann_topk_ivfpq",
     covers = "ann-ivfpq",
@@ -464,23 +480,34 @@ object SimilarityQueries {
           kNn = 5, nProbe = 4)
         .orderBy("probe_id", "rank")
     },
-    oracle = Some(
-      ivfPrefix + "\n" + pqCtes + """,
-cand AS (
-  SELECT DISTINCT pl.probe_id, a2.vec_id AS cand_id
-  FROM plists pl JOIN a2 ON a2.li = pl.li AND a2.vec_id != pl.probe_id)
-SELECT probe_id, rank, cand_id, dist FROM (
-  SELECT d.probe_id, d.cand_id, d.dist,
-    CAST(row_number() OVER (PARTITION BY d.probe_id
-      ORDER BY d.dist ASC, d.cand_id ASC) AS BIGINT) AS rank
-  FROM dist d JOIN cand ON cand.probe_id = d.probe_id
-    AND cand.cand_id = d.cand_id)
-WHERE rank <= 5 ORDER BY probe_id, rank"""),
+    oracle = Some(ivfPqOracle(5)),
     doc = "IVF-PQ top-k (the FAISS production composite): coarse " +
       "quantizer restricts each probe to nProbe/nLists of the corpus, " +
       "PQ asymmetric distance ranks the survivors over 64×-compressed " +
       "codes; oracle re-sources the proven IVF and PQ replays and " +
       "intersects them, so the whole composite is bit-checked"
+  )
+
+  private def ivfPqRerankDef = QueryDef(
+    "q_ann_topk_ivfpq_rerank",
+    covers = "ann-ivfpq-rerank",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      // same index params as q_ann_topk_ivfpq; only the refine stage
+      // is new — coarse prune → ADC shortlist → exact re-rank
+      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+      val pq = graft.similarity.Pq
+        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      graft.similarity.Pq
+        .topKIvfPqRerank(ivf, pq, e, e.filter(col("vec_id") < 8L),
+          "vec_id", "embedding", kNn = 5, nProbe = 4, shortlist = 64)
+        .orderBy("probe_id", "rank")
+    },
+    oracle = Some(rerankOracle(ivfPqOracle(64), 5)),
+    doc = "the full FAISS production chain: IVF coarse prune → PQ ADC " +
+      "over compressed codes → exact re-rank of the 64-candidate " +
+      "shortlist (IndexRefineFlat); oracle chains the bit-checked " +
+      "IVF-PQ replay at rank≤64 into the exact-cosine CTEs"
   )
 
   /** Parametric multi-table sign-LSH top-k oracle: per-table planes
@@ -587,15 +614,14 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
        |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
   }
 
-  /** The pq-ADC oracle cut at rank ≤ shortlist, then re-ranked by the
-    * exact ×2^20-quantized cosine restricted to those pairs — the SQL
-    * replay of [[graft.similarity.Pq.pqTopKRerank]]'s two stages (the
-    * cosine CTEs are the q_ann_topk_exact chain verbatim, joined to
-    * the shortlist instead of the full cross product).
+  /** A shortlist SELECT wrapped into the exact ×2^20-quantized-cosine
+    * re-rank — the SQL replay of [[graft.similarity.Pq]]'s refine
+    * stage (the cosine CTEs are the q_ann_topk_exact chain verbatim,
+    * joined to the shortlist instead of the full cross product).
     */
-  private def pqRerankOracle(m: Int, k: Int, shortlist: Int, kNn: Int): String =
+  private def rerankOracle(shortlistSelect: String, kNn: Int): String =
     s"""WITH sl AS (SELECT probe_id, cand_id FROM (
-       |${pqOracle(m, k, shortlist)}
+       |$shortlistSelect
        |)),
        |qe AS (SELECT vec_id,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
@@ -621,6 +647,9 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
        |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
        |  FROM cos)
        |WHERE rank <= $kNn ORDER BY probe_id, rank""".stripMargin
+
+  private def pqRerankOracle(m: Int, k: Int, shortlist: Int, kNn: Int): String =
+    rerankOracle(pqOracle(m, k, shortlist), kNn)
 
   private def pqRerankDef = QueryDef(
     "q_ann_topk_pq_rerank",
@@ -714,7 +743,8 @@ WHERE rank <= 5 ORDER BY probe_id, rank"""),
       "every ANN deployment turns"
   )
 
-  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ pqRerankDef :+ recallTunedDef :+ QueryDef(
+  val defs: Seq[QueryDef] = (baseDefs :+ ivfPqDef) :+ pqRerankDef :+
+    ivfPqRerankDef :+ recallTunedDef :+ QueryDef(
     "q_ann_recall",
     covers = "ann-recall",
     fn = (s, dir) => {

@@ -198,9 +198,25 @@ object Pq {
       vecCol: String,
       kNn: Int,
       shortlist: Int = 64
+  ): DataFrame =
+    exactRerank(
+      pqTopK(index, probes, idCol, vecCol, shortlist)
+        .select(col("probe_id"), col("cand_id")),
+      corpus, probes, idCol, vecCol, kNn)
+
+  /** Exact quantized-cosine re-rank of a (probe_id, cand_id) shortlist
+    * — [[Ann.topKExact]]'s metric and tie-break, restricted to the
+    * shortlist pairs. The corpus join is id-keyed (bucketable at
+    * scale); the probe side broadcasts.
+    */
+  private def exactRerank(
+      sl: DataFrame,
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int
   ): DataFrame = {
-    val sl = pqTopK(index, probes, idCol, vecCol, shortlist)
-      .select(col("probe_id"), col("cand_id"))
     val c = corpus
       .select(col(idCol).as("cand_id"), Ann.quantizeUdf(col(vecCol)).as("qb"))
       .withColumn("nb", Ann.quantDot(col("qb"), col("qb")))
@@ -219,6 +235,28 @@ object Pq {
       .filter(col("rank") <= kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
+
+  /** Full FAISS production chain: IVF coarse pruning → PQ ADC ranking
+    * over compressed codes → exact re-rank of the shortlist (the
+    * refine / IndexRefineFlat stage). Scan fraction ~nProbe/nLists,
+    * ADC cost m adds per survivor, full-precision vectors touched for
+    * only shortlist·|probes| rows.
+    */
+  def topKIvfPqRerank(
+      ivf: Ann.IvfIndex,
+      pq: PqIndex,
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNn: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 64
+  ): DataFrame =
+    exactRerank(
+      topKIvfPq(ivf, pq, probes, idCol, vecCol, shortlist, nProbe)
+        .select(col("probe_id"), col("cand_id")),
+      corpus, probes, idCol, vecCol, kNn)
 
   /** IVF-PQ — the FAISS production shape, composed from the two
     * indexes this library already builds: the IVF coarse quantizer
