@@ -128,6 +128,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"blocklist match is not a broadcast semi-join:\n$p")
   }
 
+  test("events.ts vintage normalization does NOT block pushdown: a " +
+    "user_id filter still reaches the parquet scan as a PushedFilter") {
+    import org.apache.spark.sql.functions._
+    val df = graft.core.Graft.table(spark, dir, "events")
+      .filter(col("user_id") === 7L)
+      .select("event_id", "ts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("user_id"),
+      s"user_id filter not pushed through the ts-normalization projection: $pushed")
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
