@@ -701,6 +701,71 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(streamResult == batchResult)
   }
 
+  test("native session_window STREAMING face equals the batch face once " +
+    "the watermark closes every session") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = Files.createTempDirectory("graftsesswin")
+    val inDir = root.resolve("in")
+    // batch face over the fixture events (ts normalized by Graft.table)
+    val ev = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("tts", graft.core.Graft.tsCol(col("ts")))
+      .select("user_id", "event_id", "tts")
+      .cache()
+    val batchSessions = ev
+      .groupBy(col("user_id"), session_window(col("tts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("first_event"), col("last_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    // stream face: the real data in file 1; file 2 carries one sentinel
+    // event far past every fixture session, so the watermark (10 min
+    // lag) passes every real session's close and append mode emits them
+    ev.coalesce(1).write.parquet(inDir.resolve("a").toString)
+    val sentinelTs = ev.agg(max(unix_micros(col("tts")))).first().getLong(0) +
+      100L * 3600L * 1000000L
+    Seq((-999L, -999L)).toDF("user_id", "event_id")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(lit(sentinelTs)).as("tts"))
+      .coalesce(1).write.parquet(inDir.resolve("b").toString)
+    val now = System.currentTimeMillis()
+    new java.io.File(inDir.resolve("a").toString).listFiles()
+      .foreach(_.setLastModified(now - 60000L))
+    new java.io.File(inDir.resolve("b").toString).listFiles()
+      .foreach(_.setLastModified(now))
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/*")
+    val agg = stream
+      .withWatermark("tts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("tts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("first_event"), col("last_event"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_parity")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamSessions = spark.sql(
+      "SELECT * FROM sess_parity WHERE user_id != -999")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    ev.unpersist()
+    assert(batchSessions.nonEmpty)
+    assert(streamSessions == batchSessions,
+      s"missing=${(batchSessions -- streamSessions).take(3)} " +
+        s"extra=${(streamSessions -- batchSessions).take(3)}")
+  }
+
   test("streaming bottom-k sample equals the batch aggregate across micro-batches") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
