@@ -117,6 +117,13 @@ def write_copies(name, transform, row_group_size=300_000):
     writer.close()
     n = pq.read_metadata(out).num_rows
     assert n == K * t.num_rows, (name, n, K * t.num_rows)
+    # physical-schema preservation: the scale-up must carry the SOURCE
+    # fixture's exact arrow schema (incl. timestamp unit/tz vintage) so
+    # engines see identical types at every SF
+    got = pq.read_schema(out)
+    src_schema = t.schema.remove_metadata()
+    assert got.remove_metadata().equals(src_schema), (
+        name, str(got), str(src_schema))
     print(f"{name}: {t.num_rows} -> {n} rows")
 
 
