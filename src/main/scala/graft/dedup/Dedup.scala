@@ -1198,4 +1198,125 @@ object Dedup {
     fp.unpersist()
     out
   }
+
+  /** 128-bit SimHash: two independent FNV-1a folds per token (the
+    * second seeded with offset-basis ⊕ golden-ratio — both bases are
+    * public constants, replayed by the oracle), 128 per-bit ±1
+    * majorities, fingerprint = (word1, word2). This is the production
+    * fingerprint width for 10⁹-document corpora: ANY fixed 64-bit
+    * banding has a random-collision floor ∝ n²/2^w (SCALE.md), and
+    * widening the fingerprint — not the bands — is what moves it.
+    */
+  val simHash128Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Array(0L, 0L)
+      else {
+        val counts = new Array[Int](128)
+        val toks = text.split(" ", -1)
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.nonEmpty) {
+            var h1 = 0xcbf29ce484222325L
+            var h2 = 0x55c5e55dfb685f30L // basis ^ 0x9e3779b97f4a7c15
+            var k = 0
+            while (k < t.length) {
+              val c = t.charAt(k).toLong
+              h1 ^= c; h1 *= 0x100000001b3L
+              h2 ^= c; h2 *= 0x100000001b3L
+              k += 1
+            }
+            var j = 0
+            while (j < 64) {
+              if (((h1 >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+              if (((h2 >>> j) & 1L) == 1L) counts(64 + j) += 1 else counts(64 + j) -= 1
+              j += 1
+            }
+          }
+          i += 1
+        }
+        var f1 = 0L
+        var f2 = 0L
+        var j = 0
+        while (j < 64) {
+          if (counts(j) > 0) f1 |= (1L << j)
+          if (counts(64 + j) > 0) f2 |= (1L << j)
+          j += 1
+        }
+        Array(f1, f2)
+      }
+    }
+
+  /** 128-bit SimHash near-dup pairs — the same Manku combinatorial
+    * blocking as [[simHashPairs]], over the wider fingerprint: m =
+    * maxHamming+2 chunks rounded up to EVEN (so chunks never straddle
+    * the two words — m/2 per word), band on every C(m,2) two-chunk
+    * combination; a ≤k pair leaves ≥2 chunks clean. At k=7 keys are
+    * ~25 bits (vs ~15 for 64-bit), pushing the random-collision floor
+    * to C(10,2)·n²/2²⁵ — the committed 10⁹-doc configuration.
+    * Verified with popcount over both words.
+    */
+  def simHashPairs128(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 7,
+      maxPerBucket: Option[Int] = None
+  ): DataFrame = {
+    val m0 = maxHamming + 2
+    val m = if (m0 % 2 == 0) m0 else m0 + 1
+    require(m <= 128, s"maxHamming=$maxHamming too large for a 128-bit fingerprint")
+    val mw = m / 2
+    val starts = (0 to mw).map(i => i * 64 / mw)
+    // chunk c (0-based over all m): word = c / mw, in-word index c % mw
+    def chunk(c: Int): org.apache.spark.sql.Column = {
+      val w = c / mw
+      val j = c % mw
+      val lo = starts(j)
+      val width = starts(j + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftright(col(s"f${w + 1}"), lo).bitwiseAND(mask)
+    }
+    def chunkWidth(c: Int): Int = starts(c % mw + 1) - starts(c % mw)
+    val tokenful = df.filter(
+      coalesce(translate(col(textCol), " ", ""), lit("")) =!= "")
+    val fp = tokenful
+      .select(col(idCol), simHash128Udf(col(textCol)).as("fp"))
+      .select(col(idCol), col("fp").getItem(0).as("f1"), col("fp").getItem(1).as("f2"))
+      .cache()
+    val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
+    val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
+      struct(
+        lit(idx).as("band"),
+        chunk(i).bitwiseOR(shiftleft(chunk(j), chunkWidth(i))).as("key"))
+    }
+    val bandedAll = fp
+      .select(col(idCol), col("f1"), col("f2"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("f1"), col("f2"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = maxPerBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val sizes = bandedAll.groupBy("band", "key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select("band", "key")
+        bandedAll.join(sizes, Seq("band", "key"))
+    }
+    val l = banded.select(col(idCol).as("a"), col("f1").as("a1"), col("f2").as("a2"),
+      col("band"), col("key"))
+    val r = banded.select(col(idCol).as("b"), col("f1").as("b1"), col("f2").as("b2"),
+      col("band"), col("key"))
+    val pairs = l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val out = pairs.cache()
+    out.count()
+    fp.unpersist()
+    out
+  }
 }

@@ -458,6 +458,79 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_simhash128",
+      covers = "dedup-simhash128",
+      fn = (s, dir) =>
+        Dedup
+          .simHashPairs128(table(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+          .orderBy("a", "b"),
+      // The 128-bit fingerprint is two independent FNV-1a folds (the
+      // second seeded basis ⊕ golden-ratio = 6180598255448514352),
+      // replayed exactly like the 64-bit oracle; the oracle bands on
+      // its own complete cover (16 chunks of 8 bits — ≥9 clean at
+      // k=7) since any complete cover yields the same distinct pairs.
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE text IS NOT NULL AND replace(text, ' ', '') != ''),
+          |tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS t
+          |  FROM d),
+          |th AS (
+          |  SELECT doc_id,
+          |    list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(range(1, length(t) + 1),
+          |          i -> CAST(unicode(t[i:i]) AS HUGEINT))),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h1,
+          |    list_reduce(
+          |      list_prepend(CAST(6180598255448514352 AS HUGEINT),
+          |        list_transform(range(1, length(t) + 1),
+          |          i -> CAST(unicode(t[i:i]) AS HUGEINT))),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h2
+          |  FROM tok),
+          |bits AS (
+          |  SELECT doc_id, j,
+          |    sum(CASE WHEN (CASE WHEN j < 64 THEN h1 >> CAST(j AS INTEGER)
+          |                   ELSE h2 >> CAST(j - 64 AS INTEGER) END) & 1 = 1
+          |        THEN 1 ELSE -1 END) AS s
+          |  FROM th CROSS JOIN range(0, 128) r(j) GROUP BY doc_id, j),
+          |fp AS (
+          |  SELECT doc_id,
+          |    sum(CASE WHEN s > 0 AND j < 64
+          |        THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+          |        ELSE CAST(0 AS HUGEINT) END) AS fp1u,
+          |    sum(CASE WHEN s > 0 AND j >= 64
+          |        THEN CAST(1 AS HUGEINT) << CAST(j - 64 AS INTEGER)
+          |        ELSE CAST(0 AS HUGEINT) END) AS fp2u
+          |  FROM bits GROUP BY doc_id),
+          |fps AS (
+          |  SELECT doc_id, fp1u, fp2u,
+          |    CAST(CASE WHEN fp1u >= CAST(1 AS HUGEINT) << 63
+          |         THEN fp1u - 18446744073709551616 ELSE fp1u END AS BIGINT) AS s1,
+          |    CAST(CASE WHEN fp2u >= CAST(1 AS HUGEINT) << 63
+          |         THEN fp2u - 18446744073709551616 ELSE fp2u END AS BIGINT) AS s2
+          |  FROM fp),
+          |banded AS (
+          |  SELECT doc_id, s1, s2, c,
+          |    CAST((CASE WHEN c < 8 THEN fp1u ELSE fp2u END
+          |      >> CAST((c % 8) * 8 AS INTEGER)) & 255 AS BIGINT) AS key
+          |  FROM fps CROSS JOIN range(0, 16) r(c))
+          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |  CAST(bit_count(xor(x.s1, y.s1)) + bit_count(xor(x.s2, y.s2)) AS BIGINT) AS hamming
+          |FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
+          |  AND x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.s1, y.s1)) + bit_count(xor(x.s2, y.s2)) <= 7
+          |ORDER BY a, b""".stripMargin
+      ),
+      doc = "128-bit SimHash with Manku combinatorial blocking — the " +
+        "production fingerprint width for 10^9-doc corpora (the 64-bit " +
+        "random-collision floor n^2/2^w moves to n^2/2^25 via wider " +
+        "keys over the wider fingerprint); both FNV folds replayed in " +
+        "DuckDB via HUGEINT wraparound"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_substring",
       covers = "dedup-substring",
       fn = (s, dir) =>

@@ -121,6 +121,38 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("simHashPairs128 combinatorial banding is a COMPLETE cover: pair " +
+    "set equals brute-force two-word popcount at maxHamming 3 and 7") {
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump")
+    val corpus = (0 until 80).map { i =>
+      val b = base(i % base.length).split(" ")
+      val rot = (b.drop(i % b.length) ++ b.take(i % b.length)).toSeq
+      val edited = if (i % 3 == 0) rot.updated(0, s"w$i") else rot
+      (i.toLong, edited.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = corpus
+      .select(col("doc_id"), graft.dedup.Dedup.simHash128Udf(col("text")).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (k <- Seq(3, 7)) {
+      val expected = (for {
+        a <- fp.keys; b <- fp.keys
+        if a < b &&
+          java.lang.Long.bitCount(fp(a)(0) ^ fp(b)(0)) +
+            java.lang.Long.bitCount(fp(a)(1) ^ fp(b)(1)) <= k
+      } yield (a, b)).toSet
+      val got = graft.dedup.Dedup
+        .simHashPairs128(corpus, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"k=$k: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("simHashPairs maxPerBucket cap: a generous cap changes nothing, a " +
     "tight cap only ever SUBTRACTS pairs") {
     import spark.implicits._
