@@ -11,6 +11,42 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Unrolled n-round BPE-training oracle: the per-round CTE triple
+    * (pair counts over v_i → argmax merge m_i → greedy-fold rewrite
+    * v_{i+1}) generated to arbitrary depth. The greedy left-to-right
+    * non-overlapping merge replays as a list_reduce fold — exact
+    * because symbols never contain spaces (so `right(acc, len(l)+1) =
+    * ' ' || l` identifies exactly "last symbol == l") and a merged
+    * symbol l+r is strictly longer than l (so it can never re-match
+    * as the left operand within the same pass).
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
+        |v0 AS (SELECT word, CAST(n AS BIGINT) AS n,
+        |         array_to_string(string_split(word, ''), ' ') AS sym FROM wc)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |pc$i AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(ss)),
+        |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+        |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v$i))
+        |  GROUP BY pair),
+        |m$i AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS l,
+        |         split_part(pair, ' ', 2) AS r
+        |       FROM pc$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |v${i + 1} AS MATERIALIZED (SELECT word, n,
+        |  (SELECT list_reduce(string_split(v$i.sym, ' '), (acc, x) -> CASE
+        |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
+        |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+        |     ELSE acc || ' ' || x END) FROM m$i m) AS sym FROM v$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT word, n, sym FROM v$rounds ORDER BY word")
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
@@ -746,63 +782,42 @@ object TextQueries {
         val (merges, vocab) =
           graft.text.Bpe.train(table(s, dir, "documents"), "text", rounds = 3)
         require(merges.length == 3, s"expected 3 merges, got $merges")
-        vocab.unpersist() // lineage is deterministic; recompute is vocab-sized
         vocab
           .select(col("word"), col("n"), col("sym"))
           .orderBy("word")
       },
-      oracle = Some(
-        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-          |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
-          |v0 AS (SELECT word, CAST(n AS BIGINT) AS n,
-          |         array_to_string(string_split(word, ''), ' ') AS sym FROM wc),
-          |pc0 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-          |    SELECT unnest(list_transform(range(1, len(ss)),
-          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
-          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v0))
-          |  GROUP BY pair),
-          |m0 AS (SELECT split_part(pair, ' ', 1) AS l,
-          |         split_part(pair, ' ', 2) AS r
-          |       FROM pc0 ORDER BY cnt DESC, pair ASC LIMIT 1),
-          |v1 AS (SELECT word, n,
-          |  (SELECT list_reduce(string_split(v0.sym, ' '), (acc, x) -> CASE
-          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
-          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
-          |     ELSE acc || ' ' || x END) FROM m0 m) AS sym FROM v0),
-          |pc1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-          |    SELECT unnest(list_transform(range(1, len(ss)),
-          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
-          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v1))
-          |  GROUP BY pair),
-          |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
-          |         split_part(pair, ' ', 2) AS r
-          |       FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
-          |v2 AS (SELECT word, n,
-          |  (SELECT list_reduce(string_split(v1.sym, ' '), (acc, x) -> CASE
-          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
-          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
-          |     ELSE acc || ' ' || x END) FROM m1 m) AS sym FROM v1),
-          |pc2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-          |    SELECT unnest(list_transform(range(1, len(ss)),
-          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
-          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v2))
-          |  GROUP BY pair),
-          |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
-          |         split_part(pair, ' ', 2) AS r
-          |       FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
-          |v3 AS (SELECT word, n,
-          |  (SELECT list_reduce(string_split(v2.sym, ' '), (acc, x) -> CASE
-          |     WHEN x = m.r AND (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l)
-          |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
-          |     ELSE acc || ' ' || x END) FROM m2 m) AS sym FROM v2)
-          |SELECT word, n, sym FROM v3 ORDER BY word""".stripMargin
-      ),
+      oracle = Some(bpeTrainOracle(3)),
       doc = "BPE training, full 3-round loop: the final per-word " +
         "symbolization after three argmax merges — verifies the merge " +
         "CHOICE (cnt DESC, pair ASC over evolving pair counts) and the " +
         "greedy non-overlapping merge APPLICATION, round over round " +
         "(oracle unrolls the rounds as CTEs with a list_reduce fold " +
         "for the greedy scan)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_train20",
+      covers = "bpe,tokenizer-training",
+      fn = (s, dir) => {
+        // 20-round training face: proves the driver-local merge loop
+        // (one distributed wordCounts pass, then in-memory merges —
+        // job count independent of the rounds hyperparameter) stays
+        // byte-identical to the unrolled per-round oracle at a depth
+        // where the old one-job-per-round shape would cost 20
+        // sequential Spark jobs.
+        val (merges, vocab) =
+          graft.text.Bpe.train(table(s, dir, "documents"), "text", rounds = 20)
+        require(merges.length == 20, s"expected 20 merges, got ${merges.length}")
+        vocab
+          .select(col("word"), col("n"), col("sym"))
+          .orderBy("word")
+      },
+      oracle = Some(bpeTrainOracle(20)),
+      doc = "BPE training, 20-round loop (scale face of q_text_bpe_" +
+        "train3): same unrolled-CTE oracle generated to depth 20 — " +
+        "the Spark side runs ONE corpus job + a driver-local merge " +
+        "loop over the vocabulary-sized count table (SentencePiece-" +
+        "on-aggregated-counts shape), so wall time is flat in rounds"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Distributed BPE tokenizer training — the pair-count/merge loop of
   * Sennrich et al. '16, shaped for corpus scale.
   *
-  * The scale insight (same as every efficient BPE trainer): after the
-  * one corpus pass that builds word counts, every training round runs
-  * over the DISTINCT-WORD table weighted by frequency — vocabulary
-  * size, not corpus size. At 100 TB the corpus pass is a single
-  * groupBy(word) whose output is millions of rows, and each merge
-  * round shuffles only exploded adjacent-symbol pairs of that
-  * vocabulary. The chosen merge per round is one collected row
-  * (driver metadata), never data.
+  * The scale insight (same as every efficient BPE trainer): the ONLY
+  * corpus-sized work is the one groupBy(word) pass that builds word
+  * counts; its output is the distinct-word vocabulary (millions of
+  * rows at 100 TB — driver-metadata-sized), which `train` collects
+  * once and merges in memory, exactly as SentencePiece/HF trainers do
+  * on aggregated counts. Job count is therefore independent of the
+  * merge-round hyperparameter. `pairCounts`/`applyMerge` remain as
+  * distributed faces (oracle-replayable round surface); `encode` is
+  * the corpus-sized distributed path.
   *
   * Determinism: pair ranking orders by (count DESC, pair ASC) — no
   * RNG, no hash-map iteration order — so the learned merge sequence is
@@ -78,39 +79,104 @@ object Bpe {
     symbols.withColumn(
       "sym", mergeUdf(split(col("sym"), " "), lit(left), lit(right)))
 
+  /** UTF-8 byte-order string comparison — the collation both Spark
+    * (UTF8String) and DuckDB (default BINARY collation) use for ORDER
+    * BY, which differs from Java's UTF-16 `compareTo` on supplementary
+    * characters. The driver-local argmax must break count ties exactly
+    * the way the engines' `ORDER BY pair ASC` would.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val x = ab(i) & 0xff
+      val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass (driver-side
+    * twin of `mergeUdf`, shared rule).
+    */
+  private def mergeOnce(ss: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += ss(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Train `rounds` merges. Returns the merge table (round, left,
     * right, cnt) — the tokenizer — and the final symbolized
-    * vocabulary. Each round: one vocabulary-sized aggregation, one
-    * 1-row collect, one per-row merge application. The evolving
-    * vocabulary is cached per round and released after the next round
-    * materializes (same discipline as CurationPipeline's funnel).
+    * vocabulary as (word, n, sym).
+    *
+    * Scale shape (the SentencePiece/HF trainer shape): ONE corpus-
+    * sized Spark job — `wordCounts`, a groupBy(word) whose output is
+    * the distinct-word vocabulary (millions of rows at 100 TB, i.e.
+    * driver-metadata-sized) — collected once; every merge round then
+    * runs driver-local over that aggregated count table. Job count no
+    * longer scales with the merge-round hyperparameter: a production
+    * 32k-merge vocab costs one distributed pass + an in-memory loop,
+    * not 32k sequential jobs. The distributed path stays where the
+    * data is corpus-sized: `encode`.
+    *
+    * Determinism: the per-round argmax orders by (count DESC, pair
+    * ASC in UTF-8 byte order) — byte-identical to the previous
+    * distributed `orderBy(cnt.desc, pair.asc).limit(1)` and to the
+    * DuckDB oracle's unrolled-round replay.
     */
   def train(
       df: DataFrame,
       textCol: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var vocab = asSymbols(wordCounts(df, textCol)).cache()
-    vocab.count()
+    val spark = df.sparkSession
+    val wc: Array[(String, Long)] = wordCounts(df, textCol)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val syms: Array[Array[String]] = wc.map(_._1.split(""))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 0
     var exhausted = false
     while (round < rounds && !exhausted) {
-      val top = pairCounts(vocab)
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
-        .collect()
-      if (top.isEmpty) { exhausted = true }
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val ss = syms(i)
+        val n = wc(i)._2
+        var j = 0
+        while (j + 1 < ss.length) {
+          val k = (ss(j), ss(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) { exhausted = true }
       else {
-        val Array(l, r) = top.head.getString(0).split(" ", 2)
-        merges += ((round, l, r, top.head.getLong(1)))
-        val next = applyMerge(vocab, l, r).cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 &&
+              utf8Less(e._1._1 + " " + e._1._2, best._1._1 + " " + best._1._2)))
+            best = e
+        }
+        val ((l, r), cnt) = best
+        merges += ((round, l, r, cnt))
+        i = 0
+        while (i < syms.length) { syms(i) = mergeOnce(syms(i), l, r); i += 1 }
         round += 1
       }
     }
+    val vocabRows = wc.indices.map(i => (wc(i)._1, wc(i)._2, syms(i).mkString(" ")))
+    val vocab = spark.createDataFrame(vocabRows).toDF("word", "n", "sym")
     (merges.toSeq, vocab)
   }
 
