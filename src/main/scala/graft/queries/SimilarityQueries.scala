@@ -12,6 +12,62 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SimilarityQueries {
 
+  // ------------------------------------------------------------------
+  // Shared build artifacts. Several faces intentionally use IDENTICAL
+  // index parameters (the composite/rerank/recall faces must search
+  // the same index the base faces bit-check), so each (session, dir)
+  // builds the exact truth, the 16×2 IVF index, and each PQ codebook
+  // shape ONCE and every query reuses it — the indexes are
+  // deterministic (integer-exact k-means, id-ordered init), so sharing
+  // cannot change any result, it only removes the repeated k-means
+  // collects and brute-force truth scans the r9 bench flagged. Keyed
+  // on session identity: a stopped session's cached plans are never
+  // reused by the next one.
+  // ------------------------------------------------------------------
+  private val buildMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memo[T <: AnyRef](
+      s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
+      build: => T): T =
+    buildMemo
+      .computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir|$key", _ => build)
+      .asInstanceOf[T]
+
+  /** Exact top-5 truth (probe_id, cand_id) over vec_id<8 probes —
+    * the baseline every recall face joins against; materialized once.
+    */
+  private def sharedExact5(s: org.apache.spark.sql.SparkSession, dir: String) =
+    memo[org.apache.spark.sql.DataFrame](s, dir, "exact5") {
+      val e = table(s, dir, "embeddings")
+      val df = Ann
+        .topKExact(
+          e.filter(col("vec_id") < 8L).withColumnRenamed("vec_id", "probe_id"),
+          e.withColumnRenamed("vec_id", "cand_id"),
+          "probe_id", "cand_id", "embedding", k = 5)
+        .select(col("probe_id"), col("cand_id"))
+        .cache()
+      df.count()
+      df
+    }
+
+  private def sharedIvf(s: org.apache.spark.sql.SparkSession, dir: String): Ann.IvfIndex =
+    memo[Ann.IvfIndex](s, dir, "ivf16x2") {
+      val idx = Ann.ivfBuild(
+        table(s, dir, "embeddings"), "vec_id", "embedding", nLists = 16, iters = 2)
+      idx.copy(assignments = idx.assignments.cache())
+    }
+
+  private def sharedPq(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      m: Int, k: Int): graft.similarity.Pq.PqIndex =
+    memo[graft.similarity.Pq.PqIndex](s, dir, s"pq${m}x$k") {
+      val idx = graft.similarity.Pq.pqBuild(
+        table(s, dir, "embeddings"), "vec_id", "embedding", m = m, k = k, iters = 1)
+      idx.copy(codes = idx.codes.cache())
+    }
+
   private val baseDefs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     QueryDef(
@@ -145,7 +201,7 @@ object SimilarityQueries {
       covers = "ann-ivf",
       fn = (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
+        val idx = sharedIvf(s, dir)
         Ann
           .topKIvf(idx, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
             k = 5, nProbe = 4)
@@ -260,8 +316,7 @@ object SimilarityQueries {
       covers = "ann-pq",
       fn = (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val idx = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding",
-          m = 4, k = 16, iters = 1)
+        val idx = sharedPq(s, dir, m = 4, k = 16)
         graft.similarity.Pq
           .pqTopK(idx, e.filter(col("vec_id") < 8L), "vec_id", "embedding", kNn = 5)
           .orderBy("probe_id", "rank")
@@ -472,9 +527,8 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
       val e = table(s, dir, "embeddings")
       // index parameters MUST mirror q_ann_topk_ivf / q_ann_topk_pq —
       // the composite oracle replays exactly those chains
-      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
-      val pq = graft.similarity.Pq
-        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      val ivf = sharedIvf(s, dir)
+      val pq = sharedPq(s, dir, m = 4, k = 16)
       graft.similarity.Pq
         .topKIvfPq(ivf, pq, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
           kNn = 5, nProbe = 4)
@@ -495,9 +549,8 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
       val e = table(s, dir, "embeddings")
       // same index params as q_ann_topk_ivfpq; only the refine stage
       // is new — coarse prune → ADC shortlist → exact re-rank
-      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
-      val pq = graft.similarity.Pq
-        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      val ivf = sharedIvf(s, dir)
+      val pq = sharedPq(s, dir, m = 4, k = 16)
       graft.similarity.Pq
         .topKIvfPqRerank(ivf, pq, e, e.filter(col("vec_id") < 8L),
           "vec_id", "embedding", kNn = 5, nProbe = 4, shortlist = 64)
@@ -658,8 +711,7 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
       val e = table(s, dir, "embeddings")
       // SAME coarse 4×16 codebooks as q_ann_topk_pq: the point is that
       // the refine stage rescues recall without touching the index
-      val idx = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding",
-        m = 4, k = 16, iters = 1)
+      val idx = sharedPq(s, dir, m = 4, k = 16)
       graft.similarity.Pq
         .pqTopKRerank(idx, e, e.filter(col("vec_id") < 8L), "vec_id", "embedding",
           kNn = 5, shortlist = 64)
@@ -688,19 +740,12 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
     fn = (s, dir) => {
       val e = table(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 8L)
-      val exact = Ann
-        .topKExact(
-          probes.withColumnRenamed("vec_id", "probe_id"),
-          e.withColumnRenamed("vec_id", "cand_id"),
-          "probe_id", "cand_id", "embedding", k = 5)
-        .select(col("probe_id"), col("cand_id"))
-        .cache()
+      val exact = sharedExact5(s, dir)
       // production-ish points on each method's tuning axis (vs the
       // q_ann_recall baseline): LSH 1→16 tables, IVF nProbe 4→8 on the
-      // same index, PQ 4×16 → 8×64 codebooks
-      val ivfIdx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
-      val pqIdx = graft.similarity.Pq
-        .pqBuild(e, "vec_id", "embedding", m = 8, k = 64, iters = 1)
+      // same shared index, PQ 4×16 → 8×64 codebooks
+      val ivfIdx = sharedIvf(s, dir)
+      val pqIdx = sharedPq(s, dir, m = 8, k = 64)
       val approx = Ann
         .topKLsh(e, probes, "vec_id", "embedding", k = 5, bits = 4, tables = 16)
         .select(lit("lsh").as("method"), col("probe_id"), col("cand_id"))
@@ -750,18 +795,11 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
     fn = (s, dir) => {
       val e = table(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 8L)
-      // 40 rows — cached so the three method joins don't re-run the
-      // brute-force scan
-      val exact = Ann
-        .topKExact(
-          probes.withColumnRenamed("vec_id", "probe_id"),
-          e.withColumnRenamed("vec_id", "cand_id"),
-          "probe_id", "cand_id", "embedding", k = 5)
-        .select(col("probe_id"), col("cand_id"))
-        .cache()
-      val ivfIdx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16, iters = 2)
-      val pqIdx = graft.similarity.Pq
-        .pqBuild(e, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+      // 40 rows — cached and shared with q_ann_recall_tuned, as are
+      // the IVF/PQ indexes (identical parameters, deterministic build)
+      val exact = sharedExact5(s, dir)
+      val ivfIdx = sharedIvf(s, dir)
+      val pqIdx = sharedPq(s, dir, m = 4, k = 16)
       val approx = Ann
         .topKLsh(e, probes, "vec_id", "embedding", k = 5, bits = 4)
         .select(lit("lsh").as("method"), col("probe_id"), col("cand_id"))
