@@ -694,31 +694,18 @@ object Dedup {
     // and the distributed path (no cast) would then disagree with this
     // one. Row values (Long/Integer/String/...) are all Comparable, so
     // min-labeling works generically.
-    val rawEdges = pairs.select(col(aCol), col(bCol)).cache()
-    if (rawEdges.count() <= localThreshold) {
-      val es = rawEdges.collect()
+    //
+    // ONE job decides tier AND fetches the edges: limit(threshold+1)
+    // collects every edge iff the graph is local-sized (the +1 row is
+    // the over-threshold sentinel) — the previous count()-then-
+    // collect() shape paid two jobs over the pair relation.
+    val rawEdges = pairs.select(col(aCol), col(bCol))
+    val es = rawEdges.limit(localThreshold.toInt + 1).collect()
+    if (es.length <= localThreshold) {
       val idType = rawEdges.schema.head.dataType
-      rawEdges.unpersist()
-      @inline def less(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y.asInstanceOf[Comparable[Any]]) < 0
-      // path-compressed union-find, components labeled by min member
-      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { row =>
-        val a = row.get(0); val b = row.get(1)
-        if (a != null && b != null) {
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
-        }
-      }
-      val out = parent.keys.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+      val parent = unionFind(es)
+      val out = parent.keys.toSeq
+        .map(n => org.apache.spark.sql.Row(n, ufFind(parent, n)))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", idType),
         org.apache.spark.sql.types.StructField("comp", idType)
@@ -726,8 +713,36 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(out.toSeq, 1), schema)
     }
-    rawEdges.unpersist()
     connectedComponentsDistributed(pairs, aCol, bCol, maxIters)
+  }
+
+  /** Path-compressed union-find over collected (a, b) edge rows,
+    * components labeled by min member — the driver-side tier shared by
+    * [[connectedComponents]] and [[clusterize]].
+    */
+  private def unionFind(
+      es: Array[org.apache.spark.sql.Row]): scala.collection.mutable.HashMap[Any, Any] = {
+    @inline def less(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y.asInstanceOf[Comparable[Any]]) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    es.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (a != null && b != null) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (ufFind(parent, a), ufFind(parent, b))
+        if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    parent
+  }
+
+  private def ufFind(
+      parent: scala.collection.mutable.HashMap[Any, Any], x: Any): Any = {
+    var r = x
+    while (parent.getOrElse(r, r) != r) r = parent(r)
+    var c = x
+    while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+    r
   }
 
   /** Distributed min-label propagation — the path for graphs too big to
@@ -788,17 +803,49 @@ object Dedup {
     * pair relation (columns a, b) — the keep/drop decision surface of
     * a corpus-dedup pass, shared by the exact-Jaccard and LSH paths.
     *
-    * The RETURNED relation is cached (it is consumed at least twice in
-    * every caller: drop-set build + funnel count) and ownership
-    * transfers to the caller — unpersist it once its consumers have
-    * materialized, as CurationPipeline.run does after the clean corpus
-    * count. Internal iteration caches are released before returning.
+    * Local-sized graphs come back as a driver-built local relation
+    * (recompute-free, nothing to unpersist); above `localThreshold`
+    * the distributed label-propagation result is cached (consumed at
+    * least twice in every caller: drop-set build + funnel count) and
+    * ownership transfers to the caller — unpersist it once its
+    * consumers have materialized, as CurationPipeline.run does after
+    * the clean corpus count (unpersist on the local tier is a no-op).
+    * Internal iteration caches are released before returning.
     */
   def clusterize(
       pairs: DataFrame,
       idCol: String,
       localThreshold: Long = 500000L): DataFrame = {
-    val comps = connectedComponents(pairs, localThreshold = localThreshold)
+    val spark = pairs.sparkSession
+    // Local-sized graphs (the common case: near-dup pair relations are
+    // orders of magnitude smaller than the corpus) finish entirely
+    // driver-side in the ONE job that fetched the edges — components,
+    // sizes, and canonical flags are all derived from the union-find
+    // table, where the previous formulation paid a count job, a
+    // collect job, and a shuffle-stage materialization job.
+    val rawEdges = pairs.select(col("a"), col("b"))
+    val es = rawEdges.limit(localThreshold.toInt + 1).collect()
+    if (es.length <= localThreshold) {
+      val idType = rawEdges.schema.head.dataType
+      val parent = unionFind(es)
+      val byComp = parent.keys.toSeq.groupBy(n => ufFind(parent, n))
+      val rows = byComp.toSeq.flatMap { case (comp, members) =>
+        val size = members.size.toLong
+        members.map(n =>
+          org.apache.spark.sql.Row(n, comp, size, n == comp))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("component", idType),
+        org.apache.spark.sql.types.StructField("cluster_size",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("is_canonical",
+          org.apache.spark.sql.types.BooleanType)
+      ))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    val comps = connectedComponentsDistributed(pairs)
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     // materialize the (small — one row per node that appears in a
     // pair) label table, then release the distributed-path iteration

@@ -3,7 +3,10 @@ package graft.tools
 import graft.core.Graft
 import org.apache.spark.sql.functions._
 
-/** Scratch: per-stage wall times of the curation funnel at sf0.1. */
+/** Scratch: per-stage wall times of the curation funnel at sf0.1,
+  * mirroring q_text_curation_e2e's exact config (paragraphDedupWords
+  * = 32, LSH near-dup).
+  */
 object CurationProfile {
   def t[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -17,37 +20,44 @@ object CurationProfile {
     val docs = Graft.table(spark, "/root/testdata/sf0.1", "documents")
     import graft.text.{CurationPipeline, TextAnalysis}
     import graft.dedup.Dedup
-    val cfg = CurationPipeline.Config()
+    val cfg = CurationPipeline.Config(paragraphDedupWords = Some(32))
+    spark.range(100000L).selectExpr("sum(id)").collect()
     val n0 = t("n0-count") { docs.count() }
-    val gated = docs
-      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")))
+    val gated = TextAnalysis
+      .withGateSignals(docs, "text")
       .filter(col("lang_pred").isin(cfg.allowedLangs: _*) &&
         col("quality") >= cfg.minQuality && col("n_tok") >= cfg.minTokens)
       .cache()
     t("gates-count") { gated.count() }
-    val keep = Dedup.exact(gated, "doc_id", "text").select("doc_id")
-    val exactDeduped = gated.join(keep, Seq("doc_id"), "left_semi").cache()
+    val wDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id").asc)
+    val exactDeduped = gated
+      .withColumn("__rn", row_number().over(wDigest))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .cache()
     t("exact-count") { exactDeduped.count() }
-    val pairs = t("lsh-pairs (shipped path)") {
-      Dedup.minHashLshPairs(exactDeduped, "doc_id", "text", cfg.nearDupN,
-        minJaccard = cfg.nearDupJaccard)
+    val pd = Dedup
+      .windowDedup(exactDeduped.select(col("doc_id"), col("text")),
+        "doc_id", "text", 32)
+      .filter(col("n_kept") > 0L)
+      .select(col("doc_id"), col("clean_text").as("__para_text"))
+    val paraDeduped = exactDeduped
+      .join(pd, Seq("doc_id"))
+      .withColumn("text", col("__para_text"))
+      .drop("__para_text")
+      .cache()
+    t("para-dedup-count") { paraDeduped.count() }
+    val clusters = t("lsh-clusters-build") {
+      Dedup.lshClusters(paraDeduped, "doc_id", "text", cfg.nearDupN, cfg.nearDupJaccard)
     }
-    t("jaccard-pairs (audit path)") {
-      Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text", cfg.nearDupN,
-        cfg.nearDupJaccard, maxDf = Long.MaxValue)
-    }
-    val comps = t("components") { Dedup.connectedComponents(pairs) }
-    t("clusters-join-count") {
-      val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-      comps.join(sizes, Seq("comp")).count()
-    }
-    val drop = Dedup.jaccardClusters(exactDeduped, "doc_id", "text",
-      cfg.nearDupN, cfg.nearDupJaccard).filter(!col("is_canonical")).select("doc_id")
-    val clean = exactDeduped.join(drop, Seq("doc_id"), "left_anti")
-      .withColumn("clean_text", TextAnalysis.redactPii(col("text"))).cache()
-    t("clean-count") { clean.count() }
+    val drop = clusters.filter(!col("is_canonical")).select("doc_id")
+    val nearDeduped = paraDeduped.join(drop, Seq("doc_id"), "left_anti")
+    val clean = nearDeduped
+      .withColumn("clean_text", TextAnalysis.redactPii(col("text")))
+      .cache()
+    t("clean-count (near-dup join + redact)") { clean.count() }
     t("chunks-agg") {
       TextAnalysis.chunkByTokens(clean.select(col("doc_id"), col("clean_text")),
         "doc_id", "clean_text", cfg.chunkTokens, cfg.chunkOverlap)
@@ -57,6 +67,11 @@ object CurationProfile {
       TextAnalysis.packSequences(clean.select(col("doc_id"), col("clean_text")),
         "doc_id", "clean_text", cfg.seqLen)
         .agg(max(col("end_off")), max(col("last_seq"))).collect()
+    }
+    t("WHOLE q_text_curation_e2e (2nd run cold-cache)") {
+      spark.catalog.clearCache()
+      graft.queries.Registry.byName("q_text_curation_e2e")
+        .fn(spark, "/root/testdata/sf0.1").count()
     }
     spark.stop()
   }
