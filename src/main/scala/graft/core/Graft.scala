@@ -39,12 +39,16 @@ object Graft {
     * `nanosAsLong`); newer ones write TIMESTAMP(MICROS)
     * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
     * engine's time arithmetic is integer-exact on epoch nanos, so
-    * normalize any timestamp-typed `ts` to long epoch nanos here —
+    * normalize a timestamp-typed `ts` to long epoch nanos here —
     * every use site (and `tsCol` below) then works on either vintage.
+    * The rewrite is gated on `name == "events"` (the one fixture table
+    * carrying `ts`): a future table with an unrelated timestamp column
+    * named `ts` must NOT be silently converted to longs.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") return df
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampType) |
           Some(org.apache.spark.sql.types.TimestampNTZType) =>

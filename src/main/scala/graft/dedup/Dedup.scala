@@ -1177,11 +1177,13 @@ object Dedup {
     * measured sf0.1→sf1 wall ratio falls from 23× to near-linear.
     * Join per band, verify with popcount.
     *
-    * `maxPerBucket`: optional skew guard for production corpora — drop
-    * band buckets larger than the cap before the self-join (an
-    * adversarial or degenerate corpus can still pile one key). Trades
-    * bounded recall for a hard O(m·n·cap) candidate ceiling; leave
-    * None on oracle-checked faces (exact cover).
+    * `maxPerBucket`: optional skew guard for production corpora — keep
+    * only the first `cap` members (by id) of each band bucket before
+    * the self-join (an adversarial or degenerate corpus can still pile
+    * one key). Trades bounded recall for a hard O(m·n·cap) candidate
+    * ceiling, while a hot key still contributes its first cap members'
+    * pairs instead of vanishing; leave None on oracle-checked faces
+    * (exact cover).
     */
   def simHashPairs(
       df: DataFrame,
@@ -1225,13 +1227,18 @@ object Dedup {
     val banded = maxPerBucket match {
       case None => bandedAll
       case Some(cap) =>
-        // bucket sizes are a tiny (band,key,count) relation; the join
-        // back is on the same (band,key) the self-join shuffles anyway
-        val sizes = bandedAll.groupBy("band", "key")
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= cap)
-          .select("band", "key")
-        bandedAll.join(sizes, Seq("band", "key"))
+        // rank-limit WITHIN the bucket (first `cap` rows by id) rather
+        // than dropping over-cap buckets outright: a hot key keeps its
+        // first cap members' pairs instead of losing all of them, and
+        // the candidate ceiling stays O(m·n·cap) (≤ cap² join rows per
+        // bucket). The window shuffles on the same (band, key) the
+        // self-join exchanges anyway.
+        val wBucket = Window.partitionBy(col("band"), col("key"))
+          .orderBy(col(idCol).asc)
+        bandedAll
+          .withColumn("__bn", row_number().over(wBucket))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
     }
     val l = banded.select(col(idCol).as("a"), col("simhash").as("fa"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("b"), col("simhash").as("fb"), col("band"), col("key"))
@@ -1310,6 +1317,14 @@ object Dedup {
       maxHamming: Int = 7,
       maxPerBucket: Option[Int] = None
   ): DataFrame = {
+    // maxHamming=0 would give m=2 single-word chunks, and the band-key
+    // pack shiftleft(chunk(j), 64) wraps to shift 0 on the JVM — the
+    // key silently degrades to f1|f2. Hamming-0 "pairs" are exact
+    // fingerprint duplicates anyway: groupBy (f1, f2) (Dedup.exact on
+    // the fingerprint) is the right operator for that question.
+    require(maxHamming >= 1,
+      s"simHashPairs128 needs maxHamming >= 1 (got $maxHamming); " +
+        "for hamming-0 use exact dedup on the (f1, f2) fingerprint")
     val m0 = maxHamming + 2
     val m = if (m0 % 2 == 0) m0 else m0 + 1
     require(m <= 128, s"maxHamming=$maxHamming too large for a 128-bit fingerprint")
@@ -1344,11 +1359,13 @@ object Dedup {
     val banded = maxPerBucket match {
       case None => bandedAll
       case Some(cap) =>
-        val sizes = bandedAll.groupBy("band", "key")
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= cap)
-          .select("band", "key")
-        bandedAll.join(sizes, Seq("band", "key"))
+        // same rank-limit-within-bucket semantics as simHashPairs
+        val wBucket = Window.partitionBy(col("band"), col("key"))
+          .orderBy(col(idCol).asc)
+        bandedAll
+          .withColumn("__bn", row_number().over(wBucket))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
     }
     val l = banded.select(col(idCol).as("a"), col("f1").as("a1"), col("f2").as("a2"),
       col("band"), col("key"))

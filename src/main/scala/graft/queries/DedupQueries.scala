@@ -411,9 +411,12 @@ object DedupQueries {
       // wraparound arithmetic via HUGEINT mod 2^64 (list_reduce seeded
       // by list_prepend of the offset basis), per-bit ±1 majorities
       // over exploded (token, bit) rows, pigeonhole bands from the
-      // unsigned fingerprint, popcount verify on the signed one. The
-      // corpus is ASCII so DuckDB codepoints == the UTF-16 units the
-      // Scala loop folds (checked at all SFs).
+      // unsigned fingerprint, popcount verify on the signed one.
+      // BMP-only caveat: DuckDB's unicode() folds CODEPOINTS while the
+      // Scala loop folds UTF-16 units — identical on BMP text (the
+      // corpus is ASCII; checked at all SFs), divergent only on
+      // supplementary-plane characters. The q_dedup_simhash128 replay
+      // inherits the same assumption.
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents
@@ -469,6 +472,10 @@ object DedupQueries {
       // replayed exactly like the 64-bit oracle; the oracle bands on
       // its own complete cover (16 chunks of 8 bits — ≥9 clean at
       // k=7) since any complete cover yields the same distinct pairs.
+      // Same BMP-only caveat as the 64-bit replay: DuckDB's unicode()
+      // folds CODEPOINTS while the Scala loop folds UTF-16 units, so
+      // the two agree exactly on BMP text (the fixture corpus is
+      // ASCII; supplementary-plane text would diverge on both faces).
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents

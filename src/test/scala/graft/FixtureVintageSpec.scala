@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * shipped `events.ts` as parquet TIMESTAMP(NANOS) (readable only as
   * long nanos under `nanosAsLong`) and as TIMESTAMP(MICROS) NTZ
   * (2026-08-13 regen). Whatever the vintage, downstream code must see
-  * the SAME long epoch nanos — this spec feeds all three post-read
-  * shapes (long nanos, TIMESTAMP_NTZ, instant TIMESTAMP) through
-  * Graft.table and asserts identical values.
+  * the SAME long epoch nanos — this spec feeds all four post-read
+  * shapes (long nanos, TIMESTAMP_NTZ micros, instant TIMESTAMP
+  * micros, instant TIMESTAMP(MILLIS)) through Graft.table and asserts
+  * identical values, so the next driver regeneration is a no-op
+  * whichever physical type it picks.
   */
 class FixtureVintageSpec extends SparkTestBase {
 
@@ -36,6 +38,19 @@ class FixtureVintageSpec extends SparkTestBase {
       .toDF("event_id", "us")
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
       .write.parquet(root.resolve("c/events.parquet").toString)
+    // vintage D: TIMESTAMP(MILLIS) isAdjustedToUTC=true — the third
+    // plausible regeneration target (physical INT64 millis). Values
+    // must be millis-representable, so D gets its own truncated set
+    // and its own expectation below.
+    val millis = micros.map(m => m / 1000L)
+    val prevOutType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try
+      millis.zipWithIndex.map { case (ms, i) => (i.toLong, ms) }
+        .toDF("event_id", "ms")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"))
+        .write.parquet(root.resolve("d/events.parquet").toString)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOutType)
 
     def read(sub: String): Seq[(Long, Long)] = {
       val df = graft.core.Graft.table(spark, root.resolve(sub).toString, "events")
@@ -49,6 +64,8 @@ class FixtureVintageSpec extends SparkTestBase {
     assert(a == read("c"), "instant vintage diverged from long-nanos vintage")
     assert(a.map(_._2) == micros.map(_ * 1000L),
       "normalized nanos do not equal the source micros x1000")
+    assert(read("d").map(_._2) == millis.map(_ * 1000000L),
+      "MILLIS vintage: normalized nanos do not equal the source millis x1e6")
 
     // and tsCol round-trips the normalized nanos back to micros exactly
     val rt = graft.core.Graft
