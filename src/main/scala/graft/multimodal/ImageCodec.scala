@@ -87,9 +87,15 @@ object ImageCodec {
     * gets delaysCs(f % delaysCs.length)) to build VARIABLE-delay GIFs
     * for timestamp tests; empty = the constant 10 cs default.
     */
-  def fixtureGif(id: Long, delaysCs: Seq[Int] = Nil): Array[Byte] = {
+  def fixtureGif(
+      id: Long,
+      delaysCs: Seq[Int] = Nil,
+      /** frame-count override (default: the id-derived 2..6) — for
+        * adversarial many-frame payloads in DegenerateInputSpec
+        */
+      nFrames: Option[Int] = None): Array[Byte] = {
     init
-    val k = (2 + Math.floorMod(id, 5L)).toInt
+    val k = nFrames.getOrElse((2 + Math.floorMod(id, 5L)).toInt)
     val w = (8 + Math.floorMod(id, 13L)).toInt
     val h = (8 + Math.floorMod(id, 11L)).toInt
     val bos = new ByteArrayOutputStream()
@@ -158,6 +164,33 @@ object ImageCodec {
   * column keeps flowing.
   */
 object GifFrameSampler extends FrameSampler {
+  def sampleBatch(
+      payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]] =
+    CappedGifFrameSampler().sampleBatch(payloads, n)
+}
+
+/** [[GifFrameSampler]] with the production skew guards — the
+  * maxPerBucket pattern applied to payload decode: an adversarial or
+  * corrupt payload must not be able to buy unbounded work inside a
+  * task.
+  *
+  *  - `maxBytes`: payloads larger than the cap are never handed to the
+  *    codec at all — they come back as the whole-payload stub frame
+  *    (0, 0 ms, original bytes), the same degraded-but-flowing row a
+  *    non-GIF payload gets.
+  *  - `maxFrames`: the frame COUNT pass and the delay-metadata pass
+  *    are bounded to the first cap frames (probed incrementally — the
+  *    unguarded `getNumImages(true)` walks the entire stream, which is
+  *    exactly the cost a million-frame GIF would weaponize); sampling
+  *    then schedules inside those first cap frames.
+  *
+  * Both default None (exact behavior) — the oracle face
+  * (q_mm_gif_frames) runs unguarded so its arithmetic frame schedule
+  * stays exact; production pipelines set both.
+  */
+final case class CappedGifFrameSampler(
+    maxFrames: Option[Int] = None,
+    maxBytes: Option[Int] = None) extends FrameSampler {
   private def gifDelayMs(reader: javax.imageio.ImageReader, fi: Int): Long =
     try {
       val meta = reader.getImageMetadata(fi)
@@ -174,39 +207,59 @@ object GifFrameSampler extends FrameSampler {
       d * 10L // centiseconds → ms
     } catch { case _: Exception => 100L }
 
+  /** Frame count to operate on: the full (whole-stream) count when
+    * unguarded, else an incremental probe that touches at most
+    * `cap` frames of the stream.
+    */
+  private def frameCount(reader: javax.imageio.ImageReader): Int =
+    maxFrames match {
+      case None => reader.getNumImages(true)
+      case Some(cap) =>
+        var c = 0
+        var more = true
+        while (more && c < cap) {
+          try { reader.getImageMetadata(c); c += 1 }
+          catch { case _: IndexOutOfBoundsException => more = false }
+        }
+        c
+    }
+
   def sampleBatch(
       payloads: Seq[Array[Byte]], n: Int): Seq[Seq[(Int, Long, Array[Byte])]] =
     payloads.map { bytes =>
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Seq((0, 0L, bytes))
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val k = reader.getNumImages(true)
-            if (k <= 0) Seq((0, 0L, bytes))
-            else {
-              // display time of frame fi = sum of delays of frames
-              // 0..fi-1 (one metadata pass; payload decode only for
-              // the sampled frames)
-              val startMs = new Array[Long](k)
-              var fi = 1
-              while (fi < k) {
-                startMs(fi) = startMs(fi - 1) + gifDelayMs(reader, fi - 1)
-                fi += 1
+      if (maxBytes.exists(bytes.length > _)) Seq((0, 0L, bytes))
+      else {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq((0, 0L, bytes))
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val k = frameCount(reader)
+              if (k <= 0) Seq((0, 0L, bytes))
+              else {
+                // display time of frame fi = sum of delays of frames
+                // 0..fi-1 (one metadata pass; payload decode only for
+                // the sampled frames)
+                val startMs = new Array[Long](k)
+                var fi = 1
+                while (fi < k) {
+                  startMs(fi) = startMs(fi - 1) + gifDelayMs(reader, fi - 1)
+                  fi += 1
+                }
+                (0 until n).map(i => i * k / n).distinct.map { s =>
+                  val img = reader.read(s)
+                  (s, startMs(s), ImageCodec.encodePng(img))
+                }
               }
-              (0 until n).map(i => i * k / n).distinct.map { s =>
-                val img = reader.read(s)
-                (s, startMs(s), ImageCodec.encodePng(img))
-              }
-            }
-          } finally reader.dispose()
-        }
-      } catch {
-        case _: Exception => Seq((0, 0L, bytes))
-      } finally iis.close()
+            } finally reader.dispose()
+          }
+        } catch {
+          case _: Exception => Seq((0, 0L, bytes))
+        } finally iis.close()
+      }
     }
 }
 

@@ -118,4 +118,34 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(out.funnel.forall(_._2 == 0L), s"non-zero funnel: ${out.funnel}")
     out.unpersist()
   }
+
+  test("adversarial many-frame GIF: CappedGifFrameSampler bounds the " +
+    "frame walk and oversize payloads skip the codec entirely") {
+    import graft.multimodal.{CappedGifFrameSampler, GifFrameSampler, ImageCodec}
+    val monster = ImageCodec.fixtureGif(3L, nFrames = Some(64))
+    // unguarded: schedules over all 64 frames (the cost a hostile
+    // payload buys); capped: the probe stops at 8 — every sampled
+    // index lands inside the first 8 frames and timestamps still
+    // accumulate the real per-frame delays
+    val uncapped = GifFrameSampler.sampleBatch(Seq(monster), 4).head
+    assert(uncapped.map(_._1) == Seq(0, 16, 32, 48))
+    val capped = CappedGifFrameSampler(maxFrames = Some(8))
+      .sampleBatch(Seq(monster), 4).head
+    assert(capped.map(_._1) == Seq(0, 2, 4, 6))
+    assert(capped.map(_._2) == Seq(0L, 200L, 400L, 600L))
+    // generous caps are the identity on a well-behaved payload
+    val normal = ImageCodec.fixtureGif(9L)
+    val guarded = CappedGifFrameSampler(
+      maxFrames = Some(1000), maxBytes = Some(1 << 20))
+      .sampleBatch(Seq(normal), 3).head
+    val exact = GifFrameSampler.sampleBatch(Seq(normal), 3).head
+    assert(guarded.map(t => (t._1, t._2)) == exact.map(t => (t._1, t._2)))
+    assert(guarded.zip(exact).forall { case (g, e) => g._3.sameElements(e._3) })
+    // oversize payload: never decoded, degrades to the whole-payload
+    // stub row exactly like a non-GIF payload
+    val tiny = CappedGifFrameSampler(maxBytes = Some(16))
+      .sampleBatch(Seq(monster), 4).head
+    assert(tiny.map(t => (t._1, t._2)) == Seq((0, 0L)))
+    assert(tiny.head._3.sameElements(monster))
+  }
 }
