@@ -86,7 +86,32 @@ object Dedup {
     val nParas = when(col(textCol).isNotNull,
       size(filter(lines, p => trim(p) =!= "")).cast("long"))
       .otherwise(0L)
-    firstOccurrenceDedup(df, paras, idCol, nParas, joiner = "\n")
+    // in-row rebuild: re-split the doc's own lines and keep the
+    // surviving raw indices (kept indices only ever point at nonempty
+    // trimmed paras, so the emptiness re-check is unnecessary). Trim
+    // matches Spark's trim(): the space character only.
+    val rebuild = udf { (text: String, kept: Seq[Long]) =>
+      if (text == null) ""
+      else {
+        val ls = text.split("\n", -1)
+        val ks = kept.toSet
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0; var first = true
+        while (i < ls.length) {
+          if (ks.contains(i.toLong)) {
+            val l = ls(i)
+            var a = 0; var b = l.length
+            while (a < b && l.charAt(a) == ' ') a += 1
+            while (b > a && l.charAt(b - 1) == ' ') b -= 1
+            if (first) first = false else sb.append('\n')
+            sb.append(l, a, b)
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    }
+    firstOccurrenceDedup(df, paras, idCol, textCol, nParas, rebuild)
   }
 
   /** Fixed word-count-window exact dedup: the [[paragraphDedup]]
@@ -109,21 +134,79 @@ object Dedup {
     val nParas = greatest(
       ceil(size(split(col(textCol), " ")).cast("double") / wordsPerPara),
       lit(1)).cast("long")
-    firstOccurrenceDedup(df, paras, idCol, nParas, joiner = " ")
+    firstOccurrenceDedup(df, paras, idCol, textCol, nParas,
+      windowRebuildUdf(wordsPerPara))
   }
 
+  /** In-row rebuild mirroring chunkByTokens at overlap 0: window i
+    * covers tokens [i·w, i·w+w); kept windows' tokens re-join with
+    * the same single space the chunk/window reassembly used. A null
+    * text chunks to one empty window (chunkByTokens contract), so
+    * kept = [0] rebuilds "".
+    */
+  private def windowRebuildUdf(w: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, kept: Seq[Long]) =>
+      val toks = if (text == null) Array("") else text.split(" ", -1)
+      val sb = new java.lang.StringBuilder(if (text == null) 0 else text.length)
+      var first = true
+      kept.foreach { ki =>
+        val from = (ki * w).toInt
+        val until = math.min(toks.length, from + w)
+        var j = from
+        while (j < until) {
+          if (first) first = false else sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        // a null-text doc's single chunk is the empty string: keeping
+        // it appends nothing, matching the reassembled '' exactly
+      }
+      sb.toString
+    }
+
   /** Shared core of [[paragraphDedup]] / [[windowDedup]]: corpus-wide
-    * first-occurrence rank on paragraph digests, then per-doc
-    * reassembly of the survivors in original order. See
-    * [[paragraphDedup]] for the scale argument (rank exchange is
-    * digest-only; ScaleSpec asserts it).
+    * first-occurrence rank on paragraph digests, then per-doc IN-ROW
+    * reassembly of the survivors from the original text.
+    *
+    * Scale shape: TEXT NEVER SHUFFLES. The rank exchange carries only
+    * (digest, id, idx) — 16-byte digests, never paragraphs (ScaleSpec
+    * asserts the feeder projection); the per-doc survivor relation is
+    * one compact (id, sorted kept-idx array) row; and `clean_text` is
+    * rebuilt by the caller's compiled `rebuild(text, kept)` loop AFTER
+    * the one id-keyed join, so the corpus text stays on its own scan
+    * side end-to-end. (The previous formulation joined the exploded
+    * paragraphs back and re-aggregated — the para-granularity text
+    * exchange it cost was the whole corpus.)
     */
   private def firstOccurrenceDedup(
       df: DataFrame,
       paras: DataFrame,
       idCol: String,
+      textCol: String,
       nParas: Column,
-      joiner: String
+      rebuild: org.apache.spark.sql.expressions.UserDefinedFunction
+  ): DataFrame =
+    firstOccurrenceCore(df.select(col(idCol), col(textCol),
+      nParas.as("n_paras")), paras, idCol, textCol, rebuild)
+      .select(
+        col(idCol),
+        col("__fo_clean").as("clean_text"),
+        col("__fo_kept").as("n_kept"),
+        (col("n_paras") - col("__fo_kept")).as("n_dropped"))
+
+  /** Passthrough variant of the first-occurrence core: every column of
+    * `df` survives, plus `__fo_clean` (the doc rewritten to its
+    * surviving windows) and `__fo_kept` (how many survived). Lets a
+    * composed funnel (CurationPipeline) replace the text column in the
+    * SAME join that computes the dedup instead of paying a second
+    * corpus join to graft `clean_text` back on.
+    */
+  private def firstOccurrenceCore(
+      df: DataFrame,
+      paras: DataFrame,
+      idCol: String,
+      textCol: String,
+      rebuild: org.apache.spark.sql.expressions.UserDefinedFunction
   ): DataFrame = {
     val w = Window
       .partitionBy(col("__digest"))
@@ -133,25 +216,33 @@ object Dedup {
       .withColumn("__occ", row_number().over(w))
       .filter(col("__occ") === 1)
       .groupBy(col(idCol))
-      .agg(collect_set(col("para_idx")).as("__kept_idx"))
-    val rebuilt = paras
-      .join(keptIdx, Seq(idCol)) // id-keyed: the ONE text shuffle
-      .filter(array_contains(col("__kept_idx"), col("para_idx")))
-      .groupBy(col(idCol)) // reuses the join's partitioning
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("para_idx"), col("para")))),
-            x => x.getField("para")),
-          joiner).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    df.select(col(idCol), nParas.as("n_paras"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .agg(sort_array(collect_list(col("para_idx"))).as("__kept_idx"))
+    df.join(keptIdx, Seq(idCol), "left")
+      .withColumn("__fo_clean",
+        when(col("__kept_idx").isNull, lit(""))
+          .otherwise(rebuild(col(textCol), col("__kept_idx"))))
+      .withColumn("__fo_kept",
+        when(col("__kept_idx").isNull, lit(0L))
+          .otherwise(size(col("__kept_idx")).cast("long")))
+      .drop("__kept_idx")
+  }
+
+  /** [[windowDedup]] with column passthrough (see
+    * [[firstOccurrenceCore]]): returns `df`'s full schema plus
+    * `__fo_clean`/`__fo_kept`. The composed-funnel face.
+    */
+  private[graft] def windowDedupKeep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordsPerPara: Int
+  ): DataFrame = {
+    val paras = graft.text.TextAnalysis
+      .chunkByTokens(df.select(col(idCol), col(textCol)), idCol, textCol,
+        maxTokens = wordsPerPara, overlap = 0)
+      .select(col(idCol), col("chunk_idx").as("para_idx"), col("chunk").as("para"))
+    firstOccurrenceCore(df, paras, idCol, textCol,
+      windowRebuildUdf(wordsPerPara))
   }
 
   /** Letter histogram (a-z counts) in ONE compiled pass over the text

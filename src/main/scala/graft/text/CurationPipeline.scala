@@ -121,18 +121,23 @@ object CurationPipeline {
     // the canonical key (a pure codegen'd projection), min id survives
     val (urlDeduped, urlFunnel) = cfg.urlCol match {
       case Some(u) =>
+        // rank (canonical-url, id) ONLY — the full rows (text included)
+        // must not ride the rank exchange; survivors come back via an
+        // id semi-join (column pruning keeps the rank branch's scan to
+        // two columns, and the text side moves at most once, id-keyed)
         val wUrl = org.apache.spark.sql.expressions.Window
-          .partitionBy(UrlOps.canonicalizeUrl(col(u)))
+          .partitionBy(col("__cu"))
           .orderBy(col(idCol).asc)
-        // cached before its eager funnel count — otherwise the
-        // corpus-wide canonical-URL window recomputes when the next
-        // stage (gated) materializes (same discipline as every other
-        // funnel stage; unpersisted once gated is counted below)
-        val kept = input
+        val keepIds = input
+          .select(col(idCol), UrlOps.canonicalizeUrl(col(u)).as("__cu"))
           .withColumn("__rn", row_number().over(wUrl))
           .filter(col("__rn") === 1)
-          .drop("__rn")
-          .cache()
+          .select(col(idCol))
+        // cached before its eager funnel count — otherwise the
+        // corpus-wide dedup recomputes when the next stage (gated)
+        // materializes (same discipline as every other funnel stage;
+        // unpersisted once gated is counted below)
+        val kept = input.join(keepIds, Seq(idCol), "left_semi").cache()
         (kept, Seq("url_dedup" -> kept.count()))
       case None => (input, Nil)
     }
@@ -178,19 +183,23 @@ object CurationPipeline {
       case _ => (gated, Nil)
     }
 
-    // ---- exact dedup: keep the min-id representative. Same keep rule
-    // as Dedup.exact, but as ONE window over the content digest — one
-    // shuffle, versus the digest groupBy + id semi-join's two (the
-    // groupBy face stays in Dedup.exact for the oracle query, which
-    // needs the per-digest copy counts).
+    // ---- exact dedup: keep the min-id representative (same keep rule
+    // as Dedup.exact, which stays the oracle face with per-digest copy
+    // counts). The rank runs over (digest, id) ONLY — a window over
+    // the full relation would push the corpus text through the
+    // digest-keyed exchange; here the rank exchange carries 16-byte
+    // digests and the survivors come back via an id semi-join
+    // (broadcast at small survivor counts, id-keyed shuffle at scale —
+    // the text moves at most once either way).
     val wDigest = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol)))
+      .partitionBy(col("__dg"))
       .orderBy(col(idCol).asc)
-    val exactDeduped = lmGated
+    val keepExact = lmGated
+      .select(col(idCol), md5(col(textCol)).as("__dg"))
       .withColumn("__rn", row_number().over(wDigest))
       .filter(col("__rn") === 1)
-      .drop("__rn")
-      .cache()
+      .select(col(idCol))
+    val exactDeduped = lmGated.join(keepExact, Seq(idCol), "left_semi").cache()
     val n2 = exactDeduped.count()
     lmGated.unpersist()
 
@@ -199,17 +208,14 @@ object CurationPipeline {
     // inner join against n_kept > 0)
     val paraDeduped = cfg.paragraphDedupWords match {
       case Some(wpp) =>
-        val pd = Dedup
-          .windowDedup(exactDeduped.select(col(idCol), col(textCol)),
-            idCol, textCol, wpp)
-          .filter(col("n_kept") > 0L)
-          .select(col(idCol), col("clean_text").as("__para_text"))
-        // cached: consumed by BOTH the near-dup cluster build and the
-        // anti-join — uncached, the window+join would run twice
-        exactDeduped
-          .join(pd, Seq(idCol))
-          .withColumn(textCol, col("__para_text"))
-          .drop("__para_text")
+        // passthrough face: the dedup's own id-keyed join carries every
+        // column, so the text replacement happens in THAT join — no
+        // second corpus join to graft clean_text back on. Cached:
+        // consumed by BOTH the near-dup cluster build and the anti-join.
+        Dedup.windowDedupKeep(exactDeduped, idCol, textCol, wpp)
+          .filter(col("__fo_kept") > 0L)
+          .withColumn(textCol, col("__fo_clean"))
+          .drop("__fo_clean", "__fo_kept")
           .cache()
       case None => exactDeduped
     }

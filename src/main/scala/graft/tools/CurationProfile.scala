@@ -30,23 +30,20 @@ object CurationProfile {
       .cache()
     t("gates-count") { gated.count() }
     val wDigest = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text")))
+      .partitionBy(col("__dg"))
       .orderBy(col("doc_id").asc)
-    val exactDeduped = gated
+    val keepExact = gated
+      .select(col("doc_id"), md5(col("text")).as("__dg"))
       .withColumn("__rn", row_number().over(wDigest))
       .filter(col("__rn") === 1)
-      .drop("__rn")
-      .cache()
+      .select(col("doc_id"))
+    val exactDeduped = gated.join(keepExact, Seq("doc_id"), "left_semi").cache()
     t("exact-count") { exactDeduped.count() }
-    val pd = Dedup
-      .windowDedup(exactDeduped.select(col("doc_id"), col("text")),
-        "doc_id", "text", 32)
-      .filter(col("n_kept") > 0L)
-      .select(col("doc_id"), col("clean_text").as("__para_text"))
-    val paraDeduped = exactDeduped
-      .join(pd, Seq("doc_id"))
-      .withColumn("text", col("__para_text"))
-      .drop("__para_text")
+    val paraDeduped = Dedup
+      .windowDedupKeep(exactDeduped, "doc_id", "text", 32)
+      .filter(col("__fo_kept") > 0L)
+      .withColumn("text", col("__fo_clean"))
+      .drop("__fo_clean", "__fo_kept")
       .cache()
     t("para-dedup-count") { paraDeduped.count() }
     val clusters = t("lsh-clusters-build") {

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted scale bench: times a named subset of Registry queries at
+  * an arbitrary fixture dir and writes one JSON file — the harness
+  * behind the committed BENCH_sf10_dedup.json evidence (VERDICT r9
+  * Next #3: a second scale decade for the dedup family). Same
+  * measurement discipline as [[graft.Bench]]: per-query cold cache,
+  * min of two runs, an adaptive third run when the two disagree by
+  * >1.3× (ambient-load artifact), prepare hooks untimed.
+  *
+  * Usage: ScaleBench <sfDir> <outJson> <q1,q2,...>
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outJson, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val defs = names.split(",").toSeq.map { n =>
+      graft.queries.Registry.byName.getOrElse(n,
+        sys.error(s"unknown query: $n"))
+    }
+    // JIT/codegen warmup at the smallest sibling SF, like Bench
+    val warmDir = {
+      val sib = new java.io.File("/root/testdata/sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    defs.foreach { q =>
+      try q.fn(spark, warmDir).count() catch {
+        case e: Throwable => System.err.println(s"[warmup] ${q.name}: ${e.getMessage}")
+      }
+    }
+    defs.foreach { q =>
+      q.prepare.foreach { p =>
+        try p(spark, sfDir) catch {
+          case e: Throwable => System.err.println(s"[prepare] ${q.name}: ${e.getMessage}")
+        }
+      }
+    }
+    val results = defs.map { q =>
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).count() catch {
+          case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      val best =
+        if (math.max(a, b) > 1.3 * math.min(a, b)) math.min(math.min(a, b), once())
+        else math.min(a, b)
+      println(f"[scalebench] ${q.name} $best%.2f s")
+      q.name -> best
+    }
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val body = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString(",")
+    val json =
+      s"""{"sf":"$sfDir","total_sec":${f3(results.map(_._2).sum)},"queries":{$body}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

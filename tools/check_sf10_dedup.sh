@@ -1,0 +1,19 @@
+#!/bin/sh
+# sf10 (100x) dedup-family scale gate — the second scale decade
+# (VERDICT r9 Next #3). Three parts:
+#   1. regenerate sf1/sf10 fixtures if absent (deterministic);
+#   2. ScaleBench the dedup subset at BOTH decades ->
+#      BENCH_sf1_dedup.json / BENCH_sf10_dedup.json (per-decade ratios
+#      are the committed evidence; the NOTES table reads these);
+#   3. Verify + DuckDB-compare at sf10 for the subset whose oracles
+#      stay tractable at 500k docs (driver-strict check.py).
+set -e
+cd "$(dirname "$0")/.."
+[ -d testdata/sf1 ] || python3 tools/gen_scale.py 10 /root/testdata/sf0.1 testdata/sf1
+[ -d testdata/sf10 ] || python3 tools/gen_scale.py 100 /root/testdata/sf0.1 testdata/sf10
+SUBSET=$(grep -v '^#' tools/sf10_dedup_subset.txt | paste -sd, -)
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch \
+  "runMain graft.tools.ScaleBench testdata/sf1 BENCH_sf1_dedup.json $SUBSET" \
+  "runMain graft.tools.ScaleBench testdata/sf10 BENCH_sf10_dedup.json $SUBSET" \
+  "runMain graft.Verify testdata/sf10 /tmp/verify_sf10 $SUBSET"
+python3 tools/check.py testdata/sf10 /tmp/verify_sf10

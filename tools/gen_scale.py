@@ -87,11 +87,42 @@ def renumber(fmt, col):
     return pa.array([fmt % k for k in col.to_pylist()], type=pa.string())
 
 
+SRC_AB = "abcdefghijklmnopqrstuvwxyz"
+
+# Beyond 26 copies the Caesar group is exhausted: shift i%26 would make
+# copies 0/26/52/... byte-identical text under different doc_ids —
+# cross-copy EXACT duplicate groups of size K/26, a fixture artifact
+# that turns the scale-up into a duplicate-explosion test instead of a
+# linear one. Any letter permutation is equally structure-preserving
+# (shingle/minhash/simhash/Jaccard/edit-distance relations within a
+# copy are exact images of sf0.1), so for block j = i//26 > 0 the
+# Caesar shift is composed with the j-th power of a fixed extra
+# permutation TAU (a deterministic literal, no RNG). Copies 0..25 keep
+# the PURE Caesar tables byte-for-byte — the committed sf1 (K=10)
+# fixture and its bench/oracle evidence are unchanged by this
+# extension. Pairwise distinctness of all K tables is asserted below.
+TAU = "qwertyuiopasdfghjklzxcvbnm"  # a 26-cycle-rich fixed permutation
+
+
+def letter_table(i):
+    """Translation table of copy i: caesar(i%26) then TAU^(i//26)."""
+    shift = SRC_AB[i % 26:] + SRC_AB[: i % 26]
+    out = shift
+    for _ in range(i // 26):
+        out = out.translate(str.maketrans(SRC_AB, TAU))
+    return out
+
+
+# all K images of the alphabet must be pairwise distinct, or two copies
+# would be exact text duplicates of each other
+_tables = [letter_table(i) for i in range(K)]
+assert len(set(_tables)) == K, "letter permutations collide at K=%d" % K
+
+
 def caesar(texts, i):
     if i == 0:
         return texts
-    src = "abcdefghijklmnopqrstuvwxyz"
-    tr = str.maketrans(src, src[i % 26:] + src[: i % 26])
+    tr = str.maketrans(SRC_AB, letter_table(i))
     return pa.array(
         [None if t is None else t.translate(tr) for t in texts.to_pylist()],
         type=pa.string())
@@ -101,6 +132,19 @@ def rotate_embeddings(col, i, dim=64):
     flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float32)
     assert flat.size == len(col) * dim, "embeddings are not fixed 64-dim"
     rolled = np.roll(flat.reshape(-1, dim), shift=(i * 7) % dim, axis=1)
+    # the rotation group has order dim (gcd(7,64)=1): copy i=dim would
+    # repeat copy 0's vectors exactly. Block j = i//dim composes a
+    # deterministic sign-flip pattern (flip component c iff bit c of
+    # j*0x9E3779B97F4A7C15 is set) — sign flips preserve norms and all
+    # within-copy inner products, and cross-block dot products of
+    # rotated random vectors stay ~0. Copies 0..dim-1 (incl. the
+    # committed sf1) are byte-identical to the pure-rotation scheme.
+    j = i // dim
+    if j > 0:
+        bits = (j * 0x9E3779B97F4A7C15) & ((1 << dim) - 1)
+        signs = np.array([-1.0 if (bits >> c) & 1 else 1.0
+                          for c in range(dim)], dtype=np.float32)
+        rolled = rolled * signs
     return pa.FixedSizeListArray.from_arrays(
         pa.array(rolled.ravel(), type=pa.float32()), dim).cast(
         pa.list_(pa.float32()))
