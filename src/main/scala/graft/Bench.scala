@@ -11,6 +11,11 @@ object Bench {
       // engine bootstrap default (see Graft.session): bucket pruning
       // needs the bucketed scan even when no join wants the hash dist
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // splits self-scale to ~cores per scan (see Graft.session): the
+      // 4 MB openCost default floors single-file fixtures at a handful
+      // of splits, starving per-row CPU stages of parallelism
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: absorb JVM/JIT/codegen/session warmup

@@ -20,6 +20,9 @@ object Verify {
       // engine bootstrap default (see Graft.session): bucket pruning
       // needs the bucketed scan even when no join wants the hash dist
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // splits self-scale to ~cores per scan (see Graft.session)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -28,6 +28,18 @@ object Graft {
       // Set at bootstrap, not inside a query fn, so results never
       // depend on registry execution order.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // File-split sizing: Spark caps each scan's split size at
+      // max(openCostInBytes, totalBytes/defaultParallelism). The 4 MB
+      // default is tuned for clusters with thousands of input files;
+      // on a single-file local fixture it floors every scan at ~2-15
+      // splits, so the per-row CPU stages (normalization, shingling,
+      // fingerprints) run on a fraction of the 32 cores. 16 KB lets
+      // the totalBytes/parallelism term win — every scan self-scales
+      // to ~defaultParallelism splits (row-group granularity
+      // permitting), the splits >= cores regime a real cluster lives
+      // in. Submitters on real clusters override via env.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "16384"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

@@ -47,9 +47,13 @@ object SimilarityQueries {
           e.withColumnRenamed("vec_id", "cand_id"),
           "probe_id", "cand_id", "embedding", k = 5)
         .select(col("probe_id"), col("cand_id"))
-        .cache()
-      df.count()
-      df
+      // pin DRIVER-LOCAL (8 probes x k rows), not just .cache(): a
+      // cached plan is dropped by spark.catalog.clearCache() between
+      // benched queries and would silently recompute the brute-force
+      // truth inside every timed recall run — a local relation cannot
+      val rows = df.collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
     }
 
   private def sharedIvf(s: org.apache.spark.sql.SparkSession, dir: String): Ann.IvfIndex =

@@ -21,6 +21,9 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // splits self-scale to ~cores per scan (see Graft.session)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val defs = names.split(",").toSeq.map { n =>

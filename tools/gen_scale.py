@@ -150,9 +150,19 @@ def rotate_embeddings(col, i, dim=64):
         pa.list_(pa.float32()))
 
 
-def write_copies(name, transform, row_group_size=300_000):
+def write_copies(name, transform, row_group_size=None):
     t = read(name)
     out = os.path.join(DST, f"{name}.parquet")
+    # Row-group sizing: target >= 64 groups per FILE (not per copy).
+    # Parquet row groups are Spark's minimum split granularity — the
+    # driver's single-row-group sf0.1 fixtures can never scan in
+    # parallel, and a scale-up that inherits "one group per copy"
+    # (K groups) caps scan parallelism at K. A real 100 TB table is
+    # thousands of files/groups; >= 64 groups lets local[32] reach
+    # splits >= cores at every decade so decade ratios measure the
+    # ENGINE, not input-layout starvation.
+    if row_group_size is None:
+        row_group_size = max(256, (t.num_rows * K) // 64)
     writer = pq.ParquetWriter(out, t.schema)
     for i in range(K):
         ti = transform(t, i) if i > 0 else t
@@ -228,7 +238,7 @@ write_copies("lineitem", lambda t, i: replace(
     l_orderkey=offset(t.column("l_orderkey"), CARD["orders"], i),
     l_partkey=offset(t.column("l_partkey"), CARD["part"], i),
     l_suppkey=offset(t.column("l_suppkey"), CARD["supplier"], i),
-), row_group_size=200_000)
+))
 
 write_copies("events", lambda t, i: replace(
     t,
