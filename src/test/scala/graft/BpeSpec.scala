@@ -75,4 +75,55 @@ class BpeSpec extends SparkTestBase {
     assert(merges.isEmpty)
     vocab.unpersist()
   }
+
+  test("train's Spark job count is flat in the merge-round hyperparameter") {
+    // The r9 scale fix, measured: training runs ONE corpus-sized
+    // wordCounts job and merges driver-local, so a 10x merge budget
+    // must cost zero additional Spark jobs (previously: one
+    // pairCounts job + one limit(1).collect() PER ROUND).
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // the listener bus is async (and private[spark], so no drain
+        // call): poll until the counter has been stable for 500 ms —
+        // every JobStart is posted before its collect() returns, so
+        // only bus lag is being absorbed here
+        var prev = -1
+        var stable = 0
+        while (stable < 10) {
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else stable = 0
+          prev = cur
+          Thread.sleep(50L)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    // corpus rich enough to sustain 30 distinct merges
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump"),
+      (4L, "the five boxing wizards jump quickly")
+    ).toDF("doc_id", "text")
+    val jobs3 = jobsDuring {
+      val (m, v) = Bpe.train(corpus, "text", rounds = 3)
+      assert(m.size == 3); v.unpersist()
+    }
+    val jobs30 = jobsDuring {
+      val (m, v) = Bpe.train(corpus, "text", rounds = 30)
+      assert(m.size == 30); v.unpersist()
+    }
+    assert(jobs30 == jobs3,
+      s"job count must not scale with rounds: 3 rounds -> $jobs3 jobs, " +
+        s"30 rounds -> $jobs30 jobs")
+  }
 }
