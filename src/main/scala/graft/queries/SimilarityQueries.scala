@@ -847,5 +847,32 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
       "probes — integer rank-set intersections per (method, probe); " +
       "the approximate paths' QUALITY, not just their determinism, " +
       "under the oracle gate"
+  ) :+ QueryDef(
+    "q_sample_cluster_balanced",
+    covers = "sample-cluster-balanced",
+    fn = (s, dir) => {
+      val idx = sharedIvf(s, dir)
+      Ann
+        .clusterBalancedSample(idx, "vec_id", quota = 20, salt = "cb")
+        .orderBy("cluster", "vec_id")
+    },
+    // The k-means assignment replay (a2, identical to the IVF oracle)
+    // plus a per-cluster salted-md5 rank cap: md5 hex compares the
+    // same in both engines, li is 1-based in DuckDB vs 0-based Spark.
+    oracle = Some(
+      ivfPrefix.trim.stripSuffix(",") + """
+SELECT cluster, vec_id FROM (
+  SELECT CAST(li - 1 AS BIGINT) AS cluster, vec_id,
+    row_number() OVER (PARTITION BY li
+      ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+  FROM a2)
+WHERE rk <= 20 ORDER BY cluster, vec_id"""),
+    doc = "cluster-balanced subset selection: k-means assignments (the " +
+      "replayed ivfBuild) capped at quota=20 per cluster in salted-md5 " +
+      "order via the native TopKPerKey operator — embedding-space " +
+      "curation's diversity-preserving downsample (trim dominant " +
+      "modes, keep rare clusters whole); shuffle carries at most " +
+      "partitions*quota rows per cluster, output bounded by " +
+      "nLists*quota at any corpus size"
   )
 }

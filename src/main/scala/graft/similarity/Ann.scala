@@ -525,6 +525,48 @@ object Ann {
         col("cos"))
   }
 
+  /** Cluster-balanced subset selection: cap every k-means cluster at
+    * `quota` members, chosen in salted-md5 order — the
+    * diversity-preserving downsample of embedding-space curation
+    * (cluster-capped sampling; the balancing move DataComp/SemDeDup
+    * -style pipelines apply after clustering so dominant modes are
+    * trimmed while rare clusters survive intact).
+    *
+    * Selection order is (md5(salt:id), id): a reproducible "random"
+    * draw within each cluster — pure function of (salt, id), so the
+    * same subset falls out on any engine or partitioning, and a new
+    * salt gives an independent draw (same contract as
+    * [[graft.text.Sampling.saltedHex]]).
+    *
+    * Scale: rides the native [[graft.plans.TopKPerKey]] operator —
+    * per-partition partial top-quota heaps before the single
+    * (cluster)-keyed exchange, so the shuffle carries at most
+    * partitions·quota rows per cluster and the output is bounded by
+    * nLists·quota regardless of corpus size. A full window-sort per
+    * cluster would shuffle the whole assignment table instead.
+    *
+    * Returns (cluster, id) — the kept subset.
+    */
+  def clusterBalancedSample(
+      index: IvfIndex,
+      idCol: String,
+      quota: Int,
+      salt: String
+  ): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val base = index.assignments.select(
+      col("list_id").cast("long").as("cluster"),
+      col(idCol),
+      graft.text.Sampling.saltedHex(salt, col(idCol)).as("__hk"))
+    graft.plans.TopKPerKey
+      .topKPerKey(
+        base,
+        keyCols = Seq(col("cluster")),
+        orderCols = Seq(col("__hk").asc, col(idCol).asc),
+        k = quota)
+      .select(col("cluster"), col(idCol))
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos) via LSH buckets +
     * exact verification within bucket. Verification is the
     * quantized-exact cosine, so the threshold decision is bit-stable
