@@ -402,6 +402,73 @@ object SamplingQueries {
         "repeat factor plus a deterministic salted-order partial epoch " +
         "filled by the scan-until rule — per-doc n_copies, " +
         "integer-exact, window-prefix-sum replayed"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_sample_dsir_gate",
+      covers = "sample-importance-dsir",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.text.Dsir
+          .dsirScore(d, d.filter(col("lang") === "en"), "doc_id", "text",
+            buckets = 256, thetaPermille = 1000)
+          .select("doc_id", "n_toks", "t_mass", "r_mass", "keep")
+          .orderBy("doc_id")
+      },
+      // FNV-1a bucket hash replays via the established HUGEINT
+      // wraparound fold (same BMP-only caveat as the SimHash replays);
+      // masses are unsmoothed integer sums and the keep decision
+      // cross-multiplies in HUGEINT, so every oracled column is exact.
+      // The smoothed float llr stays out of this face by design.
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS t
+          |  FROM documents WHERE text IS NOT NULL),
+          |fh AS (
+          |  SELECT doc_id, lang,
+          |    CAST(list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(range(1, length(t) + 1),
+          |          i -> CAST(unicode(t[i:i]) AS HUGEINT))),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
+          |      & 255 AS BIGINT) AS f
+          |  FROM tok),
+          |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ntf
+          |  FROM fh WHERE lang = 'en' GROUP BY f),
+          |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS nrf
+          |  FROM fh GROUP BY f),
+          |tot AS (SELECT
+          |    (SELECT coalesce(sum(ntf), 0) FROM tc) AS bignt,
+          |    (SELECT coalesce(sum(nrf), 0) FROM rc) AS bignr),
+          |dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
+          |  FROM fh GROUP BY doc_id, f),
+          |agg AS (
+          |  SELECT dc.doc_id,
+          |    CAST(sum(dc.c) AS BIGINT) AS n_toks,
+          |    CAST(sum(dc.c * coalesce(tc.ntf, 0)) AS BIGINT) AS t_mass,
+          |    CAST(sum(dc.c * coalesce(rc.nrf, 0)) AS BIGINT) AS r_mass
+          |  FROM dc LEFT JOIN tc ON tc.f = dc.f LEFT JOIN rc ON rc.f = dc.f
+          |  GROUP BY dc.doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(a.n_toks, 0) AS n_toks,
+          |  coalesce(a.t_mass, 0) AS t_mass,
+          |  coalesce(a.r_mass, 0) AS r_mass,
+          |  coalesce(a.n_toks, 0) > 0 AND
+          |    CAST(coalesce(a.t_mass, 0) AS HUGEINT) * t.bignr * 1000 >=
+          |    CAST(coalesce(a.r_mass, 0) AS HUGEINT) * t.bignt * 1000 AS keep
+          |FROM documents d CROSS JOIN tot t
+          |LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "DSIR-style importance gate (Xie et al. '23): hashed " +
+        "FNV-token feature masses of each doc against the target " +
+        "(lang='en') vs raw corpus distributions — two buckets-sized " +
+        "broadcast count tables (the codebook pattern), per-doc " +
+        "scoring as one compiled scalar map with zero shuffle, keep " +
+        "decision cross-multiplied in DECIMAL/HUGEINT so the gate is " +
+        "float-free; the smoothed log-likelihood ratio rides along " +
+        "un-oracled for Gumbel-resampling use"
     )
   )
 }

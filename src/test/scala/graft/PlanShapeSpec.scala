@@ -70,6 +70,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!inner.contains("Sort"), inner)
   }
 
+  test("q_sample_cluster_balanced plans the native TopKPerKey, no window sort") {
+    val p = plan("q_sample_cluster_balanced")
+    assert(p.contains("TopKPerKey"), p)
+    // the quota cap must be the bounded-heap operator, not a
+    // row_number window (which would sort every cluster's full
+    // membership on the exchange's reduce side)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_dedup_edit_distance never plans a nested-loop/cartesian pair join") {
     val p = plan("q_dedup_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
