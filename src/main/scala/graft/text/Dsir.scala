@@ -77,8 +77,46 @@ object Dsir {
     counts
   }
 
-  /** Score `raw` docs against a `target` corpus. Returns one row per
-    * raw doc: (id, n_toks, t_mass, r_mass, llr, keep) where
+  /** A fitted importance model: both corpus distributions plus the
+    * precomputed smoothed log terms — buckets-sized driver metadata,
+    * fit ONCE on a snapshot and applied statelessly ever after (the
+    * production contract; StreamBatchParitySpec proves the stream
+    * face under a frozen model equals the batch face).
+    */
+  final case class DsirModel(
+      buckets: Int,
+      nt: Array[Long],
+      nr: Array[Long],
+      bigNt: Long,
+      bigNr: Long,
+      logTerm: Array[Double])
+
+  /** Fit the importance model: one corpus pass per distribution, each
+    * aggregating to a buckets-sized table (driver metadata at any
+    * corpus size).
+    */
+  def fitModel(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 256
+  ): DsirModel = {
+    val nt = bucketCounts(target, textCol, buckets)
+    val nr = bucketCounts(raw, textCol, buckets)
+    val bigNt = nt.sum
+    val bigNr = nr.sum
+    // smoothed per-bucket log terms, precomputed once driver-side so
+    // the executor loop is adds/multiplies only
+    val logTerm = Array.tabulate(buckets) { f =>
+      math.log((nt(f) + 1.0) / (bigNt + buckets.toDouble)) -
+        math.log((nr(f) + 1.0) / (bigNr + buckets.toDouble))
+    }
+    DsirModel(buckets, nt, nr, bigNt, bigNr, logTerm)
+  }
+
+  /** Score `raw` docs against a `target` corpus: fit + apply in one
+    * call — the batch face. Returns one row per raw doc:
+    * (id, n_toks, t_mass, r_mass, llr, keep) where
     * t_mass = Σ_f c_f·target_counts[f] (long, exact), r_mass likewise
     * over the raw distribution, llr the smoothed log-likelihood ratio
     * Σ_f c_f·(ln((nt_f+1)/(Nt+B)) − ln((nr_f+1)/(Nr+B))) summed in
@@ -94,23 +132,31 @@ object Dsir {
       textCol: String,
       buckets: Int = 256,
       thetaPermille: Int = 1000
+  ): DataFrame =
+    dsirScoreWithModel(
+      raw, fitModel(raw, target, textCol, buckets), idCol, textCol,
+      thetaPermille)
+
+  /** Apply a fitted model to any relation — batch table or streaming
+    * micro-batch: the scoring is a stateless per-row map over the
+    * broadcast model arrays, so it composes with readStream
+    * unchanged.
+    */
+  def dsirScoreWithModel(
+      raw: DataFrame,
+      model: DsirModel,
+      idCol: String,
+      textCol: String,
+      thetaPermille: Int = 1000
   ): DataFrame = {
     require(thetaPermille >= 0, s"thetaPermille must be >= 0, got $thetaPermille")
     val spark = raw.sparkSession
-    val mask = buckets - 1
-    val nt = bucketCounts(target, textCol, buckets)
-    val nr = bucketCounts(raw, textCol, buckets)
-    val bigNt = nt.sum
-    val bigNr = nr.sum
-    // smoothed per-bucket log terms, precomputed once driver-side so
-    // the executor loop is adds/multiplies only
-    val logTerm = Array.tabulate(buckets) { f =>
-      math.log((nt(f) + 1.0) / (bigNt + buckets.toDouble)) -
-        math.log((nr(f) + 1.0) / (bigNr + buckets.toDouble))
-    }
-    val bNt = spark.sparkContext.broadcast(nt)
-    val bNr = spark.sparkContext.broadcast(nr)
-    val bLog = spark.sparkContext.broadcast(logTerm)
+    val mask = model.buckets - 1
+    val bigNt = model.bigNt
+    val bigNr = model.bigNr
+    val bNt = spark.sparkContext.broadcast(model.nt)
+    val bNr = spark.sparkContext.broadcast(model.nr)
+    val bLog = spark.sparkContext.broadcast(model.logTerm)
     val scoreUdf = udf { (text: String) =>
       val ntA = bNt.value; val nrA = bNr.value; val lgA = bLog.value
       val c = new Array[Int](mask + 1)

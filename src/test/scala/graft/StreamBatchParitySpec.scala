@@ -61,6 +61,45 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(streamKeys.toSet == batchKeys)
   }
 
+  test("DSIR gate is streaming-safe: stream face equals batch face " +
+    "under frozen distributions") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftdsir")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    // distributions freeze at gate-build time (the production contract:
+    // the importance model is fit on a snapshot, then applied to the
+    // stream) — dsirScore against a STREAMING raw side reuses the same
+    // broadcast arrays, so the per-row decision is stateless
+    val target = batch.filter($"lang" === "en")
+    val batchKept = graft.text.Dsir
+      .dsirScore(batch, target, "doc_id", "text")
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    // fit ONCE on the batch snapshot; the stream only ever APPLIES the
+    // frozen model (fitting needs a corpus aggregate, which a stream
+    // cannot provide statelessly — that asymmetry IS the contract)
+    val model = graft.text.Dsir.fitModel(batch, target, "text", 256)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = graft.text.Dsir
+          .dsirScoreWithModel(mb, model, "doc_id", "text",
+            thetaPermille = 1000)
+          .filter(col("keep")).select("doc_id")
+          .collect().map(_.getLong(0))
+        got.synchronized { got ++= kept }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batchKept)
+  }
+
   test("gopher gate on: stream face still equals batch face") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
