@@ -218,7 +218,10 @@ object Dsir {
     *
     * Returns (id, n_toks, bef) where bef is the exact token count
     * drawn before this doc — strictly increasing along the draw, so
-    * it doubles as the selection sequence.
+    * it doubles as the selection sequence. The returned relation is
+    * CACHED (materialized before the sharded base is released, the
+    * packSequences discipline); callers owning a long-lived session
+    * should unpersist it when done.
     */
   def resampleToBudget(
       scored: DataFrame,
