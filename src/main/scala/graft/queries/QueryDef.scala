@@ -61,18 +61,26 @@ final case class QueryDef(
 )
 
 object Registry {
-  lazy val all: Seq[QueryDef] =
-    RelationalQueries.defs ++
-      AggWindowQueries.defs ++
-      TextQueries.defs ++
-      DedupQueries.defs ++
-      SimilarityQueries.defs ++
-      SamplingQueries.defs ++
-      DomainQueries.defs ++
-      PipelineQueries.defs ++
-      TemporalQueries.defs ++
-      LayoutQueries.defs ++
-      CurationOpsQueries.defs
+  lazy val all: Seq[QueryDef] = {
+    val defs =
+      RelationalQueries.defs ++
+        AggWindowQueries.defs ++
+        TextQueries.defs ++
+        DedupQueries.defs ++
+        SimilarityQueries.defs ++
+        SamplingQueries.defs ++
+        DomainQueries.defs ++
+        PipelineQueries.defs ++
+        TemporalQueries.defs ++
+        LayoutQueries.defs ++
+        CurationOpsQueries.defs
+    // fail fast on duplicate registrations: byName/SparkEntry maps
+    // silently dedupe, so a duplicate would otherwise surface only as
+    // a confusing downstream test abort
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query registrations: ${dups.mkString(", ")}")
+    defs
+  }
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

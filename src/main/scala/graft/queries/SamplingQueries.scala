@@ -467,280 +467,6 @@ object SamplingQueries {
       oracle = Some(dsirGateOracle +
         "\nSELECT doc_id, n_toks, t_mass, r_mass, keep FROM gate " +
         "ORDER BY doc_id"),
-      doc = "benchmark decontamination: corpus docs sharing any word " +
-        "3-gram with the benchmark subset (doc_id % 97 = 0); benchmark " +
-        "n-grams broadcast, corpus explodes once"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_decontaminate_report",
-      covers = "decontamination,audit",
-      fn = (s, dir) => {
-        val d = table(s, dir, "documents")
-        val bench = d.filter(col("doc_id") % 97L === 0L)
-        val corpus = d.filter(col("doc_id") % 97L =!= 0L)
-        TextAnalysis
-          .decontaminationReport(corpus, bench, "doc_id", "text", n = 3)
-          .orderBy("doc_id", "bench_id")
-      },
-      oracle = Some(
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-          |        range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
-          |      FROM t WHERE len(tk) >= 3),
-          |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
-          |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
-          |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
-          |  min(c.gram) AS first_shared_gram
-          |FROM c JOIN b USING (gram)
-          |GROUP BY c.doc_id, b.bench_id
-          |ORDER BY c.doc_id, b.bench_id""".stripMargin
-      ),
-      doc = "contamination AUDIT report: per (corpus doc, eval item) " +
-        "pair with shared-distinct-3-gram count and the first shared " +
-        "gram as quotable evidence — the report face of " +
-        "q_decontaminate's yes/no filter"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_text_repetition",
-      covers = "text-quality,repetition",
-      fn = (s, dir) =>
-        TextAnalysis
-          .repetitionMetrics(table(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"),
-      oracle = Some(
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-          |g AS (SELECT doc_id, unnest(list_transform(
-          |        range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS g2
-          |      FROM t WHERE len(tk) >= 2),
-          |pg AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
-          |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2gram,
-          |               max(c) AS top_2gram_n FROM pg GROUP BY doc_id),
-          |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
-          |                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tok
-          |         FROM t)
-          |SELECT b.doc_id, n_tok, n_distinct_tok, n_2gram, top_2gram_n,
-          |  CAST(n_distinct_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_tok_ratio,
-          |  CAST(top_2gram_n AS DOUBLE) / CAST(n_2gram AS DOUBLE) AS top_2gram_ratio
-          |FROM base b JOIN rep USING (doc_id) ORDER BY doc_id""".stripMargin
-      ),
-      doc = "Gopher-style repetition filters: distinct-token ratio and " +
-        "top-bigram fraction per document (long/long ratios, exact)"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_text_repetition_gate",
-      covers = "text-quality,repetition-gate",
-      fn = (s, dir) => {
-        // the SHUFFLE-FREE per-row face (one compiled pass/doc) of the
-        // relational metrics above, plus the integer-exact keep
-        // decision the curation funnel applies (batch AND streaming)
-        val sig = TextAnalysis.repetitionSignalsUdf(col("text"))
-        table(s, dir, "documents")
-          .select(
-            col("doc_id"),
-            sig.getField("_1").as("n_tok"),
-            sig.getField("_2").as("n_distinct_tok"),
-            sig.getField("_3").as("n_2gram"),
-            sig.getField("_4").as("top_2gram_n"),
-            TextAnalysis.repetitionKeep(col("text")).as("keep"))
-          .orderBy("doc_id")
-      },
-      oracle = Some(
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-          |g AS (SELECT doc_id, unnest(list_transform(
-          |        range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS g2
-          |      FROM t WHERE len(tk) >= 2),
-          |pg AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
-          |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2gram,
-          |               max(c) AS top_2gram_n FROM pg GROUP BY doc_id),
-          |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
-          |                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tok
-          |         FROM t)
-          |SELECT b.doc_id, n_tok, n_distinct_tok,
-          |  CAST(coalesce(r.n_2gram, 0) AS BIGINT) AS n_2gram,
-          |  CAST(coalesce(r.top_2gram_n, 0) AS BIGINT) AS top_2gram_n,
-          |  coalesce(r.top_2gram_n, 0) * 1000 <= coalesce(r.n_2gram, 0) * 200
-          |    AND n_distinct_tok * 1000 >= n_tok * 300 AS keep
-          |FROM base b LEFT JOIN rep r USING (doc_id) ORDER BY doc_id""".stripMargin
-      ),
-      doc = "repetition GATE face: per-row compiled signals (no " +
-        "shuffle — streamable) + the funnel's integer cross-multiplied " +
-        "keep decision, against the relational explode/groupBy replay"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_sample_bottomk_agg",
-      covers = "sampling,per-group,native-aggregate",
-      fn = (s, dir) =>
-        table(s, dir, "documents")
-          .groupBy(col("lang"), col("source"))
-          .agg(
-            graft.plans.BottomKIds
-              .bottomKIds(col("doc_id").cast("string"), "bk", 7)
-              .as("ids"),
-            count(lit(1)).as("n_docs"))
-          .select(
-            col("lang"), col("source"),
-            array_join(col("ids"), ",").as("sample_csv"),
-            size(col("ids")).cast("long").as("n_sample"),
-            col("n_docs"))
-          .orderBy("lang", "source"),
-      oracle = Some(
-        """WITH h AS (SELECT lang, source, CAST(doc_id AS VARCHAR) AS id,
-          |    md5('bk:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
-          |rk AS (SELECT lang, source, id, hh,
-          |    row_number() OVER (PARTITION BY lang, source ORDER BY hh, id) AS rn
-          |  FROM h),
-          |n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
-          |  FROM documents GROUP BY lang, source)
-          |SELECT lang, source,
-          |  string_agg(id, ',' ORDER BY hh, id) AS sample_csv,
-          |  CAST(count(*) AS BIGINT) AS n_sample, n_docs
-          |FROM rk JOIN n USING (lang, source)
-          |WHERE rn <= 7
-          |GROUP BY lang, source, n_docs ORDER BY lang, source""".stripMargin
-      ),
-      doc = "NATIVE TypedImperativeAggregate (plans.BottomKIds): exact " +
-        "k-per-group deterministic sample via a bounded k-element heap " +
-        "with map-side partial aggregation — the shuffle moves " +
-        "O(groups x k), never the corpus, vs the window formulation's " +
-        "full sort (the oracle replays that window formulation; both " +
-        "agree because the selection key is a pure salted md5)"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_sample_stratified_split",
-      covers = "sampling,stratified-split",
-      fn = (s, dir) =>
-        Sampling
-          .stratifiedExactSplit(table(s, dir, "documents"), "lang", "doc_id",
-            salt = "strat")
-          .select("doc_id", "lang", "split")
-          .orderBy("doc_id"),
-      oracle = Some(
-        """WITH r AS (SELECT doc_id, lang,
-          |    CAST(row_number() OVER (PARTITION BY lang
-          |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
-          |      AS BIGINT) AS rk,
-          |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
-          |  FROM documents)
-          |SELECT doc_id, lang,
-          |  CASE WHEN rk * 1000 <= n * 800 THEN 'train'
-          |       WHEN rk * 1000 <= n * 900 THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM r ORDER BY doc_id""".stripMargin
-      ),
-      doc = "EXACT stratified 80/10/10 split: per-stratum salted-md5 " +
-        "rank cut by cross-multiplied integer thresholds — split sizes " +
-        "exact per stratum (vs splitAssign's in-expectation sizes), " +
-        "decision float-free and engine-exact"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_sample_epoch_expand",
-      covers = "sampling-epochs,upsampling",
-      fn = (s, dir) => {
-        import graft.text.{Sampling, TextAnalysis}
-        val docs = table(s, dir, "documents")
-        // a 2.125-epoch target per source: every doc repeats twice in
-        // full, and the remainder eighth-epoch is a salted-order
-        // scan-until prefix — exercises both halves of the rule
-        val targets = docs
-          .groupBy(col("lang"))
-          .agg(sum(TextAnalysis.tokenCountWs(col("text"))).as("t"))
-          .select(col("lang"), expr("(17 * t) div 8").as("target_tok"))
-        Sampling
-          .epochExpand(docs, "lang", "doc_id", "text", targets, salt = "epoch")
-          .orderBy("lang", "doc_id")
-      },
-      oracle = Some(
-        """WITH d AS (
-          |  SELECT lang, doc_id,
-          |    CAST(length(text) - length(replace(text, ' ', '')) + 1
-          |      AS BIGINT) AS n_tok
-          |  FROM documents),
-          |t AS (
-          |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total,
-          |    (17 * CAST(sum(n_tok) AS BIGINT)) // 8 AS target
-          |  FROM d GROUP BY lang),
-          |w AS (
-          |  SELECT d.lang, d.doc_id, d.n_tok,
-          |    t.target // t.total AS fullep, t.target % t.total AS rem,
-          |    coalesce(sum(d.n_tok) OVER (PARTITION BY d.lang
-          |      ORDER BY md5('epoch:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-          |  FROM d JOIN t USING (lang))
-          |SELECT lang, doc_id, n_tok,
-          |  CAST(fullep + CASE WHEN bef < rem THEN 1 ELSE 0 END
-          |    AS BIGINT) AS n_copies
-          |FROM w ORDER BY lang, doc_id""".stripMargin
-      ),
-      doc = "epoch-repeat mixture materialization (the Llama-style " +
-        "data-recipe step after temperaturePlan): per-source full-epoch " +
-        "repeat factor plus a deterministic salted-order partial epoch " +
-        "filled by the scan-until rule — per-doc n_copies, " +
-        "integer-exact, window-prefix-sum replayed"
-    ),
-    // ----------------------------------------------------------------
-    QueryDef(
-      "q_sample_dsir_gate",
-      covers = "sample-importance-dsir",
-      fn = (s, dir) => {
-        val d = table(s, dir, "documents")
-        graft.text.Dsir
-          .dsirScore(d, d.filter(col("lang") === "en"), "doc_id", "text",
-            buckets = 256, thetaPermille = 1000)
-          .select("doc_id", "n_toks", "t_mass", "r_mass", "keep")
-          .orderBy("doc_id")
-      },
-      // FNV-1a bucket hash replays via the established HUGEINT
-      // wraparound fold (same BMP-only caveat as the SimHash replays);
-      // masses are unsmoothed integer sums and the keep decision
-      // cross-multiplies in HUGEINT, so every oracled column is exact.
-      // The smoothed float llr stays out of this face by design.
-      oracle = Some(
-        """WITH tok AS (
-          |  SELECT doc_id, lang,
-          |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS t
-          |  FROM documents WHERE text IS NOT NULL),
-          |fh AS (
-          |  SELECT doc_id, lang,
-          |    CAST(list_reduce(
-          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-          |        list_transform(range(1, length(t) + 1),
-          |          i -> CAST(unicode(t[i:i]) AS HUGEINT))),
-          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
-          |      & 255 AS BIGINT) AS f
-          |  FROM tok),
-          |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ntf
-          |  FROM fh WHERE lang = 'en' GROUP BY f),
-          |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS nrf
-          |  FROM fh GROUP BY f),
-          |tot AS (SELECT
-          |    (SELECT coalesce(sum(ntf), 0) FROM tc) AS bignt,
-          |    (SELECT coalesce(sum(nrf), 0) FROM rc) AS bignr),
-          |dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
-          |  FROM fh GROUP BY doc_id, f),
-          |agg AS (
-          |  SELECT dc.doc_id,
-          |    CAST(sum(dc.c) AS BIGINT) AS n_toks,
-          |    CAST(sum(dc.c * coalesce(tc.ntf, 0)) AS BIGINT) AS t_mass,
-          |    CAST(sum(dc.c * coalesce(rc.nrf, 0)) AS BIGINT) AS r_mass
-          |  FROM dc LEFT JOIN tc ON tc.f = dc.f LEFT JOIN rc ON rc.f = dc.f
-          |  GROUP BY dc.doc_id)
-          |SELECT d.doc_id,
-          |  coalesce(a.n_toks, 0) AS n_toks,
-          |  coalesce(a.t_mass, 0) AS t_mass,
-          |  coalesce(a.r_mass, 0) AS r_mass,
-          |  coalesce(a.n_toks, 0) > 0 AND
-          |    CAST(coalesce(a.t_mass, 0) AS HUGEINT) * t.bignr * 1000 >=
-          |    CAST(coalesce(a.r_mass, 0) AS HUGEINT) * t.bignt * 1000 AS keep
-          |FROM documents d CROSS JOIN tot t
-          |LEFT JOIN agg a ON a.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin
-      ),
       doc = "DSIR-style importance gate (Xie et al. '23): hashed " +
         "FNV-token feature masses of each doc against the target " +
         "(lang='en') vs raw corpus distributions — two buckets-sized " +
