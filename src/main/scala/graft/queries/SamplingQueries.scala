@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Graft.table
-import graft.text.{Sampling, TextAnalysis}
+import graft.text.{QualityClassifier, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting / decontamination / repetition —
@@ -264,6 +264,154 @@ object SamplingQueries {
         "pair with shared-distinct-3-gram count and the first shared " +
         "gram as quotable evidence — the report face of " +
         "q_decontaminate's yes/no filter"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_decontaminate_fuzzy",
+      covers = "decontamination,dedup-minhash",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 97L === 0L)
+        val corpus = d.filter(col("doc_id") % 97L =!= 0L)
+        TextAnalysis
+          .decontaminateFuzzy(corpus, bench, "doc_id", "text",
+            n = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.12)
+          .orderBy("doc_id")
+      },
+      // the incremental-LSH oracle (FNV shingles, modular permutations,
+      // banding on signature quads) reshaped corpus×bench and
+      // aggregated per corpus doc; max(jaccard) is a max over per-pair
+      // doubles each computed identically on both engines
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      list_transform(range(1, len(toks) - 1),
+          |        i -> list_reduce(
+          |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |            list_transform(range(1, length(array_to_string(toks[i:i+2], ' ')) + 1),
+          |              k -> CAST(unicode(array_to_string(toks[i:i+2], ' ')[k:k]) AS HUGEINT))),
+          |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)),
+          |      hu -> CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+          |            THEN hu - 18446744073709551616 ELSE hu END AS BIGINT))) AS xs
+          |  FROM d WHERE len(toks) >= 3),
+          |sg AS (
+          |  SELECT doc_id, xs, len(xs) AS n_sh,
+          |    list_transform(range(0, 32),
+          |      i -> list_min(list_transform(xs,
+          |        x -> ((((x % 2147483647) + 2147483647) % 2147483647)
+          |              * (104729 * i + 12345) + 15485863 * (i + 1)) % 2147483647))) AS sig
+          |  FROM g WHERE len(xs) > 0),
+          |bd AS (
+          |  SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS hist_id
+          |  FROM bd x JOIN bd y ON x.band = y.band
+          |    AND x.doc_id % 97 <> 0 AND y.doc_id % 97 = 0
+          |    AND x.sig[4 * x.band + 1] = y.sig[4 * y.band + 1]
+          |    AND x.sig[4 * x.band + 2] = y.sig[4 * y.band + 2]
+          |    AND x.sig[4 * x.band + 3] = y.sig[4 * y.band + 3]
+          |    AND x.sig[4 * x.band + 4] = y.sig[4 * y.band + 4]),
+          |pairs AS (
+          |  SELECT new_id,
+          |    CAST(len(list_intersect(gn.xs, gh.xs)) AS DOUBLE)
+          |      / CAST(gn.n_sh + gh.n_sh - len(list_intersect(gn.xs, gh.xs)) AS DOUBLE)
+          |      AS jaccard
+          |  FROM cand JOIN sg gn ON gn.doc_id = new_id
+          |  JOIN sg gh ON gh.doc_id = hist_id),
+          |hits AS (
+          |  SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n,
+          |    max(jaccard) AS mx
+          |  FROM pairs WHERE jaccard >= 0.12 GROUP BY new_id)
+          |SELECT dd.doc_id,
+          |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_matches,
+          |  coalesce(h.mx, 0.0) AS max_jaccard,
+          |  coalesce(h.n, 0) > 0 AS contaminated
+          |FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+          |WHERE dd.doc_id % 97 <> 0 ORDER BY dd.doc_id""".stripMargin
+      ),
+      doc = "FUZZY decontamination: corpus docs whose shingle Jaccard " +
+        "with any eval item (doc_id % 97 = 0) reaches 0.12 via the " +
+        "incremental MinHash-LSH path (corpus bands join the tiny " +
+        "bench bands only — no corpus self-pairs), exact-verified; " +
+        "catches paraphrased eval leakage the exact 3-gram face misses"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_quality_classifier",
+      covers = "text-quality,classifier-gate",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val model = QualityClassifier.fit(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"),
+          "text", buckets = 256)
+        QualityClassifier
+          .scoreWithModel(d, model, "doc_id", "text", thetaNano = 0L)
+          .orderBy("doc_id")
+      },
+      // full integer replay: FNV-hashed unigram+bigram features,
+      // HUGEINT floor-divided fixed-point weights, long inner
+      // products; `score` is one exact-long division (rule 5)
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(string_split(text, ' '), t -> t != '') AS tk
+          |  FROM documents WHERE text IS NOT NULL),
+          |feat AS (
+          |  SELECT doc_id, lang, unnest(list_concat(tk,
+          |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS ft
+          |  FROM tok),
+          |fh AS (
+          |  SELECT doc_id, lang,
+          |    CAST(list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(range(1, length(ft) + 1),
+          |          i -> CAST(unicode(ft[i:i]) AS HUGEINT))),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
+          |      & 255 AS BIGINT) AS f
+          |  FROM feat),
+          |pc AS (SELECT f, CAST(count(*) AS BIGINT) AS np
+          |  FROM fh WHERE lang = 'en' GROUP BY f),
+          |nc AS (SELECT f, CAST(count(*) AS BIGINT) AS nn
+          |  FROM fh WHERE lang <> 'en' GROUP BY f),
+          |tot AS (SELECT
+          |    CAST((SELECT coalesce(sum(np), 0) FROM pc) AS HUGEINT) AS bignp,
+          |    CAST((SELECT coalesce(sum(nn), 0) FROM nc) AS HUGEINT) AS bignn),
+          |w AS (
+          |  SELECT r.range AS f,
+          |    CAST((CAST(1000000000 AS HUGEINT) * (coalesce(pc.np, 0) + 1))
+          |        // (t.bignp + 256)
+          |      - (CAST(1000000000 AS HUGEINT) * (coalesce(nc.nn, 0) + 1))
+          |        // (t.bignn + 256) AS BIGINT) AS wf
+          |  FROM range(0, 256) r
+          |  LEFT JOIN pc ON pc.f = r.range LEFT JOIN nc ON nc.f = r.range
+          |  CROSS JOIN tot t),
+          |dc AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
+          |  FROM fh GROUP BY doc_id, f),
+          |agg AS (
+          |  SELECT dc.doc_id,
+          |    CAST(sum(dc.c) AS BIGINT) AS n_feats,
+          |    CAST(sum(dc.c * w.wf) AS BIGINT) AS w_sum
+          |  FROM dc JOIN w ON w.f = dc.f GROUP BY dc.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+          |  CAST(coalesce(a.w_sum, 0) AS BIGINT) AS w_sum,
+          |  CASE WHEN coalesce(a.n_feats, 0) > 0
+          |    THEN CAST(a.w_sum AS DOUBLE)
+          |      / (CAST(a.n_feats AS DOUBLE) * 1000000000.0)
+          |    ELSE 0.0 END AS score,
+          |  coalesce(a.n_feats, 0) > 0 AND coalesce(a.w_sum, 0) >= 0 AS keep
+          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "fastText-style hashed unigram+bigram linear quality gate " +
+        "(the DCLM/FineWeb-Edu filter shape): 256-bucket FNV features, " +
+        "fixed-point integer weights fit from lang='en' vs rest by " +
+        "one-pass Laplace-smoothed counts, per-row scoring with zero " +
+        "shuffle; keep = mean feature weight >= 0, integer-exact"
     ),
     // ----------------------------------------------------------------
     QueryDef(

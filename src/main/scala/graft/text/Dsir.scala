@@ -44,9 +44,10 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** FNV-1a 64-bit over a token's UTF-16 units, folded to the low
-    * log2(buckets) bits.
+    * log2(buckets) bits. Shared with [[QualityClassifier]] so both
+    * hashed-feature gates replay through the one DuckDB FNV pattern.
     */
-  private def fnvBucket(tok: String, mask: Int): Int = {
+  private[text] def fnvBucket(tok: String, mask: Int): Int = {
     var h = 0xcbf29ce484222325L
     var k = 0
     while (k < tok.length) { h ^= tok.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }

@@ -583,6 +583,49 @@ object TextAnalysis {
         min(col("gram")).as("first_shared_gram"))
   }
 
+  /** FUZZY benchmark decontamination: flag corpus documents whose
+    * shingle-set Jaccard with ANY benchmark/eval item reaches
+    * `minJaccard` — the near-duplicate guard that catches lightly
+    * paraphrased or reformatted eval leakage the exact n-gram face
+    * ([[decontaminate]]) misses. Engine: the incremental MinHash-LSH
+    * machinery ([[graft.dedup.Dedup.minHashLshPairsAgainst]]) with the
+    * benchmark as the "history" side — corpus docs never pair with
+    * each other, only with eval items, so the work is corpus-bands ×
+    * bench-bands bucket joins (the eval suite is tiny), never an
+    * all-pairs scan. Candidates are exact-Jaccard verified before any
+    * doc is flagged.
+    *
+    * Returns one row per corpus doc: (id, n_bench_matches,
+    * max_jaccard, contaminated). max_jaccard is order-independent
+    * (the max of per-pair doubles each computed identically on every
+    * engine), so the whole face is oracle-checkable.
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max}
+    val pairs = graft.dedup.Dedup.minHashLshPairsAgainst(
+      corpus, benchmark, idCol, textCol, n, bands, rowsPerBand, minJaccard)
+    val hits = pairs
+      .groupBy(col("new_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    corpus
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_bench_matches", coalesce(col("n_bench_matches"), lit(0L)))
+      .withColumn("max_jaccard", coalesce(col("max_jaccard"), lit(0.0d)))
+      .withColumn("contaminated", col("n_bench_matches") > 0L)
+  }
+
   /** Reference bigram LM counts: (bigram, c2) with multiplicity over
     * the reference corpus, pruned by minCount (Zipf concentration
     * makes the pruned model orders of magnitude smaller than its V²
