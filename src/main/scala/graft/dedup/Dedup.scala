@@ -86,11 +86,18 @@ object Dedup {
     val nParas = when(col(textCol).isNotNull,
       size(filter(lines, p => trim(p) =!= "")).cast("long"))
       .otherwise(0L)
-    // in-row rebuild: re-split the doc's own lines and keep the
-    // surviving raw indices (kept indices only ever point at nonempty
-    // trimmed paras, so the emptiness re-check is unnecessary). Trim
-    // matches Spark's trim(): the space character only.
-    val rebuild = udf { (text: String, kept: Seq[Long]) =>
+    firstOccurrenceDedup(df, paras, idCol, textCol, nParas, lineRebuildUdf)
+  }
+
+  /** In-row line rebuild shared by [[paragraphDedup]] and
+    * [[boilerplateRemove]]: re-split the doc's own lines and keep the
+    * surviving raw indices (kept indices only ever point at nonempty
+    * trimmed paras, so the emptiness re-check is unnecessary). Trim
+    * matches Spark's trim(): the space character only.
+    */
+  private val lineRebuildUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, kept: Seq[Long]) =>
       if (text == null) ""
       else {
         val ls = text.split("\n", -1)
@@ -111,7 +118,66 @@ object Dedup {
         sb.toString
       }
     }
-    firstOccurrenceDedup(df, paras, idCol, textCol, nParas, rebuild)
+
+  /** CCNet-style boilerplate line REMOVAL (Wenzek et al. '20 §3.1
+    * line-level dedup; RefinedWeb's repeated-line scrub): drop EVERY
+    * occurrence of any line whose corpus document-frequency reaches
+    * `maxDf` — navigation chrome, cookie banners, subscribe footers —
+    * and reassemble each document from its surviving lines. Contrast
+    * with [[paragraphDedup]], which keeps a repeated paragraph's FIRST
+    * occurrence: a line frequent enough to be boilerplate is noise in
+    * every document, including the first one crawled.
+    *
+    * Scale shape (the paragraphDedup contract): text never shuffles.
+    * Document frequencies aggregate over distinct (16-byte digest, id)
+    * pairs; the kept-index relation joins digests to per-digest counts
+    * (both digest-keyed, co-partitioned by the one exchange) and
+    * collapses to one compact (id, sorted kept-idx array) row per doc;
+    * `clean_text` is rebuilt by the compiled in-row loop after the one
+    * id-keyed join. A doc of pure boilerplate survives with
+    * clean_text='' (auditable, not silently vanished).
+    *
+    * Returns (id, clean_text, n_kept, n_dropped).
+    */
+  def boilerplateRemove(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long
+  ): DataFrame = {
+    require(maxDf >= 2L, s"maxDf < 2 would drop every line, got $maxDf")
+    val lines = split(col(textCol), "\n")
+    val paras = df
+      .select(col(idCol), posexplode(lines).as(Seq("para_idx", "__raw")))
+      .withColumn("para", trim(col("__raw")))
+      .filter(col("para") =!= "")
+      .select(col(idCol), col("para_idx").cast("long").as("para_idx"),
+        md5(col("para")).as("__digest"))
+    val nParas = when(col(textCol).isNotNull,
+      size(filter(lines, p => trim(p) =!= "")).cast("long"))
+      .otherwise(0L)
+    // document frequency = distinct docs containing the line (a doc
+    // repeating its own header doesn't make it corpus boilerplate)
+    val dfc = paras
+      .select(col("__digest"), col(idCol))
+      .distinct()
+      .groupBy(col("__digest"))
+      .agg(count(lit(1)).as("__df"))
+    val keptIdx = paras
+      .join(dfc, Seq("__digest"))
+      .filter(col("__df") < maxDf)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("para_idx"))).as("__kept_idx"))
+    df.select(col(idCol), col(textCol), nParas.as("n_paras"))
+      .join(keptIdx, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("__kept_idx").isNull, lit(""))
+          .otherwise(lineRebuildUdf(col(textCol), col("__kept_idx"))))
+      .withColumn("n_kept",
+        when(col("__kept_idx").isNull, lit(0L))
+          .otherwise(size(col("__kept_idx")).cast("long")))
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        (col("n_paras") - col("n_kept")).as("n_dropped"))
   }
 
   /** Fixed word-count-window exact dedup: the [[paragraphDedup]]

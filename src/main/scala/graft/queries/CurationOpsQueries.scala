@@ -213,6 +213,76 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_boilerplate_remove",
+      covers = "boilerplate-removal,text-quality",
+      fn = (s, dir) => {
+        // newline fixture with a document-frequency gradient: a unique
+        // lead line (df~1), a pair-shared line (df=2, kept), a
+        // campaign line shared by ~N/20 docs and a corpus-wide footer
+        // (both >= maxDf=10 at every SF, dropped EVERYWHERE — the
+        // contrast with paragraphDedup's keep-first rule)
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = split(col("text"), " ")
+        val cut = (col("doc_id") % 5L + 1L).cast("int")
+        val fixture = d.select(
+          col("doc_id"),
+          concat_ws("\n",
+            concat_ws(" ", slice(toks, lit(1), cut)),
+            lit("subscribe to our newsletter for updates"),
+            concat(lit("campaign "), (col("doc_id") % 20L).cast("string")),
+            concat(lit("pair "), expr("CAST(doc_id DIV 2 AS STRING)")),
+            concat_ws(" ", slice(toks, cut + 1, lit(6)))).as("text"))
+        graft.dedup.Dedup
+          .boilerplateRemove(fixture, "doc_id", "text", maxDf = 10L)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          |    CAST(doc_id % 5 + 1 AS INT) AS cut FROM documents),
+          |f AS (SELECT doc_id,
+          |    array_to_string(list_slice(toks, 1, cut), ' ') || chr(10) ||
+          |    'subscribe to our newsletter for updates' || chr(10) ||
+          |    'campaign ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) ||
+          |    'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+          |    array_to_string(list_slice(toks, cut + 1, cut + 6), ' ') AS text
+          |  FROM t),
+          |lines AS (SELECT doc_id,
+          |    CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT)
+          |      AS para_idx,
+          |    unnest(string_split(text, chr(10))) AS raw
+          |  FROM f),
+          |paras AS (SELECT doc_id, para_idx, trim(raw) AS para
+          |  FROM lines WHERE trim(raw) <> ''),
+          |dfc AS (SELECT md5(para) AS dg,
+          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |  FROM paras GROUP BY md5(para)),
+          |rb AS (SELECT p.doc_id,
+          |    string_agg(p.para, chr(10) ORDER BY p.para_idx) AS clean_text,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM paras p JOIN dfc ON dfc.dg = md5(p.para)
+          |  WHERE dfc.df < 10 GROUP BY p.doc_id),
+          |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+          |  FROM paras GROUP BY doc_id)
+          |SELECT f.doc_id,
+          |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(coalesce(np.n_paras, 0) - coalesce(rb.n_kept, 0) AS BIGINT)
+          |    AS n_dropped,
+          |  md5(coalesce(rb.clean_text, '')) AS clean_md5
+          |FROM f
+          |LEFT JOIN rb ON f.doc_id = rb.doc_id
+          |LEFT JOIN np ON f.doc_id = np.doc_id
+          |ORDER BY f.doc_id""".stripMargin
+      ),
+      doc = "CCNet-style boilerplate line removal: EVERY occurrence of " +
+        "a line with document-frequency >= 10 is dropped (footer and " +
+        "campaign lines die everywhere, pair-shared and unique lines " +
+        "survive), docs reassembled newline-joined; df aggregates over " +
+        "distinct (digest, doc) pairs — text never shuffles"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_edit_distance",
       covers = "edit-distance-dedup",
       fn = (s, dir) =>

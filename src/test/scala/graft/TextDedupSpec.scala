@@ -456,6 +456,51 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(3) == ((4L, "p q r", 2L, 0L)))   // "p q" + "r" both unique
   }
 
+  test("boilerplateRemove drops EVERY occurrence of a frequent line, keeps rare ones") {
+    // footer appears in all 4 docs (df=4 >= maxDf=3): dropped
+    // everywhere INCLUDING doc 1 — the contrast with paragraphDedup's
+    // keep-first rule. "rare line" df=2 < 3: kept in both docs.
+    val corpus = Seq(
+      (1L, "unique lead one\nthe footer\nrare line"),
+      (2L, "unique lead two\nthe footer\nrare line"),
+      (3L, "unique lead three\n  the footer  "), // trim-variant counts as same line
+      (4L, "the footer"), // pure boilerplate: survives empty
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .boilerplateRemove(corpus, "doc_id", "text", maxDf = 3L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "unique lead one\nrare line", 2L, 1L)))
+    assert(out(1) == ((2L, "unique lead two\nrare line", 2L, 1L)))
+    assert(out(2) == ((3L, "unique lead three", 1L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 1L))) // auditable, not vanished
+    assert(out(4) == ((5L, "", 0L, 0L))) // null text: zero lines
+    // paragraphDedup on the same corpus KEEPS the footer's first
+    // occurrence — the two rules are genuinely different operators
+    val pd = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(pd(0).getString(1).contains("the footer"))
+  }
+
+  test("boilerplateRemove df counts distinct docs, not occurrences") {
+    // doc 1 repeats its own header 3 times; corpus df for it is 2
+    // (docs 1 and 2) < maxDf=3, so the repeats all survive
+    val corpus = Seq(
+      (1L, "hdr\nhdr\nhdr\nbody one"),
+      (2L, "hdr\nbody two"),
+      (3L, "body three")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .boilerplateRemove(corpus, "doc_id", "text", maxDf = 3L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "hdr\nhdr\nhdr\nbody one", 4L, 0L)))
+    assert(out(1) == ((2L, "hdr\nbody two", 2L, 0L)))
+  }
+
   test("editDistancePairs finds pairs across length buckets, exactly once") {
     // maxDist=3 → buckets of width 3: "abcd" (len 4, b1) vs "abcde"
     // (len 5, b1) same bucket; "abc" (len 3, b1) vs "ab" (len 2, b0)
