@@ -43,6 +43,47 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
   }
 
+  /** SoftDeDup-style duplicate REWEIGHTING (He et al. '24, "SoftDedup:
+    * an Efficient Data Reweighting Method for Speeding Up Language
+    * Model Pre-training"): instead of dropping duplicate documents,
+    * every member of a duplicate group keeps a training weight equal
+    * to the inverse of its group's multiplicity — the corpus-level
+    * token mass of each distinct content is preserved at exactly one
+    * copy's worth, but no individual document (with its surrounding
+    * metadata, domain mix, ordering) is discarded. Grouping is the
+    * [[exactNormalized]] key (lowercase / strip punctuation / collapse
+    * whitespace), so reformatted copies share a group; empty- or
+    * null-normalized documents get per-doc keys and weight 1.
+    *
+    * Returns one row per input document:
+    * (idCol, content_key, dup_count, n_tok, eff_tok, weight) where
+    * eff_tok = n_tok div dup_count (the document's surviving token
+    * budget, integer) and weight = 1.0 / dup_count (IEEE-exact, the
+    * per-example loss multiplier a trainer consumes).
+    *
+    * Scale: text never shuffles — the map side reduces every document
+    * to (id, digest, n_tok); the group count is one digest-keyed
+    * aggregation and one digest-keyed join back, both metadata-width.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = graft.text.TextAnalysis.normalizedText(col(textCol))
+    val key = when(norm.isNull || length(norm) === 0,
+      concat(lit("empty:"), col(idCol).cast("string"))).otherwise(md5(norm))
+    val keyed = df.select(
+      col(idCol),
+      key.as("content_key"),
+      graft.text.TextAnalysis.tokenCountWs(col(textCol)).as("n_tok"))
+    val counts = keyed
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("dup_count"))
+    keyed
+      .join(counts, Seq("content_key"))
+      .withColumn("eff_tok", expr("CAST(n_tok div dup_count AS BIGINT)"))
+      .withColumn("weight", lit(1.0d) / col("dup_count").cast("double"))
+      .select(col(idCol), col("content_key"), col("dup_count"),
+        col("n_tok"), col("eff_tok"), col("weight"))
+  }
+
   /** Paragraph-level exact dedup (the C4 / Dolma recipe one level below
     * document dedup): split every document into NEWLINE-delimited
     * paragraphs (trimmed; blank lines dropped), keep only the FIRST

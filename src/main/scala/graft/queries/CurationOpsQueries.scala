@@ -739,6 +739,112 @@ object CurationOpsQueries {
         "broadcast semi-join (a million-entry blocklist is a " +
         "broadcast table, not a regex union); oracle replays the " +
         "suffix semantics generically"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_soft_weights",
+      covers = "soft-dedup,dedup-exact-normalized,D1",
+      fn = (s, dir) => {
+        // same duplicate fixture as q_dedup_exact_normalized: every
+        // 5th doc gets a trivially-reformatted copy under a shifted id
+        // — soft dedup must weight each such pair at 1/2 while every
+        // unique doc keeps weight 1
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val variants = d.filter(col("doc_id") % 5L === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit(" !!  ")).as("text"))
+        graft.dedup.Dedup
+          .softDedupWeights(d.unionByName(variants), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!  '
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |n AS (SELECT doc_id, text,
+          |   trim(regexp_replace(regexp_replace(lower(text),
+          |     '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+          | FROM u),
+          |k AS (SELECT doc_id,
+          |   CASE WHEN norm = '' THEN 'empty:' || CAST(doc_id AS VARCHAR)
+          |        ELSE md5(norm) END AS content_key,
+          |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          |     AS n_tok
+          | FROM n),
+          |c AS (SELECT content_key, CAST(count(*) AS BIGINT) AS dup_count
+          | FROM k GROUP BY content_key)
+          |SELECT k.doc_id, k.content_key, c.dup_count, k.n_tok,
+          |  CAST(k.n_tok // c.dup_count AS BIGINT) AS eff_tok,
+          |  1.0 / CAST(c.dup_count AS DOUBLE) AS weight
+          |FROM k JOIN c USING (content_key)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "SoftDeDup duplicate reweighting (He et al. '24): keep " +
+        "every duplicate but scale its training weight by 1/group " +
+        "multiplicity over the normalized-exact key — corpus token " +
+        "mass per distinct content collapses to one copy's worth " +
+        "without dropping rows; text never shuffles"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_lm_buckets",
+      covers = "lm-buckets,text-lm-quality",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // same reference LM as q_text_lm_quality: every 10th document,
+        // bigrams kept at count >= 2
+        val model = graft.text.TextAnalysis
+          .bigramModel(d.filter(col("doc_id") % 10 === 0), "text",
+            minCount = 2L)
+        graft.text.TextAnalysis
+          .lmBuckets(d, "doc_id", "text", "lang", model)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |bg AS (
+          |  SELECT doc_id,
+          |    unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+          |  FROM tok WHERE len(t) >= 2),
+          |model AS (
+          |  SELECT bigram, count(*) AS c2
+          |  FROM bg WHERE doc_id % 10 = 0
+          |  GROUP BY bigram HAVING count(*) >= 2),
+          |per AS (
+          |  SELECT b.doc_id, count(*) AS n_bigrams, count(m.c2) AS n_hits
+          |  FROM bg b LEFT JOIN model m USING (bigram)
+          |  GROUP BY b.doc_id),
+          |s AS (
+          |  SELECT d.doc_id, d.lang,
+          |    CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+          |      AS BIGINT) AS n_tok,
+          |    CASE WHEN coalesce(p.n_bigrams, 0) > 0
+          |         THEN CAST((coalesce(p.n_hits, 0) * 1000000)
+          |                // coalesce(p.n_bigrams, 0) AS BIGINT)
+          |         ELSE CAST(0 AS BIGINT) END AS score_key
+          |  FROM documents d LEFT JOIN per p USING (doc_id)),
+          |c AS (
+          |  SELECT doc_id, lang, score_key, n_tok,
+          |    CAST(sum(n_tok) OVER (PARTITION BY lang
+          |      ORDER BY score_key DESC, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tok,
+          |    CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT) AS lang_tok
+          |  FROM s)
+          |SELECT doc_id, lang, score_key, n_tok, cum_tok, lang_tok,
+          |  CASE WHEN cum_tok * 3 <= lang_tok THEN 'head'
+          |       WHEN cum_tok * 3 <= lang_tok * 2 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM c ORDER BY doc_id""".stripMargin
+      ),
+      doc = "CCNet head/middle/tail perplexity bucketing (Wenzek et " +
+        "al. '20 §4.3): per language, rank best-LM-explained first " +
+        "and cut into three equal token-mass buckets — rank key and " +
+        "cuts are integer-exact; running mass is the two-phase " +
+        "distributed prefix sum, never a single-partition window"
     )
   )
 }

@@ -694,6 +694,89 @@ object TextAnalysis {
           col("n_hits") * 1000L >= col("n_bigrams") * minHitPermille.toLong)
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. '20
+    * §4.3): per language, rank documents best-explained-first by the
+    * reference LM and cut the ranking into three buckets of equal
+    * TOKEN MASS — "head" is the best-explained third of the language's
+    * tokens, "tail" the worst. CCNet ranks by KenLM perplexity; the
+    * engine ranks by the integer hit-rate key
+    * score_key = (n_hits * 10^6) div n_bigrams from [[lmQuality]]'s
+    * tally (monotone in hit rate, float-free — determinism rule 8),
+    * ties broken by id, so the ENTIRE bucket assignment is
+    * integer-exact and oracle-checkable. A document whose token span
+    * crosses a cut lands in the bucket of its END offset, so head and
+    * middle each hold at most ⌈mass/3⌉ tokens.
+    *
+    * Scale: the per-language running token mass is the packSequences
+    * two-phase distributed prefix sum — one range repartition on
+    * (lang, -score, id), per-shard partial sums, and a broadcast of
+    * the (lang × shard)-sized base table — never a single-partition
+    * window over a language's full corpus. CCNet itself pays this
+    * same per-language global sort; nothing wider than
+    * (id, lang, two longs) ever shuffles.
+    *
+    * Returns one row per document:
+    * (idCol, langCol, score_key, n_tok, cum_tok, lang_tok, bucket).
+    */
+  def lmBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      model: DataFrame,
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val tally = lmQuality(docs, idCol, textCol, model,
+      broadcastModel = broadcastModel)
+      .select(col(idCol), col("n_bigrams"), col("n_hits"))
+    val base = docs
+      .select(col(idCol), col(langCol), tokenCountWs(col(textCol)).as("n_tok"))
+      .join(tally, Seq(idCol))
+      .withColumn("score_key",
+        when(col("n_bigrams") > 0L,
+          expr("CAST((n_hits * CAST(1000000 AS BIGINT)) div n_bigrams AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("__neg", -col("score_key"))
+    val p = math.max(2, spark.sparkContext.defaultParallelism / 2)
+    val sharded = base
+      .repartitionByRange(p, col(langCol), col("__neg"), col(idCol))
+      .withColumn("shard", spark_partition_id())
+      .cache()
+    val shardAgg = sharded
+      .groupBy(col(langCol), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+    // (lang × shard) rows — metadata at any corpus size; the window
+    // below runs over that tiny table, not the corpus
+    val wShards = Window.partitionBy(col(langCol)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = shardAgg
+      .withColumn("shard_base",
+        coalesce(sum(col("shard_tok")).over(wShards), lit(0L)))
+      .select(col(langCol), col("shard"), col("shard_base"))
+    val totals = shardAgg
+      .groupBy(col(langCol))
+      .agg(sum(col("shard_tok")).as("lang_tok"))
+    val wLocal = Window.partitionBy(col(langCol), col("shard"))
+      .orderBy(col("__neg"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = sharded
+      .join(broadcast(bases), Seq(langCol, "shard"))
+      .join(broadcast(totals), Seq(langCol))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wLocal) + col("shard_base"))
+      .withColumn("bucket",
+        when(col("cum_tok") * 3 <= col("lang_tok"), lit("head"))
+          .when(col("cum_tok") * 3 <= col("lang_tok") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("score_key"), col("n_tok"),
+        col("cum_tok"), col("lang_tok"), col("bucket"))
+    val res = out.cache()
+    res.count()
+    sharded.unpersist()
+    res
+  }
+
   /** Gopher-style repetition metrics per document: distinct-token
     * ratio and the fraction of all word bigrams taken by the single
     * most frequent bigram. Ratios are long/long→double (exact, engine
