@@ -920,6 +920,91 @@ object TextQueries {
         "oracle replays the whole train->encode chain (merge-round " +
         "CTEs, then each document's ordered words joined against the " +
         "final symbolization)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_gopher_ngrams",
+      covers = "text-repetition,text-quality",
+      fn = (s, dir) =>
+        graft.text.TextAnalysis
+          .gopherRepetitionSignals(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      oracle = Some(gopherNgramsOracle),
+      doc = "the COMPLETE Gopher repetition table (Rae et al. '21 " +
+        "App. A1.1): top-{2,3,4}-gram chars (occurrences x gram " +
+        "length, deterministic tie-break) and duplicated-{5..10}-gram " +
+        "token-char coverage (each token counted once under " +
+        "overlapping duplicates) — one compiled per-row pass, zero " +
+        "shuffle; the oracle replays every n via gram-position CTEs"
     )
   )
+
+  /** Oracle for q_text_gopher_ngrams, generated per n (the 9 signal
+    * families differ only in n, so the SQL is built mechanically —
+    * top-gram CTEs for n=2..4, coverage CTEs for n=5..10).
+    */
+  private def gopherNgramsOracle: String = {
+    val topCtes = (2 to 4).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+${n - 1}], ' ')
+         |            FOR i IN range(1, len(t) - ${n - 2})]) AS gram
+         |  FROM t),
+         |c$n AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY doc_id, gram),
+         |top$n AS (
+         |  SELECT doc_id, CAST(c * length(gram) AS BIGINT) AS top${n}_chars
+         |  FROM (SELECT doc_id, c, gram,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, gram ASC) AS rn
+         |        FROM c$n)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = (5 to 10).map { n =>
+      s"""go$n AS (
+         |  SELECT doc_id, u.i AS i, u.g AS gram FROM (
+         |    SELECT doc_id,
+         |      unnest([{'i': i, 'g': array_to_string(t[i:i+${n - 1}], ' ')}
+         |              FOR i IN range(1, len(t) - ${n - 2})]) AS u
+         |    FROM t)),
+         |d$n AS (
+         |  SELECT doc_id, gram FROM go$n
+         |  GROUP BY doc_id, gram HAVING count(*) >= 2),
+         |cov$n AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT g.doc_id, unnest(range(g.i, g.i + $n)) AS idx
+         |    FROM go$n g JOIN d$n d
+         |      ON d.doc_id = g.doc_id AND d.gram = g.gram)),
+         |cc$n AS (
+         |  SELECT c.doc_id,
+         |    CAST(sum(length(tt.t[c.idx])) AS BIGINT) AS dup${n}_chars
+         |  FROM cov$n c JOIN t tt ON tt.doc_id = c.doc_id
+         |  GROUP BY c.doc_id)""".stripMargin
+    }
+    val topJoins = (2 to 4)
+      .map(n => s"LEFT JOIN top$n ON top$n.doc_id = b.doc_id").mkString("\n")
+    val dupJoins = (5 to 10)
+      .map(n => s"LEFT JOIN cc$n ON cc$n.doc_id = b.doc_id").mkString("\n")
+    val topSel = (2 to 4)
+      .map(n => s"coalesce(top$n.top${n}_chars, 0) AS top${n}_chars")
+      .mkString(",\n  ")
+    val dupSel = (5 to 10)
+      .map(n => s"coalesce(cc$n.dup${n}_chars, 0) AS dup${n}_chars")
+      .mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |${(topCtes ++ dupCtes).mkString(",\n")}
+       |SELECT b.doc_id, b.n_chars, b.n_tok,
+       |  $topSel,
+       |  $dupSel
+       |FROM b
+       |$topJoins
+       |$dupJoins
+       |ORDER BY b.doc_id""".stripMargin
+  }
 }

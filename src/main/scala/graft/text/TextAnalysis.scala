@@ -857,6 +857,113 @@ object TextAnalysis {
       (nDistinct * 1000L >= nTok * minDistinctPermille.toLong)
   }
 
+  /** The COMPLETE Gopher repetition table (Rae et al. '21 App. A1.1;
+    * the same suite Dolma/DataTrove ship): per document,
+    *  - for n ∈ {2,3,4}: characters inside the MOST FREQUENT n-gram
+    *    (occurrences × gram string length; tie → lexicographically
+    *    smallest gram, so the pick is deterministic and replayable);
+    *  - for n ∈ {5..10}: characters inside tokens covered by ANY
+    *    duplicated n-gram (per-doc count ≥ 2), each token counted
+    *    ONCE however many duplicated grams overlap it (the paper's
+    *    coverage-marking semantics). Coverage chars count token
+    *    characters only, not joining spaces (documented deviation:
+    *    the paper counts raw text chars; token-chars is the same
+    *    monotone signal and stays integer-portable).
+    * All outputs are longs — the gate thresholds divide them as
+    * cross-multiplied integers downstream. ONE compiled pass per row
+    * over a per-doc hash map, zero shuffle.
+    */
+  val gopherNgramSignalsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) {
+        (0L, 0L, Seq(0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L))
+      } else {
+        val toks = text.split(" ", -1)
+        var nChars = 0L
+        var i = 0
+        while (i < toks.length) { nChars += toks(i).length; i += 1 }
+        // top-gram chars for n = 2..4
+        val top = (2 to 4).map { n =>
+          if (toks.length < n) 0L
+          else {
+            val counts = new java.util.HashMap[String, Integer]()
+            var j = 0
+            while (j <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(j))
+              var k = 1
+              while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+              counts.merge(sb.toString, Integer.valueOf(1), (a, b) => a + b)
+              j += 1
+            }
+            var bestGram: String = null
+            var bestN = 0
+            counts.forEach { (g, c) =>
+              if (c > bestN || (c == bestN && (bestGram == null || g.compareTo(bestGram) < 0))) {
+                bestGram = g; bestN = c
+              }
+            }
+            bestN.toLong * bestGram.length
+          }
+        }
+        // duplicated-gram token coverage for n = 5..10
+        val dup = (5 to 10).map { n =>
+          if (toks.length < n) 0L
+          else {
+            val counts = new java.util.HashMap[String, Integer]()
+            val grams = new Array[String](toks.length - n + 1)
+            var j = 0
+            while (j <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(j))
+              var k = 1
+              while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+              grams(j) = sb.toString
+              counts.merge(grams(j), Integer.valueOf(1), (a, b) => a + b)
+              j += 1
+            }
+            val covered = new Array[Boolean](toks.length)
+            j = 0
+            while (j <= toks.length - n) {
+              if (counts.get(grams(j)).intValue >= 2) {
+                var k = 0
+                while (k < n) { covered(j + k) = true; k += 1 }
+              }
+              j += 1
+            }
+            var chars = 0L
+            j = 0
+            while (j < toks.length) {
+              if (covered(j)) chars += toks(j).length
+              j += 1
+            }
+            chars
+          }
+        }
+        (nChars, toks.length.toLong, top, dup)
+      }
+    }
+
+  /** [[gopherNgramSignalsUdf]] unpacked to one long column per signal:
+    * (idCol, n_chars, n_tok, top2_chars, top3_chars, top4_chars,
+    * dup5_chars .. dup10_chars).
+    */
+  def gopherRepetitionSignals(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val s = gopherNgramSignalsUdf(col(textCol))
+    val base = df.select(col(idCol), s.as("__s"))
+    val topCols = (2 to 4).zipWithIndex.map { case (n, i) =>
+      col("__s._3").getItem(i).as(s"top${n}_chars")
+    }
+    val dupCols = (5 to 10).zipWithIndex.map { case (n, i) =>
+      col("__s._4").getItem(i).as(s"dup${n}_chars")
+    }
+    base.select(
+      col(idCol) +: col("__s._1").as("n_chars") +: col("__s._2").as("n_tok") +:
+        (topCols ++ dupCols): _*)
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */
