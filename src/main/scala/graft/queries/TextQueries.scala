@@ -936,6 +936,56 @@ object TextQueries {
         "token-char coverage (each token counted once under " +
         "overlapping duplicates) — one compiled per-row pass, zero " +
         "shuffle; the oracle replays every n via gram-position CTEs"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_fim",
+      covers = "fim-transform,text-quality",
+      fn = (s, dir) => {
+        val out = graft.text.TextAnalysis
+          .fimTransform(table(s, dir, "documents"), "doc_id", "text")
+        // ship a digest of the transformed text, not 5k full payloads
+        out.select(col("doc_id"), col("fim_applied"),
+            col("cut_lo"), col("cut_hi"),
+            length(col("fim_text")).cast("long").as("fim_len"),
+            md5(col("fim_text")).as("fim_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH f AS (
+          |  SELECT doc_id, text,
+          |    substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          |      <= '7fff' AS fim_applied,
+          |    CAST(('0x' || substr(md5('fimc1:' || CAST(doc_id AS VARCHAR)),
+          |      1, 8)) AS BIGINT) % (length(text) + 1) AS u1,
+          |    CAST(('0x' || substr(md5('fimc2:' || CAST(doc_id AS VARCHAR)),
+          |      1, 8)) AS BIGINT) % (length(text) + 1) AS u2
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, text, fim_applied,
+          |    least(u1, u2) AS lo, greatest(u1, u2) AS hi
+          |  FROM f),
+          |o AS (
+          |  SELECT doc_id, fim_applied,
+          |    CASE WHEN fim_applied THEN lo END AS cut_lo,
+          |    CASE WHEN fim_applied THEN hi END AS cut_hi,
+          |    CASE WHEN fim_applied THEN
+          |      '<fim_prefix>' || substr(text, 1, lo)
+          |      || '<fim_suffix>' || substr(text, hi + 1, length(text) - hi)
+          |      || '<fim_middle>' || substr(text, lo + 1, hi - lo)
+          |    ELSE text END AS fim_text
+          |  FROM c)
+          |SELECT doc_id, fim_applied, cut_lo, cut_hi,
+          |  CAST(length(fim_text) AS BIGINT) AS fim_len,
+          |  md5(fim_text) AS fim_md5
+          |FROM o ORDER BY doc_id""".stripMargin
+      ),
+      doc = "deterministic fill-in-the-middle transform (Bavarian et " +
+        "al. '22, PSM sentinel layout): apply flag and both character " +
+        "cuts are salted-md5 functions of the id, so the transform " +
+        "replays bit-identically on any engine; one per-row " +
+        "projection, zero shuffle — oracle rebuilds the exact PSM " +
+        "string and matches its md5"
     )
   )
 

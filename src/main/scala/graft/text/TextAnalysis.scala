@@ -964,6 +964,56 @@ object TextAnalysis {
         (topCols ++ dupCols): _*)
   }
 
+  /** Deterministic fill-in-the-middle transform (Bavarian et al. '22,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * the code-corpus preprocessing op): with salted-hash probability
+    * ≈ (hexThresh4+1)/65536, a document is split at two hash-derived
+    * character positions into (prefix, middle, suffix) and re-emitted
+    * in PSM order `preTok·prefix·sufTok·suffix·midTok·middle` (the
+    * StarCoder/SantaCoder sentinel layout); other documents pass
+    * through unchanged. Every decision — the apply flag and both cut
+    * points — is a pure function of (salt, id), so the transform is
+    * reproducible across runs, engines, and partitionings (the
+    * Sampling.saltedHex discipline), and the whole op is one
+    * codegen'd per-row projection with zero shuffle.
+    *
+    * Cut points are uniform over 0..len inclusive (either span may be
+    * empty, per the paper). Returns (idCol, fim_applied, cut_lo,
+    * cut_hi, fim_text); cuts are null on pass-through rows.
+    */
+  def fimTransform(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String = "fim",
+      hexThresh4: String = "7fff",
+      preTok: String = "<fim_prefix>",
+      sufTok: String = "<fim_suffix>",
+      midTok: String = "<fim_middle>"
+  ): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val len = length(text).cast("long")
+    def cut(sub: String) =
+      conv(substring(Sampling.saltedHex(salt + sub, id), 1, 8), 16, 10)
+        .cast("long") % (len + 1L)
+    val u1 = cut("c1")
+    val u2 = cut("c2")
+    val lo = least(u1, u2)
+    val hi = greatest(u1, u2)
+    val flag = Sampling.sampleFlag(salt, id, hexThresh4)
+    val psm = concat(
+      lit(preTok), text.substr(lit(1L), lo),
+      lit(sufTok), text.substr(hi + 1L, len - hi),
+      lit(midTok), text.substr(lo + 1L, hi - lo))
+    df.select(
+      id,
+      flag.as("fim_applied"),
+      when(flag, lo).cast("long").as("cut_lo"),
+      when(flag, hi).cast("long").as("cut_hi"),
+      when(flag, psm).otherwise(text).as("fim_text"))
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */
