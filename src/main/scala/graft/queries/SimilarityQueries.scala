@@ -874,5 +874,50 @@ WHERE rk <= 20 ORDER BY cluster, vec_id"""),
       "modes, keep rare clusters whole); shuffle carries at most " +
       "partitions*quota rows per cluster, output bounded by " +
       "nLists*quota at any corpus size"
+  ) :+ QueryDef(
+    "q_embed_seed_gate",
+    covers = "seed-similarity-gate,embedding-quality",
+    fn = (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      // curated seed set = the label-0 slice; everything scores
+      // against its integer-mean centroid
+      graft.similarity.Ann
+        .seedCentroidScores(e, e.filter(col("label") === 0),
+          "vec_id", "embedding", minCos = 0.2)
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      """WITH qe AS (SELECT vec_id, label,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |ns AS (SELECT count(*) AS n FROM embeddings WHERE label = 0),
+        |cent AS (
+        |  SELECT pos, CAST(sum(xq) AS BIGINT) AS csum
+        |  FROM qe WHERE label = 0 GROUP BY pos),
+        |cq AS (
+        |  SELECT pos,
+        |    CAST((csum + ns.n * 2097152) // ns.n AS BIGINT) - 2097152 AS cq
+        |  FROM cent, ns),
+        |cn AS (SELECT sqrt(CAST(CAST(sum(cq * cq) AS BIGINT) AS DOUBLE)) AS cnorm
+        |  FROM cq),
+        |norms AS (
+        |  SELECT vec_id, sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM qe GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id, CAST(sum(q.xq * c.cq) AS BIGINT) AS dot_centroid
+        |  FROM qe q JOIN cq c USING (pos) GROUP BY q.vec_id)
+        |SELECT d.vec_id, d.dot_centroid,
+        |  CAST(d.dot_centroid AS DOUBLE) / (n.nrm * cn.cnorm) AS cos_centroid,
+        |  CAST(d.dot_centroid AS DOUBLE) / (n.nrm * cn.cnorm) >= 0.2 AS keep
+        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id, cn
+        |ORDER BY d.vec_id""".stripMargin
+    ),
+    doc = "seed-centroid similarity gate (the GPT-3-style 'looks like " +
+      "curated data' quality filter in embedding space): integer-mean " +
+      "centroid of the seed slice (shift-trick division so truncating " +
+      "and flooring engines agree), then a zero-shuffle quantized dot " +
+      "per row against the broadcast centroid literal — centroid " +
+      "build is codebook-sized, nothing corpus-sized moves"
   )
 }

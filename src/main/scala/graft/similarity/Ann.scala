@@ -469,6 +469,63 @@ object Ann {
       .select("a", "b", "cos")
   }
 
+  /** Seed-centroid similarity gate: score every corpus embedding by
+    * cosine to the CENTROID of a small curated seed set — the
+    * embedding-space analogue of the GPT-3 quality classifier (score
+    * against "what good data looks like", keep the high-scorers;
+    * the same shape SemDeDup-era pipelines use for seed-corpus
+    * filtering). Cosine to the mean equals cosine to the sum, but the
+    * centroid is materialized as an INTEGER mean on the QuantScale
+    * grid so every downstream product stays inside the exact-in-double
+    * bound regardless of seed count; the mean divides via the
+    * +2^21-shift trick, making truncating (Spark `div`) and flooring
+    * (DuckDB `//`) division agree on negative sums.
+    *
+    * Scale: the centroid is ONE aggregation over the seed set
+    * collapsed to dim rows (codebook pattern — driver metadata at any
+    * corpus size); scoring is a zero-shuffle per-row dot against the
+    * broadcast literal. Nothing corpus-sized moves.
+    *
+    * Returns (idCol, dot_centroid [exact long], cos_centroid, keep =
+    * cos ≥ minCos); the cos double is bit-identical across engines
+    * (exact integer dot, IEEE sqrt/divide in fixed order).
+    */
+  def seedCentroidScores(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double
+  ): DataFrame = {
+    val half = 2097152L // 2 * QuantScale: |xq| <= 2^21, so csum+n*half >= 0
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "seedCentroidScores needs a non-empty seed set")
+    val centRows = explodeVecQ(seeds, idCol, vecCol)
+      .groupBy("pos")
+      .agg(sum(col("xq")).as("csum"))
+      .select(col("pos"),
+        (expr(s"CAST((csum + ${nSeeds * half}L) div ${nSeeds}L AS BIGINT)")
+          - lit(half)).as("cq"))
+      .orderBy("pos")
+      .collect()
+    val dim = centRows.length
+    val cq = new Array[Long](dim)
+    centRows.foreach(r => cq(r.getAs[Int]("pos")) = r.getAs[Long]("cq"))
+    var cn2 = 0L
+    cq.foreach(c => cn2 += c * c)
+    val centNorm = math.sqrt(cn2.toDouble)
+    val cqLit = typedLit(cq.toSeq)
+    val scored = corpus
+      .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"))
+      .withColumn("nsq", quantDot(col("qv"), col("qv")))
+      .withColumn("dot_centroid", quantDot(col("qv"), cqLit).cast("long"))
+      .withColumn("cos_centroid",
+        col("dot_centroid").cast("double") / (sqrt(col("nsq")) * lit(centNorm)))
+    scored
+      .withColumn("keep", col("cos_centroid") >= minCos)
+      .select(col(idCol), col("dot_centroid"), col("cos_centroid"), col("keep"))
+  }
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup by
     * clustering embeddings (k-means via [[ivfBuild]]) and dropping,
     * within each cluster, every item that has a lower-id clustermate
