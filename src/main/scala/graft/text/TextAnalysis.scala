@@ -980,6 +980,13 @@ object TextAnalysis {
     * Cut points are uniform over 0..len inclusive (either span may be
     * empty, per the paper). Returns (idCol, fim_applied, cut_lo,
     * cut_hi, fim_text); cuts are null on pass-through rows.
+    *
+    * `mode` selects the sentinel layout: "psm" (default) emits
+    * preTok·prefix·sufTok·suffix·midTok·middle; "spm" emits the
+    * paper's joined suffix-prefix-middle variant
+    * preTok·sufTok·suffix·midTok·prefix·middle (App. D — prefix and
+    * middle concatenate with no sentinel between, which is what lets
+    * an inference server reuse the suffix KV cache).
     */
   def fimTransform(
       df: org.apache.spark.sql.DataFrame,
@@ -989,8 +996,10 @@ object TextAnalysis {
       hexThresh4: String = "7fff",
       preTok: String = "<fim_prefix>",
       sufTok: String = "<fim_suffix>",
-      midTok: String = "<fim_middle>"
+      midTok: String = "<fim_middle>",
+      mode: String = "psm"
   ): org.apache.spark.sql.DataFrame = {
+    require(mode == "psm" || mode == "spm", s"fim mode must be psm|spm, got $mode")
     val id = col(idCol)
     val text = col(textCol)
     val len = length(text).cast("long")
@@ -1002,10 +1011,14 @@ object TextAnalysis {
     val lo = least(u1, u2)
     val hi = greatest(u1, u2)
     val flag = Sampling.sampleFlag(salt, id, hexThresh4)
-    val psm = concat(
-      lit(preTok), text.substr(lit(1L), lo),
-      lit(sufTok), text.substr(hi + 1L, len - hi),
-      lit(midTok), text.substr(lo + 1L, hi - lo))
+    val prefix = text.substr(lit(1L), lo)
+    val middle = text.substr(lo + 1L, hi - lo)
+    val suffix = text.substr(hi + 1L, len - hi)
+    val psm =
+      if (mode == "psm")
+        concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
+      else
+        concat(lit(preTok), lit(sufTok), suffix, lit(midTok), prefix, middle)
     df.select(
       id,
       flag.as("fim_applied"),

@@ -57,6 +57,30 @@ class FimSpec extends SparkTestBase {
     assert(again == out.orderBy("doc_id").collect().toSeq)
   }
 
+  test("SPM mode reorders to suffix-prefix-middle with joined prefix+middle") {
+    val out = TextAnalysis
+      .fimTransform(docs, "doc_id", "text", mode = "spm")
+      .join(docs, "doc_id")
+      .filter($"fim_applied")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val t = r.getAs[String]("fim_text")
+      val orig = r.getAs[String]("text")
+      val lo = r.getAs[Long]("cut_lo").toInt
+      val hi = r.getAs[Long]("cut_hi").toInt
+      val expected = "<fim_prefix>" + "<fim_suffix>" + orig.substring(hi) +
+        "<fim_middle>" + orig.substring(0, lo) + orig.substring(lo, hi)
+      assert(t == expected)
+    }
+    // cuts are identical across modes (same salt)
+    val psmCuts = TextAnalysis.fimTransform(docs, "doc_id", "text")
+      .select("doc_id", "cut_lo", "cut_hi").orderBy("doc_id").collect().toSeq
+    val spmCuts = TextAnalysis.fimTransform(docs, "doc_id", "text", mode = "spm")
+      .select("doc_id", "cut_lo", "cut_hi").orderBy("doc_id").collect().toSeq
+    assert(psmCuts == spmCuts)
+  }
+
   test("empty document survives with empty spans") {
     val d = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     val rows = TextAnalysis.fimTransform(d, "doc_id", "text")
