@@ -496,10 +496,26 @@ object Ann {
       idCol: String,
       vecCol: String,
       minCos: Double
-  ): DataFrame = {
+  ): DataFrame =
+    seedCentroidApply(corpus, seedCentroidFit(seeds, idCol, vecCol),
+      idCol, vecCol, minCos)
+
+  /** The fitted seed model: integer-mean centroid on the QuantScale
+    * grid + its precomputed norm. Driver metadata (dim longs) — the
+    * fit/apply split is what makes the gate streaming-safe: fit once
+    * on a seed snapshot, apply as a stateless per-row map on batch
+    * tables and streaming micro-batches alike.
+    */
+  final case class SeedCentroid(cq: Seq[Long], norm: Double)
+
+  def seedCentroidFit(
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): SeedCentroid = {
     val half = 2097152L // 2 * QuantScale: |xq| <= 2^21, so csum+n*half >= 0
     val nSeeds = seeds.count()
-    require(nSeeds > 0, "seedCentroidScores needs a non-empty seed set")
+    require(nSeeds > 0, "seedCentroidFit needs a non-empty seed set")
     val centRows = explodeVecQ(seeds, idCol, vecCol)
       .groupBy("pos")
       .agg(sum(col("xq")).as("csum"))
@@ -508,20 +524,32 @@ object Ann {
           - lit(half)).as("cq"))
       .orderBy("pos")
       .collect()
-    val dim = centRows.length
-    val cq = new Array[Long](dim)
+    val cq = new Array[Long](centRows.length)
     centRows.foreach(r => cq(r.getAs[Int]("pos")) = r.getAs[Long]("cq"))
     var cn2 = 0L
     cq.foreach(c => cn2 += c * c)
-    val centNorm = math.sqrt(cn2.toDouble)
-    val cqLit = typedLit(cq.toSeq)
-    val scored = corpus
+    SeedCentroid(cq.toSeq, math.sqrt(cn2.toDouble))
+  }
+
+  /** Stateless scoring against a fitted [[SeedCentroid]]: one
+    * codegen'd per-row projection (quantize, two dots, IEEE divide) —
+    * zero shuffle, no aggregation, identical on batch tables and
+    * streaming micro-batches.
+    */
+  def seedCentroidApply(
+      corpus: DataFrame,
+      model: SeedCentroid,
+      idCol: String,
+      vecCol: String,
+      minCos: Double
+  ): DataFrame = {
+    val cqLit = typedLit(model.cq)
+    corpus
       .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"))
       .withColumn("nsq", quantDot(col("qv"), col("qv")))
       .withColumn("dot_centroid", quantDot(col("qv"), cqLit).cast("long"))
       .withColumn("cos_centroid",
-        col("dot_centroid").cast("double") / (sqrt(col("nsq")) * lit(centNorm)))
-    scored
+        col("dot_centroid").cast("double") / (sqrt(col("nsq")) * lit(model.norm)))
       .withColumn("keep", col("cos_centroid") >= minCos)
       .select(col(idCol), col("dot_centroid"), col("cos_centroid"), col("keep"))
   }

@@ -100,6 +100,38 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(got.toSet == batchKept)
   }
 
+  test("frozen seed-centroid model: stream keep set equals batch keep set") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    val dir = Files.createTempDirectory("graftseed")
+    Files.copy(Paths.get(src), dir.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    // fit ONCE on the seed snapshot (a corpus aggregate a stream cannot
+    // provide statelessly); the stream only APPLIES the frozen centroid
+    val model = graft.similarity.Ann
+      .seedCentroidFit(batch.filter($"label" === 0), "vec_id", "embedding")
+    val batchKept = graft.similarity.Ann
+      .seedCentroidApply(batch, model, "vec_id", "embedding", 0.2)
+      .filter($"keep").select("vec_id").as[Long].collect().toSet
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = graft.similarity.Ann
+      .seedCentroidApply(stream, model, "vec_id", "embedding", 0.2)
+      .filter(col("keep"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = mb.select("vec_id").collect().map(_.getLong(0))
+        got.synchronized { got ++= kept }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batchKept.nonEmpty && got.toSet == batchKept)
+  }
+
   test("gopher gate on: stream face still equals batch face") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
