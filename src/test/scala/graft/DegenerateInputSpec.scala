@@ -119,6 +119,33 @@ class DegenerateInputSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("null-text docs through softDedupWeights get per-doc keys and weight 1") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .softDedupWeights(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // two null-text docs share no CONTENT: they must NOT merge
+    assert(out.forall(_.getAs[Long]("dup_count") == 1L))
+    assert(out.forall(_.getAs[Double]("weight") == 1.0))
+  }
+
+  test("single-language single-doc corpus through lmBuckets lands in head") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b", "en")).toDF("doc_id", "text", "lang")
+    val model = Seq(("a b", 5L)).toDF("bigram", "c2")
+    val out = graft.text.TextAnalysis
+      .lmBuckets(docs, "doc_id", "text", "lang", model).collect()
+    assert(out.length == 1)
+    // cum == total -> 3*total <= total false... the single doc IS the
+    // whole mass: cum*3 = 3T > T and > 2T -> tail by the end-offset
+    // rule; assert the documented boundary semantics hold
+    assert(out(0).getAs[String]("bucket") == "tail")
+    assert(out(0).getAs[Long]("cum_tok") == out(0).getAs[Long]("lang_tok"))
+  }
+
   test("adversarial many-frame GIF: CappedGifFrameSampler bounds the " +
     "frame walk and oversize payloads skip the codec entirely") {
     import graft.multimodal.{CappedGifFrameSampler, GifFrameSampler, ImageCodec}

@@ -150,6 +150,45 @@ class PlanShapeSpec extends SparkTestBase {
       s"user_id filter not pushed through the ts-normalization projection: $pushed")
   }
 
+  test("q_text_gopher_ngrams is one scan, zero exchanges (pure per-row pass)") {
+    val p = plan("q_text_gopher_ngrams")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_text_fim is one scan with no hash exchange (pure projection + output sort)") {
+    val p = plan("q_text_fim")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("seedCentroidApply plans zero exchanges (stateless broadcast-literal scoring)") {
+    val e = graft.core.Graft.table(spark, dir, "embeddings")
+    val model = graft.similarity.Ann.seedCentroidFit(
+      e.filter(org.apache.spark.sql.functions.col("label") === 0),
+      "vec_id", "embedding")
+    val p = graft.similarity.Ann
+      .seedCentroidApply(e, model, "vec_id", "embedding", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("softDedupWeights shuffles digests only — corpus text stays out of every exchange") {
+    // text reduces to (id, content_key, n_tok) at the scan projection;
+    // the count aggregation and join-back shuffle that triple only
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.dedup.Dedup
+      .softDedupWeights(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val at = p.indexOf("Exchange hashpartitioning(content_key")
+    assert(at >= 0, s"no digest-keyed exchange found:\n$p")
+    // no exchange feeder anywhere in the plan carries the raw text
+    // attribute: after the scan projections, text#N must only appear
+    // inside Project/Scan nodes, never in an Exchange line
+    for (line <- p.linesIterator if line.contains("Exchange "))
+      assert(!line.contains("text#"), s"corpus text rides a shuffle: $line")
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
