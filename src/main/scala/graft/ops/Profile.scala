@@ -40,6 +40,69 @@ object Profile {
     row.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Merkle-style corpus integrity manifest — the reproducibility
+    * artifact a 100 TB training-set drop ships alongside the data: a
+    * content digest per shard plus one corpus root digest, so any two
+    * parties (or the same party after a migration/compaction) can
+    * prove byte-identical content without moving the corpus.
+    *
+    * Tree shape: leaf = md5(id ":" md5(text)) per document; documents
+    * chain into GROUP digests (md5 of the id-ordered leaf
+    * concatenation, ≤ `groupSize` docs per group, group = id ∕
+    * groupSize); groups chain into the shard digest; shard digests
+    * chain into the root. The bounded fan-out is the scale story:
+    * every collect_list the aggregation plans is capped at groupSize
+    * (docs→group) or docs∕groupSize (groups→shard) elements of 32-byte
+    * hex — never an unbounded corpus-sized buffer — and the shuffle
+    * carries digests, never text. Digest-equality of two manifests is
+    * content-equality of the corpora (up to md5 collisions); a
+    * mismatch localizes to the differing shard, then group, by
+    * construction.
+    *
+    * Returns one row per shard: (shardCol, n_docs, n_chars, n_groups,
+    * shard_digest, root_digest) — root_digest identical on every row.
+    */
+  def corpusManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      groupSize: Int = 1024
+  ): DataFrame = {
+    require(groupSize >= 1, "groupSize >= 1")
+    val id = col(idCol)
+    val leaf = md5(concat(id.cast("string"), lit(":"), md5(col(textCol))))
+    val leaves = df.select(
+      col(shardCol).as("shard"),
+      id.as("__id"),
+      floor(id / groupSize).cast("long").as("grp"),
+      leaf.as("__leaf"),
+      length(col(textCol)).cast("long").as("__chars"))
+    def chain(sorted: org.apache.spark.sql.Column) =
+      md5(array_join(transform(sorted, x => x.getField("d")), ""))
+    val groups = leaves
+      .groupBy(col("shard"), col("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("n_chars"),
+        chain(sort_array(collect_list(struct(col("__id").as("k"), col("__leaf").as("d")))))
+          .as("grp_digest"))
+    val shards = groups
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_groups"),
+        chain(sort_array(collect_list(struct(col("grp").as("k"), col("grp_digest").as("d")))))
+          .as("shard_digest"))
+    val root = shards
+      .agg(chain(sort_array(collect_list(
+        struct(col("shard").as("k"), col("shard_digest").as("d")))))
+        .as("root_digest"))
+    shards.crossJoin(broadcast(root))
+      .withColumnRenamed("shard", shardCol)
+  }
+
   /** Per-source corpus report — the "data card" rollup a training-set
     * drop ships with: volume (docs/tokens/chars), exact duplicate
     * pressure (distinct content digests), language spread, and the

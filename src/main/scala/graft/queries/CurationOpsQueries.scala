@@ -691,6 +691,46 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_corpus_manifest",
+      covers = "integrity-manifest,profiling",
+      fn = (s, dir) =>
+        graft.ops.Profile
+          .corpusManifest(table(s, dir, "documents"), "doc_id", "text",
+            "source", groupSize = 16)
+          .orderBy("source"),
+      oracle = Some(
+        """WITH leaves AS (
+          |  SELECT source AS shard, doc_id, doc_id // 16 AS grp,
+          |    md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS leaf,
+          |    CAST(length(text) AS BIGINT) AS chars
+          |  FROM documents),
+          |g AS (
+          |  SELECT shard, grp, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(chars) AS BIGINT) AS n_chars,
+          |    md5(string_agg(leaf, '' ORDER BY doc_id)) AS gd
+          |  FROM leaves GROUP BY shard, grp),
+          |sh AS (
+          |  SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          |    CAST(count(*) AS BIGINT) AS n_groups,
+          |    md5(string_agg(gd, '' ORDER BY grp)) AS shard_digest
+          |  FROM g GROUP BY shard),
+          |r AS (SELECT md5(string_agg(shard_digest, '' ORDER BY shard))
+          |        AS root_digest FROM sh)
+          |SELECT sh.shard AS source, n_docs, n_chars, n_groups,
+          |  shard_digest, root_digest
+          |FROM sh CROSS JOIN r ORDER BY source""".stripMargin
+      ),
+      doc = "Merkle-style corpus integrity manifest: doc leaf digests " +
+        "chain into bounded groups (16 here, 1024 in production), " +
+        "groups into per-shard digests, shards into one corpus root — " +
+        "proves byte-identical content across a migration without " +
+        "moving the corpus, and a mismatch localizes to shard then " +
+        "group; every buffer is fan-out-bounded, shuffles carry " +
+        "digests only"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_url_blocklist",
       covers = "url-blocklist,domain-filter",
       fn = (s, dir) => {

@@ -986,8 +986,249 @@ object TextQueries {
         "replays bit-identically on any engine; one per-row " +
         "projection, zero shuffle — oracle rebuilds the exact PSM " +
         "string and matches its md5"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_span_corrupt",
+      covers = "span-corruption,text-quality",
+      fn = (s, dir) => {
+        val out = graft.text.TextAnalysis
+          .spanCorrupt(table(s, dir, "documents"), "doc_id", "text")
+        // digests instead of 5k full (input, target) payloads
+        out.select(col("doc_id"), col("n_spans"), col("masked_tokens"),
+            length(col("input_text")).cast("long").as("input_len"),
+            md5(col("input_text")).as("input_md5"),
+            md5(col("target_text")).as("target_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(spanCorruptOracle),
+      doc = "deterministic span corruption (Raffel et al. '20 §3.1.4, " +
+        "the T5/UL2 denoising objective's preprocessing op): 3 " +
+        "non-overlapping sentinel-masked token spans, one per equal " +
+        "stratum of the token sequence; span starts/lengths are " +
+        "salted-md5 functions of the id so the (input, target) pair " +
+        "replays bit-identically on any engine; one per-row " +
+        "projection, zero shuffle — oracle rebuilds both strings " +
+        "exactly and matches their md5s"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_lm_backoff",
+      covers = "ngram-lm,text-quality",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // sparse fit subset → the score sample hits both the bigram
+        // path and the unigram backoff (full-corpus fit would cover
+        // every bigram of this fixture's 31-token vocabulary)
+        graft.text.NgramLm
+          .stupidBackoffScore(
+            d.filter(col("doc_id") % 50 === 1),
+            d.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text")
+          .orderBy("doc_id", "pos")
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE doc_id % 50 = 1),
+          |tok_all AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |w AS (SELECT unnest(t) AS w FROM tok),
+          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY w),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_tokens FROM w),
+          |pr_fit AS (
+          |  SELECT doc_id, u.i - 1 AS pos, u.w1 AS w1, u.w2 AS w2 FROM (
+          |    SELECT doc_id,
+          |      unnest([{'i': i, 'w1': t[i], 'w2': t[i + 1]}
+          |              FOR i IN range(1, len(t))]) AS u
+          |    FROM tok)),
+          |bi AS (
+          |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          |  FROM pr_fit GROUP BY w1, w2),
+          |sc AS (
+          |  SELECT doc_id, u.i - 1 AS pos, u.w1 AS w1, u.w2 AS w2 FROM (
+          |    SELECT doc_id,
+          |      unnest([{'i': i, 'w1': t[i], 'w2': t[i + 1]}
+          |              FOR i IN range(1, len(t))]) AS u
+          |    FROM tok_all WHERE doc_id % 20 = 0))
+          |SELECT sc.doc_id, CAST(sc.pos AS BIGINT) AS pos,
+          |  CAST(CASE WHEN bi.c2 IS NOT NULL THEN 2
+          |            WHEN u2.c1 IS NOT NULL THEN 1
+          |            ELSE 0 END AS BIGINT) AS backoff_level,
+          |  CAST(CASE WHEN bi.c2 IS NOT NULL THEN bi.c2
+          |            WHEN u2.c1 IS NOT NULL THEN 2 * u2.c1
+          |            ELSE 0 END AS BIGINT) AS num,
+          |  CAST(CASE WHEN bi.c2 IS NOT NULL THEN u1.c1
+          |            WHEN u2.c1 IS NOT NULL THEN 5 * tot.t_tokens
+          |            ELSE 1 END AS BIGINT) AS den
+          |FROM sc
+          |LEFT JOIN bi ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
+          |LEFT JOIN uni u1 ON u1.w = sc.w1
+          |LEFT JOIN uni u2 ON u2.w = sc.w2
+          |CROSS JOIN tot
+          |ORDER BY doc_id, pos""".stripMargin
+      ),
+      doc = "Stupid Backoff bigram LM (Brants et al. '07 — the " +
+        "distributed count-LM): fit is two count aggregations over " +
+        "token keys, scoring a per-row pair expansion joined against " +
+        "the count tables; scores emitted as exact integer (num, den) " +
+        "rationals (bigram c2/c1, backoff 2·c1/5·T) so nothing " +
+        "floats — the real count-LM face beside lmBuckets' hit-rate " +
+        "proxy; scored here on a 1-in-20 doc sample against a sparse " +
+        "1-in-50 fit so both the bigram and backoff paths fire"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_index_search",
+      covers = "keyword-search,J2,O2",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.text.Search.searchAll(
+          d, "doc_id", "text",
+          graft.text.Search.vocabTerms(d, "text", 5, 7), k = 20)
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |vocab AS (
+          |  SELECT w, count(*) AS tfc FROM tok
+          |  WHERE length(w) > 0 GROUP BY w),
+          |terms AS (
+          |  SELECT w AS term FROM (
+          |    SELECT w, row_number() OVER (ORDER BY tfc DESC, w ASC) AS rn
+          |    FROM vocab)
+          |  WHERE rn BETWEEN 5 AND 7),
+          |tf AS (
+          |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          |  FROM tok JOIN terms ON w = term GROUP BY doc_id, w),
+          |hits AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+          |  FROM tf GROUP BY doc_id HAVING count(*) = 3)
+          |SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id ASC)
+          |    AS BIGINT) AS hit_rank,
+          |  doc_id, total_tf
+          |FROM hits ORDER BY total_tf DESC, doc_id ASC LIMIT 20""".stripMargin
+      ),
+      doc = "conjunctive keyword retrieval: the 20 docs containing ALL " +
+        "3 query terms (data-derived vocabulary ranks 5-7), ranked by " +
+        "total tf with id tiebreak — term match is a broadcast hash " +
+        "join beside the scan (unmatched tokens never shuffle), " +
+        "ranking is a TakeOrderedAndProject top-k heap, never a " +
+        "global sort"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_inverted_index",
+      covers = "keyword-search,O3",
+      fn = (s, dir) => {
+        val idx = graft.text.Search
+          .invertedIndex(table(s, dir, "documents"), "doc_id", "text",
+            maxPostings = 5)
+        idx.select(col("token"), col("df_docs"),
+            posexplode(col("postings")).as(Seq("p0", "p")))
+          .select(col("token"), col("df_docs"),
+            (col("p0") + 1L).cast("long").as("post_rank"),
+            col("p.doc").as("doc"), col("p.tf").as("tf"))
+          .orderBy("token", "post_rank")
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |tf AS (
+          |  SELECT w AS token, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf
+          |  FROM tok WHERE length(w) > 0 GROUP BY w, doc_id),
+          |d AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+          |  FROM tf GROUP BY token),
+          |r AS (
+          |  SELECT token, doc, tf,
+          |    row_number() OVER (PARTITION BY token
+          |                       ORDER BY tf DESC, doc ASC) AS rn
+          |  FROM tf)
+          |SELECT r.token, d.df_docs, CAST(r.rn AS BIGINT) AS post_rank,
+          |  r.doc, r.tf
+          |FROM r JOIN d ON d.token = r.token
+          |WHERE r.rn <= 5
+          |ORDER BY r.token, post_rank""".stripMargin
+      ),
+      doc = "inverted-index build with impact-ordered posting caps: " +
+        "per-token posting lists truncated to the 5 highest-tf docs " +
+        "via the native TopKPerKey operator (bounded heap — no " +
+        "stopword can materialize a corpus-sized array), df counted " +
+        "before the cap; emitted exploded for the oracle"
     )
   )
+
+  /** Oracle for q_text_span_corrupt: replays the 3-stratum span
+    * arithmetic (integer floor bounds, md5-derived starts/lengths) and
+    * reassembles input/target with list slices. Generated per k so the
+    * SQL stays mechanically in lockstep with spanCorrupt's loop.
+    */
+  private def spanCorruptOracle: String = {
+    val nSpans = 3
+    val spanCols = (0 until nSpans).map { k =>
+      s"""    (n * $k) // $nSpans AS b$k,
+         |    (n * ${k + 1}) // $nSpans AS e$k,
+         |    CAST(('0x' || substr(md5('spancs$k:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) AS hs$k,
+         |    CAST(('0x' || substr(md5('spancl$k:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) AS hl$k""".stripMargin
+    }.mkString(",\n")
+    val slCols = (0 until nSpans).map { k =>
+      s"""    CASE WHEN e$k - b$k > 0 THEN b$k + hs$k % (e$k - b$k)
+         |         ELSE b$k END AS s$k""".stripMargin
+    }.mkString(",\n")
+    val lCols = (0 until nSpans).map { k =>
+      s"""    CASE WHEN e$k - b$k > 0
+         |         THEN 1 + hl$k % least(4, e$k - s$k)
+         |         ELSE 0 END AS l$k""".stripMargin
+    }.mkString(",\n")
+    val prevEnd = (k: Int) => if (k == 0) "0" else s"(s${k - 1} + l${k - 1})"
+    val inputParts = (0 until nSpans).map { k =>
+      s"""t[${prevEnd(k)} + 1 : s$k] ||
+         |      (CASE WHEN l$k > 0 THEN ['<extra_id_$k>']
+         |            ELSE [] END)""".stripMargin
+    }.mkString(" ||\n      ") +
+      s" ||\n      t[${prevEnd(nSpans)} + 1 : n]"
+    val targetParts = (0 until nSpans).map { k =>
+      s"""(CASE WHEN l$k > 0 THEN ['<extra_id_$k>'] ELSE [] END) ||
+         |      t[s$k + 1 : s$k + l$k]""".stripMargin
+    }.mkString(" ||\n      ")
+    val nSpansExpr =
+      (0 until nSpans).map(k => s"(CASE WHEN l$k > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    val maskedExpr = (0 until nSpans).map(k => s"l$k").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, t, n,
+       |$spanCols
+       |  FROM tok),
+       |st AS (
+       |  SELECT doc_id, t, n, ${(0 until nSpans).map(k => s"b$k, e$k, hl$k").mkString(", ")},
+       |$slCols
+       |  FROM h),
+       |sp AS (
+       |  SELECT doc_id, t, n, ${(0 until nSpans).map(k => s"s$k").mkString(", ")},
+       |$lCols
+       |  FROM st),
+       |built AS (
+       |  SELECT doc_id,
+       |    CAST($nSpansExpr AS BIGINT) AS n_spans,
+       |    CAST($maskedExpr AS BIGINT) AS masked_tokens,
+       |    array_to_string($inputParts, ' ') AS input_text,
+       |    array_to_string($targetParts, ' ') AS target_text
+       |  FROM sp)
+       |SELECT doc_id, n_spans, masked_tokens,
+       |  CAST(length(input_text) AS BIGINT) AS input_len,
+       |  md5(input_text) AS input_md5,
+       |  md5(target_text) AS target_md5
+       |FROM built ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle for q_text_gopher_ngrams, generated per n (the 9 signal
     * families differ only in n, so the SQL is built mechanically —

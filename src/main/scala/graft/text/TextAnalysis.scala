@@ -1027,6 +1027,84 @@ object TextAnalysis {
       when(flag, psm).otherwise(text).as("fim_text"))
   }
 
+  /** Deterministic span-corruption transform (Raffel et al. '20 §3.1.4
+    * — the T5/UL2 denoising objective's data-preprocessing op): mask
+    * `nSpans` non-overlapping token spans with `<extra_id_k>` sentinels
+    * and emit the (input, target) pair — input keeps the unmasked
+    * tokens with sentinels in place of each span, target is the
+    * sentinel-delimited span contents.
+    *
+    * Every decision is a pure function of (salt, id): the token
+    * sequence is cut into `nSpans` equal strata (integer floor bounds
+    * b_k = n·k/nSpans), and within stratum k the span start is
+    * b_k + H(salt·"s"·k, id) mod w_k and its length
+    * 1 + H(salt·"l"·k, id) mod min(maxSpanTokens, e_k − start) — spans
+    * are confined to their stratum, so they can never overlap, and the
+    * whole construction replays bit-identically on any md5-capable
+    * engine (the [[Sampling.saltedHex]] discipline). A stratum with no
+    * tokens (doc shorter than nSpans) contributes nothing. One
+    * codegen'd per-row projection over the token array; zero shuffle —
+    * at 100 TB this runs at scan speed next to the parquet read.
+    *
+    * Returns (idCol, n_spans, masked_tokens, input_text, target_text).
+    */
+  def spanCorrupt(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String = "spanc",
+      nSpans: Int = 3,
+      maxSpanTokens: Int = 4
+  ): org.apache.spark.sql.DataFrame = {
+    require(nSpans >= 1 && maxSpanTokens >= 1, "nSpans/maxSpanTokens >= 1")
+    val id = col(idCol)
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    def h(sub: String) =
+      conv(substring(Sampling.saltedHex(salt + sub, id), 1, 8), 16, 10)
+        .cast("long")
+    // per-stratum (start, len); len = 0 marks an empty stratum so the
+    // prevEnd recurrence stays uniform (s = b = e there)
+    // Column./ is double division; floor() restores the integer floor
+    // bound exactly (token counts are far below 2^52)
+    def stratum(k: Int) = floor(n * k / nSpans).cast("long")
+    val spans = (0 until nSpans).map { k =>
+      val b = stratum(k)
+      val e = stratum(k + 1)
+      val w = e - b
+      val s = when(w > 0L, b + h(s"s$k") % w).otherwise(b)
+      val cap = least(lit(maxSpanTokens.toLong), e - s)
+      val l = when(w > 0L, lit(1L) + h(s"l$k") % cap).otherwise(lit(0L))
+      (s, l)
+    }
+    def sent(k: Int) = s"<extra_id_$k>"
+    val emptyArr = array().cast("array<string>")
+    def seg(fromEnd: Column, to: Column) =
+      slice(toks, (fromEnd + 1L).cast("int"), (to - fromEnd).cast("int"))
+    // input: seg_0 · sent_0 · seg_1 · sent_1 · … · tail
+    var prevEnd: Column = lit(0L)
+    val inputParts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val targetParts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    spans.zipWithIndex.foreach { case ((s, l), k) =>
+      inputParts += seg(prevEnd, s)
+      inputParts += when(l > 0L, array(lit(sent(k)))).otherwise(emptyArr)
+      targetParts += when(l > 0L, array(lit(sent(k)))).otherwise(emptyArr)
+      targetParts += slice(toks, (s + 1L).cast("int"), l.cast("int"))
+      prevEnd = s + l
+    }
+    inputParts += seg(prevEnd, n)
+    val nApplied =
+      spans.map { case (_, l) => when(l > 0L, 1L).otherwise(0L) }
+        .reduce(_ + _).cast("long")
+    val masked = spans.map(_._2).reduce(_ + _).cast("long")
+    df.select(
+      id,
+      nApplied.as("n_spans"),
+      masked.as("masked_tokens"),
+      array_join(concat(inputParts.toSeq: _*), " ").as("input_text"),
+      array_join(concat(targetParts.toSeq: _*), " ").as("target_text"))
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */

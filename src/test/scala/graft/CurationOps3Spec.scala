@@ -1,0 +1,184 @@
+package graft
+
+import graft.ops.Profile
+import graft.text.{NgramLm, Search, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Third-pass round-10 curation operators: span corruption, the corpus
+  * integrity manifest, the Stupid Backoff count-LM, and keyword
+  * retrieval.
+  */
+class CurationOps3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // ---------------------------------------------------------------- span corruption
+
+  test("spanCorrupt: input/target reassemble to the original text") {
+    val out = TextAnalysis
+      .spanCorrupt(docs, "doc_id", "text", nSpans = 3, maxSpanTokens = 4)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      val orig = r.getAs[String]("text")
+      // splice each sentinel's span back into the input
+      val spans = target
+        .split("<extra_id_\\d>")
+        .map(_.trim)
+        .filter(_.nonEmpty)
+      var rebuilt = input
+      var k = 0
+      for (s <- spans) {
+        // sentinel indices are dense 0..n_spans-1 on docs with >= 3 tokens
+        while (!rebuilt.contains(s"<extra_id_$k>")) k += 1
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", s)
+        k += 1
+      }
+      // token-level equality (sentinel splice can differ in spacing
+      // only when a span sat at the text boundary)
+      assert(rebuilt.split(" ").filter(_.nonEmpty).toSeq ==
+        orig.split(" ").filter(_.nonEmpty).toSeq,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("spanCorrupt: masked_tokens counts and span bounds hold") {
+    val out = TextAnalysis
+      .spanCorrupt(docs, "doc_id", "text", nSpans = 3, maxSpanTokens = 4)
+      .collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_spans")
+      val m = r.getAs[Long]("masked_tokens")
+      assert(n >= 1 && n <= 3)
+      assert(m >= n && m <= n * 4)
+      val sentinels = "<extra_id_".r.findAllIn(r.getAs[String]("input_text")).size
+      assert(sentinels == n)
+    }
+  }
+
+  test("spanCorrupt: docs shorter than nSpans degrade gracefully") {
+    val tiny = Seq((1L, "a"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .spanCorrupt(tiny, "doc_id", "text", nSpans = 3, maxSpanTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+    // 1 token → only one non-empty stratum; never crashes, never
+    // masks more tokens than exist
+    assert(out(0).getAs[Long]("n_spans") == 1L)
+    assert(out(0).getAs[Long]("masked_tokens") == 1L)
+    assert(out(1).getAs[Long]("n_spans") == 2L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("masked_tokens") <=
+        tiny.filter($"doc_id" === r.getAs[Long]("doc_id"))
+          .head().getAs[String]("text").split(" ").length)
+    }
+  }
+
+  // ---------------------------------------------------------------- manifest
+
+  test("corpusManifest: root matches across repartitioning, differs on 1-char change") {
+    val a = Profile.corpusManifest(docs, "doc_id", "text", "source", groupSize = 16)
+    val b = Profile.corpusManifest(docs.repartition(7), "doc_id", "text", "source",
+      groupSize = 16)
+    val rootA = a.select("root_digest").head().getString(0)
+    assert(b.select("root_digest").head().getString(0) == rootA)
+
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 123L, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val c = Profile.corpusManifest(mutated, "doc_id", "text", "source", groupSize = 16)
+    assert(c.select("root_digest").head().getString(0) != rootA)
+    // the mismatch localizes: exactly one shard digest differs
+    val diff = a.select(col("source"), col("shard_digest").as("da"))
+      .join(c.select(col("source"), col("shard_digest").as("dc")), "source")
+      .filter(col("da") =!= col("dc"))
+      .collect()
+    assert(diff.length == 1)
+  }
+
+  test("corpusManifest: group fan-out bound and doc totals") {
+    val m = Profile.corpusManifest(docs, "doc_id", "text", "source", groupSize = 16)
+      .collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 500L)
+    m.foreach { r =>
+      // ≤ groupSize docs per group by construction
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_groups") * 16)
+    }
+  }
+
+  // ---------------------------------------------------------------- stupid backoff
+
+  test("stupidBackoffScore: all three levels with hand-computed rationals") {
+    val fit = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b x c")).toDF("doc_id", "text")
+    val out = NgramLm.stupidBackoffScore(fit, score, "doc_id", "text")
+      .orderBy("pos").collect()
+    // fit: uni a:2 b:2 c:1, T=5; bi (a,b):2 (b,a):1 (b,c):1
+    assert(out.length == 3)
+    // (a,b) seen: c2=2 / c1(a)=2
+    assert((out(0).getAs[Long]("backoff_level"), out(0).getAs[Long]("num"),
+      out(0).getAs[Long]("den")) == (2L, 2L, 2L))
+    // (b,x): x unseen → OOV
+    assert((out(1).getAs[Long]("backoff_level"), out(1).getAs[Long]("num"),
+      out(1).getAs[Long]("den")) == (0L, 0L, 1L))
+    // (x,c): bigram unseen, c seen → backoff 2·c1(c) / 5·T
+    assert((out(2).getAs[Long]("backoff_level"), out(2).getAs[Long]("num"),
+      out(2).getAs[Long]("den")) == (1L, 2L, 25L))
+  }
+
+  test("stupidBackoffScore: single-token and empty docs contribute no pairs") {
+    val fit = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a"), (11L, ""), (12L, "a b")).toDF("doc_id", "text")
+    val out = NgramLm.stupidBackoffScore(fit, score, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(12L))
+  }
+
+  // ---------------------------------------------------------------- search
+
+  test("searchAll: conjunction and tf-ranking") {
+    val corpus = Seq(
+      (1L, "x y z x"), // x:2 y:1 z:1 → total 4
+      (2L, "x y"),     // missing z → excluded
+      (3L, "z z y x"), // total 4 → tie with doc 1, id break
+      (4L, "q q q")
+    ).toDF("doc_id", "text")
+    val terms = Seq("x", "y", "z").toDF("term")
+    val out = Search.searchAll(corpus, "doc_id", "text", terms, k = 10)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("hit_rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("total_tf"))).toSeq ==
+      Seq((1L, 1L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("searchAll: term match is a broadcast join, ranking a top-k heap") {
+    val terms = Search.vocabTerms(docs, "text", 5, 7)
+    val plan = Search.searchAll(docs, "doc_id", "text", terms, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("invertedIndex: posting cap enforced, df counted pre-cap, impact order") {
+    val idx = Search.invertedIndex(docs, "doc_id", "text", maxPostings = 5)
+      .collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val postings = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("postings")
+      assert(postings.length <= 5)
+      // df >= |postings| (equality only for rare tokens)
+      assert(r.getAs[Long]("df_docs") >= postings.length)
+      // impact order: tf non-increasing, doc ascending within ties
+      val tfs = postings.map(_.getAs[Long]("tf"))
+      assert(tfs == tfs.sortBy(-_))
+    }
+    // the fixture's common tokens hit the cap
+    assert(idx.exists(r =>
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("postings").length == 5
+        && r.getAs[Long]("df_docs") > 5))
+  }
+}
