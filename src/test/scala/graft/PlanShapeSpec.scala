@@ -189,6 +189,37 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!line.contains("text#"), s"corpus text rides a shuffle: $line")
   }
 
+  test("q_text_span_corrupt is a pure projection — no hash exchange, no window") {
+    val p = plan("q_text_span_corrupt")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("corpusManifest shuffles digests only — text stays out of every exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Profile
+      .corpusManifest(docs, "doc_id", "text", "source", groupSize = 16)
+      .queryExecution.executedPlan.toString
+    for (line <- p.linesIterator if line.contains("Exchange "))
+      assert(!line.contains("text#"), s"corpus text rides a shuffle: $line")
+  }
+
+  test("q_text_lm_backoff shuffles tokens and counts, never document text") {
+    val p = plan("q_text_lm_backoff")
+    for (line <- p.linesIterator if line.contains("Exchange "))
+      assert(!line.contains("text#"), s"corpus text rides a shuffle: $line")
+  }
+
+  test("q_text_inverted_index caps postings via TopKPerKey with no inner sort") {
+    val p = plan("q_text_inverted_index")
+    assert(p.contains("TopKPerKey"), p)
+    val inner = p.substring(p.indexOf("TopKPerKey"))
+    // the only Sort below the operator is none — sort_array is an
+    // expression, not a Sort node
+    assert(!inner.contains("\nSort") && !inner.contains("+- Sort"), inner)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
