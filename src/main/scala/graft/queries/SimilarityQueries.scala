@@ -149,6 +149,59 @@ object SimilarityQueries {
       doc = "brute-force cosine top-k baseline, integer-exact and " +
         "rank-stable across engines"
     ),
+    QueryDef(
+      "q_ann_hard_negatives",
+      covers = "ann-hard-negatives",
+      fn = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 8L)
+          .withColumnRenamed("vec_id", "probe_id")
+        val cands = e.withColumnRenamed("vec_id", "cand_id")
+        Ann
+          .hardNegatives(probes, cands, "probe_id", "cand_id", "embedding",
+            "label", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      oracle = Some(
+        """WITH qe AS (SELECT vec_id,
+          |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq,
+          |    generate_subscripts(embedding, 1) AS pos
+          |  FROM embeddings),
+          |lab AS (SELECT vec_id, label FROM embeddings),
+          |pe AS (SELECT vec_id AS probe_id, xq, pos FROM qe WHERE vec_id < 8),
+          |ce AS (SELECT vec_id AS cand_id, xq, pos FROM qe),
+          |norms AS (
+          |  SELECT vec_id, sqrt(CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)) AS nrm
+          |  FROM qe GROUP BY vec_id),
+          |dots AS (
+          |  SELECT p.probe_id, c.cand_id,
+          |    CAST(CAST(sum(p.xq * c.xq) AS BIGINT) AS DOUBLE) AS dot
+          |  FROM pe p JOIN ce c ON p.pos = c.pos
+          |  GROUP BY p.probe_id, c.cand_id),
+          |cos AS (
+          |  SELECT d.probe_id, d.cand_id,
+          |    la.label AS probe_label, lb.label AS neg_label,
+          |    d.dot / (na.nrm * nb.nrm) AS cos
+          |  FROM dots d
+          |  JOIN norms na ON na.vec_id = d.probe_id
+          |  JOIN norms nb ON nb.vec_id = d.cand_id
+          |  JOIN lab la ON la.vec_id = d.probe_id
+          |  JOIN lab lb ON lb.vec_id = d.cand_id
+          |  WHERE la.label <> lb.label)
+          |SELECT probe_id, rank, cand_id, probe_label, neg_label, cos FROM (
+          |  SELECT probe_id, cand_id, probe_label, neg_label, cos,
+          |    CAST(row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          |  FROM cos)
+          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+      ),
+      doc = "ANCE-style hard-negative mining (Xiong et al. '21): per " +
+        "probe, the 5 nearest candidates with a DIFFERENT label — the " +
+        "contrastive-training negatives op; label mismatch filters at " +
+        "pair time, the quantized-cosine core is the exact-ANN chain; " +
+        "corpus-scale probes compose the IVF shortlist + refine " +
+        "pattern instead of the broadcast face"
+    ),
     // ----------------------------------------------------------------
     QueryDef(
       "q_ann_topk_lsh",

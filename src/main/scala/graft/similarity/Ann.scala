@@ -99,6 +99,51 @@ object Ann {
       .select(col(idA), col("rank"), col(idB), col("cos"))
   }
 
+  /** ANCE-style hard-negative mining (Xiong et al. '21, "Approximate
+    * Nearest Neighbor Negative Contrastive Learning") — the
+    * contrastive-training data-prep op: for each probe, the k nearest
+    * candidates whose label DIFFERS from the probe's (nearest
+    * wrong-class examples are the informative negatives; random
+    * negatives are too easy). Same exact quantized-cosine core as
+    * [[topKExact]] with the label-mismatch predicate applied at pair
+    * time, so excluded same-class rows never reach the ranking window.
+    *
+    * This face broadcasts the (bounded) probe side — the per-batch
+    * mining shape ANCE actually runs between training epochs. For
+    * corpus×corpus mining, compose the IVF chain instead: topKIvf
+    * shortlist (k + max same-class overlap), then drop same-label
+    * rows and re-rank — the FAISS refine pattern used by the
+    * q_ann_topk_ivfpq_rerank face.
+    */
+  def hardNegatives(
+      probes: DataFrame,
+      cands: DataFrame,
+      idA: String,
+      idB: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    def prep(df: DataFrame, id: String, q: String, n: String, l: String) =
+      df.select(col(id), quantizeUdf(col(vecCol)).as(q), col(labelCol).as(l))
+        .withColumn(n, quantDot(col(q), col(q)))
+    val p = prep(probes, idA, "qa", "na", "la")
+    val c = prep(cands, idB, "qb", "nb", "lb")
+    val cos = c
+      .crossJoin(broadcast(p))
+      .filter(col("la") =!= col("lb"))
+      .withColumn(
+        "cos",
+        quantDot(col("qa"), col("qb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
+    cos
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idA), col("rank"), col(idB), col("la").as("probe_label"),
+        col("lb").as("neg_label"), col("cos"))
+  }
+
   /** Fast double-precision cosine via the native codegen'd
     * ArrayDotProduct expression (graft.plans) — a tight primitive loop
     * inside WholeStageCodegen instead of per-element HOF lambda calls.

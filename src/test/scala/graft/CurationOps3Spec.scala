@@ -138,6 +138,36 @@ class CurationOps3Spec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(12L))
   }
 
+  // ---------------------------------------------------------------- hard negatives
+
+  test("hardNegatives: per probe equals topKExact over the other-label slice") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.filter($"vec_id" < 4L).withColumnRenamed("vec_id", "probe_id")
+    val cands = e.withColumnRenamed("vec_id", "cand_id")
+    val mined = graft.similarity.Ann
+      .hardNegatives(probes, cands, "probe_id", "cand_id", "embedding",
+        "label", k = 3)
+      .collect()
+    assert(mined.forall(r =>
+      r.getAs[Int]("probe_label") != r.getAs[Int]("neg_label")))
+    val probeLabels = probes.select("probe_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((pid, plabel) <- probeLabels) {
+      val expected = graft.similarity.Ann
+        .topKExact(
+          probes.filter($"probe_id" === pid),
+          cands.filter($"label" =!= plabel), "probe_id", "cand_id",
+          "embedding", k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("cand_id")))
+        .toSeq
+      val got = mined.filter(_.getAs[Long]("probe_id") == pid)
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("cand_id")))
+        .toSeq.sorted
+      assert(got == expected.sorted, s"probe $pid")
+    }
+  }
+
   // ---------------------------------------------------------------- search
 
   test("searchAll: conjunction and tf-ranking") {
