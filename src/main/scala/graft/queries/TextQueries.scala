@@ -1083,9 +1083,15 @@ object TextQueries {
       covers = "keyword-search,J2,O2",
       fn = (s, dir) => {
         val d = table(s, dir, "documents")
+        // query terms from doc 0's own vocabulary (top-3 by tf) — a
+        // conjunction guaranteed non-degenerate at every fixture SF
+        // (global vocabulary ranks fragment under the Caesar-shifted
+        // scale-up fixtures and can make an all-corpus conjunction
+        // empty)
         graft.text.Search.searchAll(
           d, "doc_id", "text",
-          graft.text.Search.vocabTerms(d, "text", 5, 7), k = 20)
+          graft.text.Search.vocabTerms(
+            d.filter(col("doc_id") === 0L), "text", 1, 3), k = 20)
       },
       oracle = Some(
         """WITH tok AS (
@@ -1093,12 +1099,12 @@ object TextQueries {
           |  FROM documents),
           |vocab AS (
           |  SELECT w, count(*) AS tfc FROM tok
-          |  WHERE length(w) > 0 GROUP BY w),
+          |  WHERE length(w) > 0 AND doc_id = 0 GROUP BY w),
           |terms AS (
           |  SELECT w AS term FROM (
           |    SELECT w, row_number() OVER (ORDER BY tfc DESC, w ASC) AS rn
           |    FROM vocab)
-          |  WHERE rn BETWEEN 5 AND 7),
+          |  WHERE rn BETWEEN 1 AND 3),
           |tf AS (
           |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
           |  FROM tok JOIN terms ON w = term GROUP BY doc_id, w),

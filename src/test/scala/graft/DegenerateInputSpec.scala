@@ -146,6 +146,51 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("cum_tok") == out(0).getAs[Long]("lang_tok"))
   }
 
+  test("third-pass ops: empty corpus / empty terms / empty fit are normal states") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+
+    // empty corpus → empty manifest (no phantom root row)
+    assert(graft.ops.Profile
+      .corpusManifest(empty.withColumn("source", lit("s")), "doc_id", "text",
+        "source").count() == 0)
+
+    // spanCorrupt on an empty corpus → zero rows; on empty TEXT the
+    // single empty token is maskable without crashing
+    assert(graft.text.TextAnalysis.spanCorrupt(empty, "doc_id", "text")
+      .count() == 0)
+    val blank = graft.text.TextAnalysis
+      .spanCorrupt(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(blank.getAs[Long]("n_spans") == 1L)
+
+    // searchAll with an empty term set matches nothing (conjunction
+    // over zero terms is defined empty, not all-docs)
+    assert(graft.text.Search
+      .searchAll(some, "doc_id", "text", Seq.empty[String].toDF("term"), 5)
+      .count() == 0)
+
+    // scoring against an EMPTY fit corpus: every pair is OOV (0/1) —
+    // no null den from the missing total
+    val scored = graft.text.NgramLm
+      .stupidBackoffScore(empty, some, "doc_id", "text").collect()
+    assert(scored.length == 5)
+    assert(scored.forall(r => r.getAs[Long]("backoff_level") == 0L &&
+      r.getAs[Long]("num") == 0L && r.getAs[Long]("den") == 1L))
+
+    // hard negatives when every candidate shares the probe's label →
+    // zero rows, not an error
+    val vecs = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    assert(graft.similarity.Ann
+      .hardNegatives(
+        vecs.filter($"vec_id" === 1L).withColumnRenamed("vec_id", "probe_id"),
+        vecs.withColumnRenamed("vec_id", "cand_id"),
+        "probe_id", "cand_id", "embedding", "label", 3)
+      .count() == 0)
+  }
+
   test("adversarial many-frame GIF: CappedGifFrameSampler bounds the " +
     "frame walk and oversize payloads skip the codec entirely") {
     import graft.multimodal.{CappedGifFrameSampler, GifFrameSampler, ImageCodec}
