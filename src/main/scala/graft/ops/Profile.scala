@@ -103,6 +103,43 @@ object Profile {
       .withColumnRenamed("shard", shardCol)
   }
 
+  /** Cross-source content-overlap matrix — the governance artifact a
+    * multi-source training mix ships with: for every source pair, how
+    * many distinct content digests they share (is source B already
+    * inside source A? how much of the new crawl is old news?). Drives
+    * dedup-order and licensing decisions before any mixing weights
+    * are chosen.
+    *
+    * Shape: one distinct over (digest, source) — text collapses to a
+    * 16-byte digest at the scan — then a digest-keyed self-join
+    * restricted to src_a < src_b, then a dimension-sized pair
+    * aggregation. The self-join shuffles digests only; its output is
+    * bounded by shared digests × source-pair fan-out (sources are a
+    * dimension, so the matrix is tiny at any corpus size). Per-source
+    * digest totals ride along so overlap fractions are caller-side
+    * integer divisions.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    val d = df
+      .select(md5(col(textCol)).as("digest"), col(sourceCol).as("src"))
+      .distinct()
+    val pairs = d.select(col("digest"), col("src").as("src_a"))
+      .join(d.select(col("digest"), col("src").as("src_b")), "digest")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_digests"))
+    val totals = d.groupBy("src").agg(count(lit(1)).as("n"))
+    pairs
+      .join(totals.select(col("src").as("src_a"), col("n").as("digests_a")), "src_a")
+      .join(totals.select(col("src").as("src_b"), col("n").as("digests_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_digests"),
+        col("digests_a"), col("digests_b"))
+  }
+
   /** Per-source corpus report — the "data card" rollup a training-set
     * drop ships with: volume (docs/tokens/chars), exact duplicate
     * pressure (distinct content digests), language spread, and the

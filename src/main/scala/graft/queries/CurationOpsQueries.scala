@@ -731,6 +731,47 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_source_overlap",
+      covers = "source-overlap,profiling,dedup-exact",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        // synthetic second crawl: every 5th doc re-collected under a
+        // new source label — the "how much of the new crawl is old
+        // news" question the matrix answers
+        val recrawl = d.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("crawl2"))
+        graft.ops.Profile
+          .sourceOverlapMatrix(d.unionByName(recrawl), "text", "source")
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT text, source FROM documents
+          |  UNION ALL
+          |  SELECT text, 'crawl2' AS source FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |d AS (SELECT DISTINCT md5(text) AS digest, source AS src FROM u),
+          |p AS (
+          |  SELECT a.src AS src_a, b.src AS src_b,
+          |    CAST(count(*) AS BIGINT) AS shared_digests
+          |  FROM d a JOIN d b ON a.digest = b.digest AND a.src < b.src
+          |  GROUP BY 1, 2),
+          |t AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY src)
+          |SELECT p.src_a, p.src_b, p.shared_digests,
+          |  ta.n AS digests_a, tb.n AS digests_b
+          |FROM p JOIN t ta ON ta.src = p.src_a
+          |JOIN t tb ON tb.src = p.src_b
+          |ORDER BY src_a, src_b""".stripMargin
+      ),
+      doc = "cross-source content-overlap matrix: shared distinct " +
+        "digests per source pair + per-source totals — the governance " +
+        "artifact that drives dedup order and mixing weights; text " +
+        "collapses to digests at the scan, the self-join shuffles " +
+        "digests only, the matrix is dimension-sized at any corpus " +
+        "size"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_url_blocklist",
       covers = "url-blocklist,domain-filter",
       fn = (s, dir) => {

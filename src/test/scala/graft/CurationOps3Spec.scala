@@ -111,6 +111,27 @@ class CurationOps3Spec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------- source overlap
+
+  test("sourceOverlapMatrix: known shared digests, in-source dups collapse") {
+    val corpus = Seq(
+      ("x", "A"), ("y", "A"), ("y", "A"), // y duplicated inside A
+      ("y", "B"), ("z", "B"),
+      ("x", "C"), ("y", "C"), ("q", "C")
+    ).toDF("text", "source")
+    val m = Profile.sourceOverlapMatrix(corpus, "text", "source")
+      .orderBy("src_a", "src_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long](2),
+        r.getAs[Long](3), r.getAs[Long](4)))
+      .toSeq
+    assert(m == Seq(
+      ("A", "B", 1L, 2L, 2L), // share y; A has 2 distinct (x,y)
+      ("A", "C", 2L, 2L, 3L), // share x,y
+      ("B", "C", 1L, 2L, 3L)  // share y
+    ))
+  }
+
   // ---------------------------------------------------------------- stupid backoff
 
   test("stupidBackoffScore: all three levels with hand-computed rationals") {
