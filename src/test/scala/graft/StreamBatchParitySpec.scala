@@ -873,4 +873,69 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(last.toMap == batch)
     assert(batch.nonEmpty && batch.values.forall(_.length == 5))
   }
+
+  test("spanCorrupt is streaming-safe: stream rows equal batch rows bit-for-bit") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftspanc")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.spanCorrupt(df, "doc_id", "text")
+        .select($"doc_id", md5($"input_text").as("im"), md5($"target_text").as("tm"))
+    val expect = digests(batch).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // every decision is a pure (salt, id) function — the projection
+    // applies to a streaming relation unchanged
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Map.empty[Long, (String, String)]
+    val q = digests(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mb.collect().foreach(r =>
+          got.synchronized { got(r.getLong(0)) = (r.getString(1), r.getString(2)) })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == expect)
+  }
+
+  test("frozen-count Stupid Backoff: stream-static scoring equals batch scoring") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftsbo")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    // count tables fit ONCE on the snapshot (corpus aggregates a
+    // stream cannot provide statelessly); scoring is a stream-static
+    // join against them
+    val fit = batch.filter($"doc_id" % 50 === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("backoff_level"), r.getAs[Long]("num"), r.getAs[Long]("den"))
+    val expect = graft.text.NgramLm
+      .stupidBackoffScore(fit, batch.filter($"doc_id" % 20 === 0), "doc_id", "text")
+      .collect().map(key).toMap
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long, Long)]
+    val q = graft.text.NgramLm
+      .stupidBackoffScore(fit, stream.filter($"doc_id" % 20 === 0),
+        "doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mb.collect().foreach(r => got.synchronized { got += key(r) })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == expect)
+    assert(expect.nonEmpty)
+  }
 }
