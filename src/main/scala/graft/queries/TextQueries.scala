@@ -1079,6 +1079,76 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_lm_backoff3",
+      covers = "ngram-lm,text-quality",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.text.NgramLm
+          .stupidBackoffScoreTrigram(
+            d.filter(col("doc_id") % 50 === 1),
+            d.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text")
+          .orderBy("doc_id", "pos")
+      },
+      oracle = Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE doc_id % 50 = 1),
+          |tok_all AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |w AS (SELECT unnest(t) AS w FROM tok),
+          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY w),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_tokens FROM w),
+          |bi AS (
+          |  SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+          |    SELECT unnest([{'w1': t[i], 'w2': t[i + 1]}
+          |                   FOR i IN range(1, len(t))]) AS u
+          |    FROM tok)
+          |  GROUP BY 1, 2),
+          |tri AS (
+          |  SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+          |    CAST(count(*) AS BIGINT) AS c3 FROM (
+          |    SELECT unnest([{'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}
+          |                   FOR i IN range(1, len(t) - 1)]) AS u
+          |    FROM tok)
+          |  GROUP BY 1, 2, 3),
+          |sc AS (
+          |  SELECT doc_id, u.i - 1 AS pos,
+          |    u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+          |    SELECT doc_id,
+          |      unnest([{'i': i, 'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}
+          |              FOR i IN range(1, len(t) - 1)]) AS u
+          |    FROM tok_all WHERE doc_id % 20 = 0))
+          |SELECT sc.doc_id, CAST(sc.pos AS BIGINT) AS pos,
+          |  CAST(CASE WHEN tri.c3 IS NOT NULL THEN 3
+          |            WHEN bn.c2 IS NOT NULL THEN 2
+          |            WHEN u3.c1 IS NOT NULL THEN 1
+          |            ELSE 0 END AS BIGINT) AS backoff_level,
+          |  CAST(CASE WHEN tri.c3 IS NOT NULL THEN tri.c3
+          |            WHEN bn.c2 IS NOT NULL THEN 2 * bn.c2
+          |            WHEN u3.c1 IS NOT NULL THEN 4 * u3.c1
+          |            ELSE 0 END AS BIGINT) AS num,
+          |  CAST(CASE WHEN tri.c3 IS NOT NULL THEN bc.c2
+          |            WHEN bn.c2 IS NOT NULL THEN 5 * u2.c1
+          |            WHEN u3.c1 IS NOT NULL THEN 25 * tot.t_tokens
+          |            ELSE 1 END AS BIGINT) AS den
+          |FROM sc
+          |LEFT JOIN tri ON tri.w1 = sc.w1 AND tri.w2 = sc.w2 AND tri.w3 = sc.w3
+          |LEFT JOIN bi bc ON bc.w1 = sc.w1 AND bc.w2 = sc.w2
+          |LEFT JOIN bi bn ON bn.w1 = sc.w2 AND bn.w2 = sc.w3
+          |LEFT JOIN uni u2 ON u2.w = sc.w2
+          |LEFT JOIN uni u3 ON u3.w = sc.w3
+          |CROSS JOIN tot
+          |ORDER BY doc_id, pos""".stripMargin
+      ),
+      doc = "trigram Stupid Backoff (Brants et al. '07): level 3 = " +
+        "c3/c2(context), backoff 2 = 2·c2/5·c1, backoff 1 = 4·c1/25·T " +
+        "(α²), OOV = 0/1 — exact integer rationals; the count tables " +
+        "gain one key column per order, which is the whole scaling " +
+        "argument of the paper"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_index_search",
       covers = "keyword-search,J2,O2",
       fn = (s, dir) => {
@@ -1164,6 +1234,43 @@ object TextQueries {
         "via the native TopKPerKey operator (bounded heap — no " +
         "stopword can materialize a corpus-sized array), df counted " +
         "before the cap; emitted exploded for the oracle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_wordlist_tags",
+      covers = "wordlist-tagger,text-quality",
+      fn = (s, dir) => {
+        import s.implicits._
+        val lex = Seq(
+          ("table", "storage"), ("row", "storage"), ("column", "storage"),
+          ("fast", "perf"), ("slow", "perf"),
+          ("spark", "engine"), ("query", "engine"), ("scan", "engine"))
+          .toDF("term", "tag")
+        graft.text.TextAnalysis
+          .wordlistTags(table(s, dir, "documents"), "doc_id", "text", lex)
+          .orderBy("doc_id", "tag")
+      },
+      oracle = Some(
+        """WITH lex(term, tag) AS (VALUES
+          |  ('table', 'storage'), ('row', 'storage'), ('column', 'storage'),
+          |  ('fast', 'perf'), ('slow', 'perf'),
+          |  ('spark', 'engine'), ('query', 'engine'), ('scan', 'engine')),
+          |tok AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          |    unnest(string_split(text, ' ')) AS w
+          |  FROM documents)
+          |SELECT t.doc_id, l.tag, CAST(count(*) AS BIGINT) AS n_hits, t.n_tok
+          |FROM tok t JOIN lex l ON lower(t.w) = l.term
+          |GROUP BY t.doc_id, l.tag, t.n_tok
+          |ORDER BY doc_id, tag""".stripMargin
+      ),
+      doc = "Dolma-style wordlist taggers (Soldaini et al. '24): " +
+        "per-doc hit counts against categorized lexicons (the " +
+        "toxicity/adult/quality wordlist stage); case-folded exact " +
+        "token match via a broadcast lexicon join beside the scan — " +
+        "only hit rows shuffle; n_tok rides along so rate gates stay " +
+        "integer cross-multiplications"
     )
   )
 

@@ -1105,6 +1105,36 @@ object TextAnalysis {
       array_join(concat(targetParts.toSeq: _*), " ").as("target_text"))
   }
 
+  /** Dolma-style wordlist taggers (Soldaini et al. '24 §3 — the
+    * "taggers" stage: per-document hit counts against categorized
+    * lexicons, e.g. toxicity / adult / quality wordlists; downstream
+    * gates threshold on hit RATE, which stays an integer
+    * cross-multiplication since n_tok rides along).
+    *
+    * Matching is case-folded exact-token against a broadcast
+    * (term, tag) lexicon — unmatched tokens die at the hash join
+    * beside the scan, so only hit rows (corpus-sparse) ever shuffle;
+    * the aggregation is keyed by (doc, tag). Emits one row per
+    * (idCol, tag) WITH hits; zero-hit docs are absent by design
+    * (left-join at the gate if presence is needed).
+    */
+  def wordlistTags(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lexicon: org.apache.spark.sql.DataFrame // (term, tag), terms lowercase
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      explode(split(col(textCol), " ")).as("w"))
+    toks
+      .join(broadcast(lexicon), lower(col("w")) === col("term"))
+      .groupBy(col(idCol), col("tag"), col("n_tok"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("tag"), col("n_hits"), col("n_tok"))
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */

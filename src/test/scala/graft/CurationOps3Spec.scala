@@ -189,6 +189,45 @@ class CurationOps3Spec extends SparkTestBase {
     }
   }
 
+  test("stupidBackoffScoreTrigram: all four levels with hand-computed rationals") {
+    // fit: c1 a2 b2 c2 d1, T=7; bi (a,b)2 (b,c)2 (c,a)1 (c,d)1;
+    // tri (a,b,c)2 (b,c,a)1 (c,a,b)1 (b,c,d)1
+    val fit = Seq((1L, "a b c a b c d")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c x b c q q a")).toDF("doc_id", "text")
+    val out = NgramLm.stupidBackoffScoreTrigram(fit, score, "doc_id", "text")
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("backoff_level"), r.getAs[Long]("num"),
+        r.getAs[Long]("den")))
+      .toSeq
+    assert(out == Seq(
+      (3L, 2L, 2L),    // (a,b,c): trigram hit c3=2 / c2(a,b)=2
+      (0L, 0L, 1L),    // (b,c,x): x OOV
+      (1L, 8L, 175L),  // (c,x,b): unigram backoff 4·c1(b) / 25·T
+      (2L, 4L, 10L),   // (x,b,c): bigram backoff 2·c2(b,c) / 5·c1(b)
+      (0L, 0L, 1L),    // (b,c,q): q OOV
+      (0L, 0L, 1L),    // (c,q,q)
+      (1L, 8L, 175L))) // (q,q,a): 4·c1(a) / 25·T
+  }
+
+  test("wordlistTags: case-folded hits per category, n_tok rides along") {
+    val corpus = Seq(
+      (1L, "Table ROW table nothing"),
+      (2L, "fast fast slow"),
+      (3L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val lex = Seq(("table", "db"), ("row", "db"), ("fast", "perf"),
+      ("slow", "perf")).toDF("term", "tag")
+    val out = TextAnalysis.wordlistTags(corpus, "doc_id", "text", lex)
+      .orderBy("doc_id", "tag").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tag"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_tok")))
+      .toSeq
+    assert(out == Seq(
+      (1L, "db", 3L, 4L),   // Table + ROW + table
+      (2L, "perf", 3L, 3L)))
+    // doc 3 has zero hits → absent by design
+  }
+
   // ---------------------------------------------------------------- search
 
   test("searchAll: conjunction and tf-ranking") {
