@@ -1237,6 +1237,64 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_unk_rare",
+      covers = "rare-token-unk,pii-redaction,text-quality",
+      fn = (s, dir) => {
+        // every 7th doc carries a synthetic one-document secret token —
+        // the statistical-backstop case the regex redactor cannot see
+        val d = table(s, dir, "documents")
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" xsecret"),
+                col("doc_id").cast("string")))
+              .otherwise(col("text")))
+        graft.text.TextAnalysis
+          .unkRareTokens(d, "doc_id", "text")
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0
+          |         THEN text || ' xsecret' || CAST(doc_id AS VARCHAR)
+          |         ELSE text END AS text
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, u.i - 1 AS pos, u.w AS w FROM (
+          |    SELECT doc_id,
+          |      unnest([{'i': i, 'w': t[i]} FOR i IN range(1, len(t) + 1)]) AS u
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d))),
+          |dfreq AS (
+          |  SELECT w, count(DISTINCT doc_id) AS dfd FROM tok GROUP BY w),
+          |rare AS (SELECT w FROM dfreq WHERE dfd < 2),
+          |m AS (SELECT t.doc_id, t.pos FROM tok t JOIN rare r ON r.w = t.w),
+          |mc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked
+          |       FROM m GROUP BY doc_id),
+          |rebuilt AS (
+          |  SELECT t.doc_id,
+          |    string_agg(CASE WHEN m.pos IS NOT NULL THEN '<unk>'
+          |                    ELSE t.w END, ' ' ORDER BY t.pos) AS clean_text
+          |  FROM tok t LEFT JOIN m ON m.doc_id = t.doc_id AND m.pos = t.pos
+          |  GROUP BY t.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(mc.n_masked, 0) AS BIGINT) AS n_masked,
+          |  md5(rebuilt.clean_text) AS clean_md5
+          |FROM d JOIN rebuilt ON rebuilt.doc_id = d.doc_id
+          |LEFT JOIN mc ON mc.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "rare-token suppression (UNK-thresholding / vocabulary " +
+        "k-anonymity): tokens seen in < 2 docs become <unk> — the " +
+        "count-LM vocabulary cut doubling as the statistical privacy " +
+        "backstop behind regex PII redaction (one-document " +
+        "identifiers cannot reach the training set); df aggregation " +
+        "shuffles 16-byte digests, rewrite is a per-row transform " +
+        "after one id-keyed graft join"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_wordlist_tags",
       covers = "wordlist-tagger,text-quality",
       fn = (s, dir) => {

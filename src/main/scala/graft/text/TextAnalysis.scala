@@ -1135,6 +1135,51 @@ object TextAnalysis {
       .select(col(idCol), col("tag"), col("n_hits"), col("n_tok"))
   }
 
+  /** Rare-token suppression ("UNK-thresholding" / vocabulary
+    * k-anonymity): replace every token whose corpus document frequency
+    * is below `minDf` with `unkTok`. The classic count-LM vocabulary
+    * cut (tokens seen in < k docs become <unk>) doubling as a privacy
+    * mitigation — one-document-only identifiers (account numbers,
+    * emails that slipped the regex redactor, secrets) cannot survive
+    * into the training set, complementing pattern-based PII redaction
+    * with a statistical backstop.
+    *
+    * Shape: the corpus-wide df aggregation shuffles (token-digest,
+    * doc) pairs — 16-byte digests, never text; rare positions come
+    * back per doc as a bounded int list, and the rewrite is a per-row
+    * transform after ONE id-keyed graft join. Returns (idCol,
+    * n_masked, clean_text).
+    */
+  def unkRareTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L,
+      unkTok: String = "<unk>"
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val exploded = df
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(col("w")).as("d"))
+    val dfreq = exploded.groupBy("d")
+      .agg(countDistinct(col(idCol)).as("df_docs"))
+    val rarePos = exploded
+      .join(dfreq.filter(col("df_docs") < minDf), Seq("d"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__mask_pos"))
+    val mask = coalesce(col("__mask_pos"), array().cast("array<bigint>"))
+    df.join(rarePos, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(mask).cast("long").as("n_masked"),
+        array_join(
+          transform(toks, (t, i) =>
+            when(array_contains(mask, i.cast("long")), lit(unkTok))
+              .otherwise(t)),
+          " ").as("clean_text"))
+  }
+
   /** Corpus vocabulary with document frequencies: one explode +
     * two-level aggregation; the shuffle carries (token) pairs only.
     */

@@ -159,6 +159,22 @@ class CurationOps3Spec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(12L))
   }
 
+  test("unkRareTokens: one-doc tokens masked, shared tokens survive, order kept") {
+    val corpus = Seq(
+      (1L, "the cat sat secret123 the end"),
+      (2L, "the cat ran away"),
+      (3L, "the dog sat down")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unkRareTokens(corpus, "doc_id", "text", minDf = 2L)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_masked"), r.getAs[String]("clean_text"))).toMap
+    // df: the=3 cat=2 sat=2 — survive; secret123/end/ran/away/dog/down df=1
+    assert(byId(1L) == (2L, "the cat sat <unk> the <unk>"))
+    assert(byId(2L) == (2L, "the cat <unk> <unk>"))
+    assert(byId(3L) == (2L, "the <unk> sat <unk>"))
+  }
+
   // ---------------------------------------------------------------- hard negatives
 
   test("hardNegatives: per probe equals topKExact over the other-label slice") {
