@@ -88,6 +88,55 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sample_group_split",
+      covers = "sampling,split,dedup-exact-normalized",
+      fn = (s, dir) => {
+        // leakage-safe split: assignment hashes the normalized CONTENT
+        // key, not the doc id — every (near-)identical copy of a
+        // document lands in the same split, so train can never see
+        // test's reformatted twin. Fixture: every 5th doc gains a
+        // reformatted variant under a shifted id (the
+        // q_dedup_exact_normalized pair construction).
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val variants = d.filter(col("doc_id") % 5L === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit(" !!  ")).as("text"))
+        d.unionByName(variants)
+          .select(col("doc_id"),
+            graft.text.TextAnalysis.normalizedDigest(col("text"))
+              .as("content_key"))
+          .withColumn("split",
+            graft.text.Sampling.splitAssign("gsplit", col("content_key")))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!  '
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |n AS (SELECT doc_id,
+          |   trim(regexp_replace(regexp_replace(lower(text),
+          |     '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+          | FROM u),
+          |k AS (SELECT doc_id, md5(norm) AS content_key FROM n),
+          |h AS (SELECT doc_id, content_key,
+          |   substr(md5('gsplit:' || content_key), 1, 1) AS b_hex
+          | FROM k)
+          |SELECT doc_id, content_key,
+          |  CASE WHEN b_hex <= 'b' THEN 'train'
+          |       WHEN b_hex <= 'd' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin
+      ),
+      doc = "leakage-safe train/val/test split: assignment hashes the " +
+        "normalized content key instead of the doc id, so exact and " +
+        "reformatted duplicates always share a split (no train/test " +
+        "contamination through dup pairs — the C4/Pile eval-hygiene " +
+        "rule); per-row expression over the digest, zero extra shuffle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_shuffle",
       covers = "sampling,shuffle",
       fn = (s, dir) =>

@@ -175,6 +175,19 @@ class CurationOps3Spec extends SparkTestBase {
     assert(byId(3L) == (2L, "the <unk> sat <unk>"))
   }
 
+  test("group split is leakage-safe: a content key never spans two splits") {
+    val q = graft.queries.Registry.byName("q_sample_group_split")
+      .fn(spark, "/root/testdata/sf0.001")
+    val perKey = q.groupBy("content_key")
+      .agg(countDistinct("split").as("n_splits"),
+        count(lit(1)).as("n_docs"))
+    assert(perKey.filter($"n_splits" =!= 1L).count() == 0)
+    // the variant pairs actually exercise the property (multi-doc keys
+    // exist) and all three splits are populated
+    assert(perKey.filter($"n_docs" > 1L).count() > 0)
+    assert(q.select("split").distinct().count() == 3)
+  }
+
   // ---------------------------------------------------------------- hard negatives
 
   test("hardNegatives: per probe equals topKExact over the other-label slice") {
