@@ -226,7 +226,9 @@ object Dedup {
     * ([[graft.text.TextAnalysis.chunkByTokens]], overlap 0) — for
     * corpora whose text carries no newline structure. Windows misalign
     * under insertions (a shifted duplicate region stops matching), so
-    * prefer true paragraphs whenever the text has them.
+    * prefer true paragraphs whenever the text has them — or
+    * [[cdcChunkDedup]], whose content-defined boundaries survive
+    * insertions.
     */
   def windowDedup(
       df: DataFrame,
@@ -243,6 +245,88 @@ object Dedup {
       lit(1)).cast("long")
     firstOccurrenceDedup(df, paras, idCol, textCol, nParas,
       windowRebuildUdf(wordsPerPara))
+  }
+
+  /** Content-defined chunking dedup (LBFS, Muthitacharoen et al. '01;
+    * FastCDC, Xia et al. '16 — the storage-dedup technique applied to
+    * corpus text): chunk boundaries fall where the FNV-1a hash of the
+    * trailing `window` characters has its low `maskBits` bits zero
+    * (expected chunk ≈ 2^maskBits chars), then the
+    * [[paragraphDedup]]-style first-occurrence rule runs over chunk
+    * digests. Because boundaries are functions of CONTENT, not
+    * position, an insertion shifts only the chunks it touches — the
+    * rest of a duplicated region keeps its exact boundaries and
+    * deduplicates, which is precisely what [[windowDedup]]'s fixed
+    * windows cannot do (documented there).
+    *
+    * Boundary hashing recomputes FNV per position (O(window·n) per
+    * row — window is 8; production CDC swaps in a Gear/Rabin rolling
+    * hash for O(n), same boundary contract). UTF-16 code-unit fold —
+    * the repo's documented BMP-only hashing caveat applies. One
+    * compiled per-row pass produces the chunks; the dedup shuffles
+    * (16-byte digest, id, idx) triples, never chunk text; the clean
+    * doc reassembles from the row's own chunk array after one
+    * id-keyed graft join.
+    *
+    * Returns (idCol, n_chunks, n_kept, n_dropped, clean_text).
+    */
+  def cdcChunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maskBits: Int = 5
+  ): DataFrame = {
+    require(window >= 2 && maskBits >= 1 && maskBits <= 20,
+      "window >= 2, maskBits in [1,20]")
+    val mask = (1L << maskBits) - 1L
+    val chunksUdf = udf { (text: String) =>
+      if (text == null || text.isEmpty) Seq.empty[String]
+      else {
+        val n = text.length
+        val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = window - 1
+        while (i < n - 1) {
+          var h = 0xcbf29ce484222325L
+          var j = i - window + 1
+          while (j <= i) {
+            h = (h ^ text.charAt(j).toLong) * 0x100000001b3L
+            j += 1
+          }
+          if ((h & mask) == 0L) cuts += (i + 1)
+          i += 1
+        }
+        cuts += n
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var s = 0
+        cuts.foreach { c => if (c > s) { out += text.substring(s, c); s = c } }
+        out.toSeq
+      }
+    }
+    val withChunks = df.select(col(idCol), chunksUdf(col(textCol)).as("__chunks"))
+    val digests = withChunks
+      .select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("__chunk")).as("__digest"))
+    val firstW = Window.partitionBy(col("__digest"))
+      .orderBy(col(idCol).asc, col("chunk_idx").asc)
+    val kept = digests
+      .withColumn("__occ", row_number().over(firstW))
+      .filter(col("__occ") === 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("__kept"))
+    val keptArr = coalesce(col("__kept"), array().cast("array<bigint>"))
+    withChunks.join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(keptArr).cast("long").as("n_kept"),
+        (size(col("__chunks")) - size(keptArr)).cast("long").as("n_dropped"),
+        array_join(
+          transform(keptArr, i =>
+            element_at(col("__chunks"), (i + 1L).cast("int"))),
+          "").as("clean_text"))
   }
 
   /** In-row rebuild mirroring chunkByTokens at overlap 0: window i

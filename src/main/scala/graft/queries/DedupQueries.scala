@@ -146,6 +146,86 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_cdc_chunks",
+      covers = "dedup-cdc,dedup-substring,D1",
+      fn = (s, dir) => {
+        // every 6th doc gains a PREFIX-SHIFTED copy under a new id —
+        // the case fixed windows cannot deduplicate (alignment breaks)
+        // but content-defined boundaries do
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val shifted = d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("xinsert jitter "), col("text")).as("text"))
+        Dedup
+          .cdcChunkDedup(d.unionByName(shifted), "doc_id", "text",
+            window = 8, maskBits = 5)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .drop("clean_text")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, 'xinsert jitter ' || text
+          |  FROM documents WHERE doc_id % 6 = 0),
+          |c AS (SELECT doc_id, text, length(text) AS n FROM u),
+          |pos AS (
+          |  SELECT doc_id, text, unnest(range(8, n)) AS cut FROM c),
+          |hh AS (
+          |  SELECT doc_id, cut FROM pos WHERE
+          |    list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(range(cut - 8, cut),
+          |          k -> CAST(unicode(text[k + 1:k + 1]) AS HUGEINT))),
+          |      (h, ch) -> (xor(h, ch) * 1099511628211)
+          |        % 18446744073709551616) % 32 = 0),
+          |cuts AS (
+          |  SELECT doc_id, cut FROM hh
+          |  UNION ALL SELECT doc_id, n AS cut FROM c WHERE n > 0),
+          |ordered AS (
+          |  SELECT doc_id, cut,
+          |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+          |      AS prev,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS ci
+          |  FROM cuts),
+          |chunks AS (
+          |  SELECT o.doc_id, o.ci AS chunk_idx,
+          |    substr(c.text, CAST(o.prev + 1 AS BIGINT),
+          |      CAST(o.cut - o.prev AS BIGINT)) AS chunk
+          |  FROM ordered o JOIN c ON c.doc_id = o.doc_id),
+          |r AS (
+          |  SELECT doc_id, chunk_idx, chunk,
+          |    row_number() OVER (PARTITION BY md5(chunk)
+          |                       ORDER BY doc_id, chunk_idx) AS rn
+          |  FROM chunks),
+          |kept AS (
+          |  SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx) AS clean,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM r WHERE rn = 1 GROUP BY doc_id),
+          |nc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+          |  FROM chunks GROUP BY doc_id)
+          |SELECT c.doc_id, coalesce(nc.n_chunks, 0) AS n_chunks,
+          |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(coalesce(nc.n_chunks, 0) - coalesce(kept.n_kept, 0)
+          |    AS BIGINT) AS n_dropped,
+          |  md5(coalesce(kept.clean, '')) AS clean_md5
+          |FROM c
+          |LEFT JOIN nc ON nc.doc_id = c.doc_id
+          |LEFT JOIN kept ON kept.doc_id = c.doc_id
+          |ORDER BY c.doc_id""".stripMargin
+      ),
+      doc = "content-defined chunking dedup (LBFS/FastCDC boundaries: " +
+        "FNV-1a of the trailing 8 chars, low 5 bits zero → cut; " +
+        "expected chunk 32 chars): first-occurrence dedup over chunk " +
+        "digests survives INSERTIONS — the prefix-shifted copies " +
+        "deduplicate everywhere past their first content boundary, " +
+        "which fixed windows cannot do; oracle replays the FNV fold " +
+        "per cut position via HUGEINT wraparound"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_ngram_jaccard",
       covers = "dedup-jaccard",
       fn = (s, dir) =>

@@ -188,6 +188,41 @@ class CurationOps3Spec extends SparkTestBase {
     assert(q.select("split").distinct().count() == 3)
   }
 
+  // ---------------------------------------------------------------- CDC dedup
+
+  test("cdcChunkDedup: chunks reassemble, exact dups die, shifts survive boundaries") {
+    import graft.dedup.Dedup
+    val base = docs.select($"doc_id", $"text").filter($"doc_id" < 50)
+    // a doc with no dropped chunks reassembles exactly; drops in a
+    // duplicate-free corpus can only be INTRA-doc repeated chunks
+    // (first-occurrence is corpus-wide, same as windowDedup)
+    val solo = Dedup.cdcChunkDedup(base, "doc_id", "text")
+      .join(base, "doc_id").collect()
+    solo.foreach { r =>
+      if (r.getAs[Long]("n_dropped") == 0L)
+        assert(r.getAs[String]("clean_text") == r.getAs[String]("text"))
+    }
+    assert(solo.count(_.getAs[Long]("n_dropped") == 0L) > solo.length / 2)
+    // an exact duplicate loses every chunk; a PREFIX-shifted copy
+    // loses everything past its first content-defined boundary
+    val withCopies = base
+      .unionByName(base.filter($"doc_id" === 7L)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" === 8L)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          concat(lit("inserted prefix "), $"text").as("text")))
+    val out = Dedup.cdcChunkDedup(withCopies, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val exactCopy = out(100007L)
+    assert(exactCopy.getAs[Long]("n_kept") == 0L)
+    assert(exactCopy.getAs[String]("clean_text") == "")
+    val shifted = out(200008L)
+    // at most the leading chunks (prefix + first boundary re-sync)
+    // survive; the duplicated tail deduplicates
+    assert(shifted.getAs[Long]("n_dropped") >= shifted.getAs[Long]("n_chunks") - 2)
+    assert(shifted.getAs[Long]("n_chunks") > 2)
+  }
+
   // ---------------------------------------------------------------- hard negatives
 
   test("hardNegatives: per probe equals topKExact over the other-label slice") {
