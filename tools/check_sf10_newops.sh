@@ -11,8 +11,12 @@ set -e
 cd "$(dirname "$0")/.."
 [ -d testdata/sf1 ] || python3 tools/gen_scale.py 10 /root/testdata/sf0.1 testdata/sf1
 [ -d testdata/sf10 ] || python3 tools/gen_scale.py 100 /root/testdata/sf0.1 testdata/sf10
-SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_ann_hard_negatives
-ORACLE_SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index
+# q_dedup_cdc_chunks also leaves the sf10 ORACLE subset: its DuckDB
+# replay is ~23 s at sf1 (measured) and scales linearly with corpus
+# chars (~4 min at sf10) - again oracle cost; it is hash-checked at
+# sf0.001/sf0.01/sf1.
+SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_ann_hard_negatives,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_dedup_cdc_chunks
+ORACLE_SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch \
   "runMain graft.tools.ScaleBench testdata/sf1 BENCH_sf1_newops.json $SUBSET" \
   "runMain graft.tools.ScaleBench testdata/sf10 BENCH_sf10_newops.json $SUBSET" \
