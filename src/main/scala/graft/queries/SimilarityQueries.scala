@@ -202,6 +202,37 @@ object SimilarityQueries {
         "corpus-scale probes compose the IVF shortlist + refine " +
         "pattern instead of the broadcast face"
     ),
+    QueryDef(
+      "q_ann_random_project",
+      covers = "jl-projection,ann-lsh",
+      fn = (s, dir) =>
+        Ann
+          .randomProject(table(s, dir, "embeddings"), "vec_id", "embedding",
+            outDims = 16)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "y")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+          .orderBy("vec_id", "dim"),
+      oracle = Some {
+        val planes2d = (0 until 16).map(i =>
+          (0 until 64).map(j => Ann.planeInt(i, j)).mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        s"""WITH qe AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |pl AS (SELECT $planes2d AS p)
+           |SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS dim,
+           |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+           |    j -> q[j] * p[i.i][j])) AS BIGINT) AS y
+           |FROM qe CROSS JOIN pl CROSS JOIN range(1, 17) i(i)
+           |ORDER BY vec_id, dim""".stripMargin
+      },
+      doc = "Johnson-Lindenstrauss ±1 random projection (Achlioptas " +
+        "'01): 64 → 16 exact-integer coordinates over the sign-LSH " +
+        "hyperplane grid WITHOUT the sign truncation — dot products " +
+        "preserved in expectation, bit-identical on any engine; one " +
+        "compiled per-row loop, zero shuffle"
+    ),
     // ----------------------------------------------------------------
     QueryDef(
       "q_ann_topk_lsh",

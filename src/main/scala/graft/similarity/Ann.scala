@@ -99,6 +99,50 @@ object Ann {
       .select(col(idA), col("rank"), col(idB), col("cos"))
   }
 
+  /** Johnson-Lindenstrauss random projection (Achlioptas '01 — the
+    * database-friendly ±1 variant): reduce `vecCol` to `outDims`
+    * integer coordinates y_i = Σ_j q(x_j)·planeInt(i, j), reusing the
+    * sign-LSH hyperplane grid WITHOUT dropping to sign bits — the
+    * reduced vectors preserve dot products in expectation (JL lemma),
+    * so they serve as a cheap exact-integer prefilter distance, a
+    * feature-hashing embedding, or the input to a coarser index.
+    *
+    * Everything is exact integer arithmetic (×2^20 quantizer, integer
+    * planes, |term| < 2^41, 64-dim sums < 2^47), so projections are
+    * bit-identical on any engine and fully oracle-checkable — no
+    * float ever. One compiled per-row loop, zero shuffle; at 100 TB
+    * this is a scan-speed map like the LSH bucketer it shares planes
+    * with.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int
+  ): DataFrame = {
+    require(outDims >= 1 && outDims <= 256, "outDims in [1,256]")
+    val projUdf = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[Long]
+      else {
+        // the exact quantizeUdf grid (round-half-away-from-zero ×2^20)
+        val q = new Array[Long](v.length)
+        var j = 0
+        while (j < v.length) {
+          val x = v(j).toDouble * QuantScale
+          q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+          j += 1
+        }
+        (0 until outDims).map { i =>
+          var s = 0L
+          var k = 0
+          while (k < q.length) { s += q(k) * planeInt(i, k); k += 1 }
+          s
+        }
+      }
+    }
+    df.select(col(idCol), projUdf(col(vecCol)).as("proj"))
+  }
+
   /** ANCE-style hard-negative mining (Xiong et al. '21, "Approximate
     * Nearest Neighbor Negative Contrastive Learning") — the
     * contrastive-training data-prep op: for each probe, the k nearest

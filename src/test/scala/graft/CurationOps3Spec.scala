@@ -292,6 +292,46 @@ class CurationOps3Spec extends SparkTestBase {
     // doc 3 has zero hits → absent by design
   }
 
+  test("randomProject: exact vs driver recomputation; projection preserves cosine order") {
+    import graft.similarity.Ann
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100L)
+    // 48 dims for the statistical check (JL error ~1/sqrt(d); the
+    // 16-dim oracle face checks exactness, not geometry)
+    val proj = Ann.randomProject(e, "vec_id", "embedding", 48).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("proj").toArray).toMap
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def quant(v: Array[Float]): Array[Long] = v.map { f =>
+      val x = f.toDouble * 1048576.0
+      (if (x >= 0) x + 0.5 else x - 0.5).toLong
+    }
+    // independent recomputation from the shared plane definition
+    for ((id, v) <- vecs) {
+      val q = quant(v)
+      val expect = (0 until 48).map(i =>
+        q.indices.map(j => q(j) * Ann.planeInt(i, j)).sum).toArray
+      assert(proj(id).sameElements(expect), s"vec $id")
+    }
+    // JL property: cosine in projected space tracks original cosine
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = ids.zip(ids.tail)
+    val (xo, xp) = pairs.map { case (a, b) =>
+      (cos(quant(vecs(a)), quant(vecs(b))), cos(proj(a), proj(b)))
+    }.unzip
+    val mo = xo.sum / xo.size; val mp = xp.sum / xp.size
+    val corr = xo.zip(xp).map { case (a, b) => (a - mo) * (b - mp) }.sum /
+      (math.sqrt(xo.map(a => (a - mo) * (a - mo)).sum) *
+        math.sqrt(xp.map(b => (b - mp) * (b - mp)).sum))
+    assert(corr > 0.5, s"JL correlation too weak: $corr")
+  }
+
   // ---------------------------------------------------------------- search
 
   test("searchAll: conjunction and tf-ranking") {
