@@ -20,7 +20,13 @@ object TextQueries {
     * symbol l+r is strictly longer than l (so it can never re-match
     * as the left operand within the same pass).
     */
-  private def bpeTrainOracle(rounds: Int): String = {
+  private def bpeTrainOracle(rounds: Int): String =
+    bpeMergeCtes(rounds) + s"\nSELECT word, n, sym FROM v$rounds ORDER BY word"
+
+  /** The WITH-chain shared by every BPE oracle: word counts → v0 →
+    * `rounds` merge rounds → v{rounds} (word → final symbolization).
+    */
+  private def bpeMergeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -43,7 +49,6 @@ object TextQueries {
         |     THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
         |     ELSE acc || ' ' || x END) FROM m$i m) AS sym FROM v$i)""".stripMargin)
     }
-    sb.append(s"\nSELECT word, n, sym FROM v$rounds ORDER BY word")
     sb.toString
   }
 
@@ -1329,6 +1334,60 @@ object TextQueries {
         "token match via a broadcast lexicon join beside the scan — " +
         "only hit rows shuffle; n_tok rides along so rate gates stay " +
         "integer cross-multiplications"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_fertility",
+      covers = "bpe,tokenizer-audit",
+      fn = (s, dir) => {
+        // the tokenizer-fairness audit multilingual releases ship:
+        // per-language token/word/char volumes under ONE trained
+        // tokenizer — fertility (tokens per word) and compression
+        // (chars per token) are caller-side integer divisions
+        val docs = table(s, dir, "documents")
+        val (merges, vocab) = graft.text.Bpe.train(docs, "text", rounds = 3)
+        vocab.unpersist()
+        graft.text.Bpe
+          .encode(docs, "text", merges.map(m => (m._2, m._3)), s)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("tokens"))).cast("long").as("n_bpe_tokens"),
+            sum(size(filter(split(col("text"), " "),
+              w => length(w) > 0))).cast("long").as("n_words"),
+            sum(length(translate(col("text"), " ", ""))).cast("long")
+              .as("n_chars"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        bpeMergeCtes(3) +
+          """,
+            |dw AS (
+            |  SELECT doc_id, u AS word FROM (
+            |    SELECT doc_id, unnest(string_split(text, ' ')) AS u
+            |    FROM documents)
+            |  WHERE len(u) >= 1),
+            |ag AS (
+            |  SELECT dw.doc_id,
+            |    CAST(sum(len(string_split(v3.sym, ' '))) AS BIGINT) AS n_tok,
+            |    CAST(count(*) AS BIGINT) AS n_words
+            |  FROM dw JOIN v3 ON v3.word = dw.word GROUP BY dw.doc_id),
+            |dl AS (SELECT doc_id, lang,
+            |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nchr
+            |  FROM documents)
+            |SELECT dl.lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(coalesce(ag.n_tok, 0)) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(sum(coalesce(ag.n_words, 0)) AS BIGINT) AS n_words,
+            |  CAST(sum(dl.nchr) AS BIGINT) AS n_chars
+            |FROM dl LEFT JOIN ag ON ag.doc_id = dl.doc_id
+            |GROUP BY dl.lang ORDER BY lang""".stripMargin
+      ),
+      doc = "tokenizer fertility audit: per-language docs / BPE " +
+        "tokens / words / non-space chars under one trained merge " +
+        "table — the multilingual-fairness table (fertility = " +
+        "tokens/word, compression = chars/token) as integer-exact " +
+        "volumes; encode is the corpus-scale broadcast-merges map, " +
+        "the report one dimension-sized aggregation"
     )
   )
 
