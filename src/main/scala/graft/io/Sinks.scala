@@ -18,6 +18,13 @@ object Sinks {
   def appendJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("append").json(path)
 
+  /** ORC columnar sink (extension) — the Hive-ecosystem interchange
+    * format beside the parquet default; same overwrite contract as
+    * [[writeCsv]].
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** K3 — dead-letter split: rows with a non-null error column go to
     * the DLQ (error text flattened to one line, filter_channel.py:62),
     * clean rows continue. Errors are data, not control flow.

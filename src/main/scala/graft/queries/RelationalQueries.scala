@@ -337,6 +337,31 @@ object RelationalQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_k_orc_roundtrip",
+      covers = "K1,S1,columnar-format",
+      fn = (s, dir) => {
+        // the ORC face of the sink matrix: self-describing columnar
+        // round-trip (schema travels with the files, unlike CSV) —
+        // types, nulls, and values must all survive
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_orc_roundtrip").getPath
+        graft.io.Sinks.writeOrc(
+          table(s, dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+          path)
+        s.read.orc(path).orderBy("s_suppkey")
+      },
+      oracle = Some(
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+          "ORDER BY s_suppkey"
+      ),
+      doc = "ORC columnar sink round-trip: write ORC, re-scan (schema " +
+        "self-described), compare against the source relation in " +
+        "DuckDB — extends the sink matrix to the Hive-ecosystem " +
+        "interchange format"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_k2_jsonl_roundtrip",
       covers = "K2,S2",
       fn = (s, dir) => {
