@@ -225,6 +225,75 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_langid_confusion",
+      covers = "lang-id,profiling",
+      fn = (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "lang_pred"),
+      oracle = Some(
+        """WITH sc AS (
+          |  SELECT doc_id, lang,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('der','die','das','und','ein','eine','von','zu'))) AS s_de,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('el','la','de','los','las','un','una','por'))) AS s_es,
+          |    len(list_filter(string_split(text,' '),
+          |      t -> t IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+          |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk
+          |  FROM documents),
+          |p AS (
+          |  SELECT lang,
+          |    CASE WHEN n_cjk > 0 THEN 'zh'
+          |         WHEN s_de = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'de'
+          |         WHEN s_en = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'en'
+          |         WHEN s_es = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'es'
+          |         WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) AND greatest(s_de,s_en,s_es,s_fr) > 0 THEN 'fr'
+          |         ELSE 'und' END AS lang_pred
+          |  FROM sc)
+          |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+          |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+      ),
+      doc = "language-ID confusion matrix vs the labeled fixture: per " +
+        "(true, predicted) doc counts — the classifier-quality audit " +
+        "a curation pipeline ships before trusting a langid gate; one " +
+        "dimension-sized aggregation over the per-row heuristic"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_text_truncate",
+      covers = "truncation,text-quality",
+      fn = (s, dir) =>
+        TextAnalysis
+          .truncateTokens(table(s, dir, "documents"), "doc_id", "text",
+            maxTokens = 40)
+          .withColumn("trunc_md5", md5(col("text_trunc")))
+          .withColumn("trunc_len", length(col("text_trunc")).cast("long"))
+          .drop("text_trunc")
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws, text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(greatest(len(ws) - 40, 0) AS BIGINT) AS n_cut,
+          |  md5(CASE WHEN len(ws) <= 40 THEN text
+          |      ELSE array_to_string(ws[1:40], ' ') END) AS trunc_md5,
+          |  CAST(length(CASE WHEN len(ws) <= 40 THEN text
+          |      ELSE array_to_string(ws[1:40], ' ') END) AS BIGINT) AS trunc_len
+          |FROM t ORDER BY doc_id""".stripMargin
+      ),
+      doc = "context-length truncation (head-keep at 40 tokens, cut " +
+        "count reported) — the preprocessing guard before packing " +
+        "against a model context window; pure per-row projection, " +
+        "zero shuffle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_vocab",
       covers = "vocab,token-count,D3,O2",
       fn = (s, dir) =>

@@ -1105,6 +1105,29 @@ object TextAnalysis {
       array_join(concat(targetParts.toSeq: _*), " ").as("target_text"))
   }
 
+  /** Context-length truncation (head-keep): cap every document at
+    * `maxTokens` whitespace tokens, reporting how many were cut — the
+    * standard preprocessing guard before packing/batching against a
+    * model's context window. Pure per-row projection, zero shuffle.
+    * Returns (idCol, n_cut, text_trunc).
+    */
+  def truncateTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, "maxTokens >= 1")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    df.select(
+      col(idCol),
+      greatest(n - maxTokens, lit(0)).cast("long").as("n_cut"),
+      when(n <= maxTokens, col(textCol))
+        .otherwise(array_join(slice(toks, 1, maxTokens), " "))
+        .as("text_trunc"))
+  }
+
   /** Dolma-style wordlist taggers (Soldaini et al. '24 §3 — the
     * "taggers" stage: per-document hit counts against categorized
     * lexicons, e.g. toxicity / adult / quality wordlists; downstream
