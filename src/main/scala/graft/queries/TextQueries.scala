@@ -294,6 +294,79 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_chat_template",
+      covers = "chat-template,sft-prep",
+      fn = (s, dir) => {
+        // synthetic 4-turn conversation per doc (user/asst/user/asst
+        // over token quarters) — the offsets-correctness face: the
+        // assistant loss-mask text EXTRACTED from the prompt by the
+        // emitted spans must hash-match the oracle's arithmetic
+        // reconstruction
+        val d = table(s, dir, "documents")
+        val toks = split(col("text"), " ")
+        val n = size(toks).cast("long")
+        def b(k: Int) = floor(n * k / 4).cast("long")
+        val turns = array((0 until 4).map { k =>
+          struct(
+            lit(if (k % 2 == 0) "user" else "asst").as("role"),
+            array_join(
+              slice(toks, (b(k) + 1L).cast("int"),
+                (b(k + 1) - b(k)).cast("int")), " ").as("content"))
+        }: _*)
+        val rendered = graft.text.ChatTemplate.renderChat(
+          d.withColumn("turns", turns), "doc_id", "turns",
+          "You are a helpful assistant.")
+        rendered.select(
+          col("doc_id"),
+          length(col("prompt")).cast("long").as("prompt_len"),
+          md5(col("prompt")).as("prompt_md5"),
+          md5(graft.text.ChatTemplate.roleSpanText(
+            col("prompt"), col("spans"), "asst")).as("asst_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |    array_to_string(ws[(n*0)//4 + 1 : (n*1)//4], ' ') AS c0,
+          |    array_to_string(ws[(n*1)//4 + 1 : (n*2)//4], ' ') AS c1,
+          |    array_to_string(ws[(n*2)//4 + 1 : (n*3)//4], ' ') AS c2,
+          |    array_to_string(ws[(n*3)//4 + 1 : n], ' ') AS c3
+          |  FROM t),
+          |p AS (
+          |  SELECT doc_id, c0, c1, c2, c3,
+          |    '<|sys|>You are a helpful assistant.<|end|>'
+          |    || '<|user|>' || c0 || '<|end|>'
+          |    || '<|asst|>' || c1 || '<|end|>'
+          |    || '<|user|>' || c2 || '<|end|>'
+          |    || '<|asst|>' || c3 || '<|end|>' AS prompt
+          |  FROM c),
+          |o AS (
+          |  SELECT doc_id, prompt,
+          |    42 + 8 + length(c0) + 7 + 8 AS s1, length(c1) AS l1,
+          |    42 + (8 + length(c0) + 7) + (8 + length(c1) + 7)
+          |       + (8 + length(c2) + 7) + 8 AS s3, length(c3) AS l3
+          |  FROM p)
+          |SELECT doc_id,
+          |  CAST(length(prompt) AS BIGINT) AS prompt_len,
+          |  md5(prompt) AS prompt_md5,
+          |  md5(substr(prompt, CAST(s1 + 1 AS BIGINT), CAST(l1 AS BIGINT))
+          |   || substr(prompt, CAST(s3 + 1 AS BIGINT), CAST(l3 AS BIGINT)))
+          |    AS asst_md5
+          |FROM o ORDER BY doc_id""".stripMargin
+      ),
+      doc = "chat-template rendering for SFT data prep: conversation " +
+        "turns fold into one ChatML-shaped training string with " +
+        "per-turn content CHAR SPANS for loss masking — the oracle " +
+        "extracts the assistant text from the prompt by the emitted " +
+        "offsets and hash-matches it, proving span correctness; one " +
+        "per-row aggregate fold, zero shuffle"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_vocab",
       covers = "vocab,token-count,D3,O2",
       fn = (s, dir) =>

@@ -188,6 +188,42 @@ class CurationOps3Spec extends SparkTestBase {
     assert(q.select("split").distinct().count() == 3)
   }
 
+  // ---------------------------------------------------------------- chat template
+
+  test("renderChat: spans are disjoint, ordered, and extract to the turn contents") {
+    import graft.text.ChatTemplate
+    val convs = Seq(
+      (1L, Seq(("user", "hi there"), ("asst", "hello!"),
+        ("user", ""), ("asst", "still here"))),
+      (2L, Seq(("user", "lone question"))),
+      (3L, Seq.empty[(String, String)])
+    ).toDF("conv_id", "raw")
+      .withColumn("turns",
+        expr("transform(raw, x -> struct(x._1 AS role, x._2 AS content))"))
+    val out = ChatTemplate.renderChat(convs, "conv_id", "turns", "SYS")
+      .withColumn("asst_x",
+        ChatTemplate.roleSpanText(col("prompt"), col("spans"), "asst"))
+      .withColumn("user_x",
+        ChatTemplate.roleSpanText(col("prompt"), col("spans"), "user"))
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("prompt") ==
+      "<|sys|>SYS<|end|><|user|>hi there<|end|><|asst|>hello!<|end|>" +
+        "<|user|><|end|><|asst|>still here<|end|>")
+    assert(r1.getAs[String]("asst_x") == "hello!still here")
+    assert(r1.getAs[String]("user_x") == "hi there")
+    val spans = r1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans")
+    assert(spans.length == 4)
+    // ordered and disjoint
+    spans.sliding(2).foreach {
+      case scala.collection.Seq(a, b) =>
+        assert(a.getAs[Long]("e") <= b.getAs[Long]("s"))
+      case _ =>
+    }
+    assert(out(2L).getAs[String]("asst_x") == "")
+    assert(out(3L).getAs[String]("prompt") == "<|sys|>SYS<|end|>")
+  }
+
   // ---------------------------------------------------------------- CDC dedup
 
   test("cdcChunkDedup: chunks reassemble, exact dups die, shifts survive boundaries") {
