@@ -137,6 +137,45 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sft_preference_pairs",
+      covers = "preference-pairs,sft-prep,A2",
+      fn = (s, dir) =>
+        graft.text.Sampling
+          .preferencePairs(
+            table(s, dir, "documents")
+              .withColumn("pair_group", floor(col("doc_id") / 4).cast("long"))
+              .withColumn("score", length(col("text")).cast("long")),
+            "pair_group", "doc_id", "score")
+          .orderBy("pair_group"),
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id, doc_id // 4 AS grp,
+          |    CAST(length(text) AS BIGINT) AS score
+          |  FROM documents),
+          |b AS (SELECT grp, doc_id AS chosen_id, score AS chosen_score,
+          |        row_number() OVER (PARTITION BY grp
+          |          ORDER BY score DESC, doc_id ASC) AS rn FROM c),
+          |w AS (SELECT grp, doc_id AS rejected_id, score AS rejected_score,
+          |        row_number() OVER (PARTITION BY grp
+          |          ORDER BY score ASC, doc_id DESC) AS rn FROM c),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cands
+          |      FROM c GROUP BY grp)
+          |SELECT n.grp AS pair_group, n.n_cands,
+          |  b.chosen_id, b.chosen_score, w.rejected_id, w.rejected_score
+          |FROM n
+          |JOIN b ON b.grp = n.grp AND b.rn = 1
+          |JOIN w ON w.grp = n.grp AND w.rn = 1
+          |WHERE n.n_cands >= 2 ORDER BY pair_group""".stripMargin
+      ),
+      doc = "DPO preference-pair construction (Rafailov et al. '23): " +
+        "per candidate group, best-scored response paired as chosen " +
+        "vs worst as rejected, deterministic tiebreaks — one keyed " +
+        "aggregation with struct max/min (map-side partials, no " +
+        "per-group sort or window); doc quarters group the fixture, " +
+        "char length is the integer reward proxy"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_shuffle",
       covers = "sampling,shuffle",
       fn = (s, dir) =>

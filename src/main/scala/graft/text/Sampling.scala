@@ -264,4 +264,40 @@ object Sampling {
           when(col("__before") < col("__rem"), 1L).otherwise(0L)).cast("long"))
       .select(col(sourceCol), col(idCol), col("n_tok"), col("n_copies"))
   }
+
+  /** Preference-pair construction — the DPO/RLHF data-prep op
+    * (Rafailov et al. '23): within each candidate group (the k
+    * responses sampled for one prompt), pair the BEST-scored response
+    * as `chosen` against the WORST as `rejected`. Deterministic
+    * tiebreaks (best: lower id; worst: higher id) make the pairing a
+    * pure function of the data. Groups with fewer than two candidates
+    * yield no pair.
+    *
+    * Shape: one keyed aggregation — best/worst are struct max/min
+    * (map-side partial), never a per-group sort or window; at 100 TB
+    * the shuffle carries one (score, id) pair per candidate.
+    * Returns (groupCol, n_cands, chosen_id, chosen_score,
+    * rejected_id, rejected_score).
+    */
+  def preferencePairs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame =
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        col(scoreCol).cast("long").as("__score"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_cands"),
+        max(struct(col("__score").as("s"), (-col("__id")).as("ni"))).as("__best"),
+        min(struct(col("__score").as("s"), (-col("__id")).as("ni"))).as("__worst"))
+      .filter(col("n_cands") >= 2)
+      .select(
+        col(groupCol),
+        col("n_cands"),
+        (-col("__best.ni")).cast("long").as("chosen_id"),
+        col("__best.s").as("chosen_score"),
+        (-col("__worst.ni")).cast("long").as("rejected_id"),
+        col("__worst.s").as("rejected_score"))
 }

@@ -188,6 +188,23 @@ class CurationOps3Spec extends SparkTestBase {
     assert(q.select("split").distinct().count() == 3)
   }
 
+  test("preferencePairs: best-vs-worst with deterministic tiebreaks; singletons drop") {
+    import graft.text.Sampling
+    val cands = Seq(
+      (0L, 1L, 10L), (0L, 2L, 30L), (0L, 3L, 30L), (0L, 4L, 10L), // ties both ends
+      (1L, 5L, 7L),                                               // singleton
+      (2L, 6L, 1L), (2L, 7L, 2L)
+    ).toDF("grp", "id", "score")
+    val out = Sampling.preferencePairs(cands, "grp", "id", "score")
+      .orderBy("grp").collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("n_cands"),
+        r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id")))
+      .toSeq
+    // grp 0: chosen = best score, LOWER id (2 not 3); rejected =
+    // worst score, HIGHER id (4 not 1); grp 1 singleton dropped
+    assert(out == Seq((0L, 4L, 2L, 4L), (2L, 2L, 7L, 6L)))
+  }
+
   // ---------------------------------------------------------------- chat template
 
   test("renderChat: spans are disjoint, ordered, and extract to the turn contents") {
