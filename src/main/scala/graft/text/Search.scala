@@ -63,10 +63,13 @@ object Search {
       terms: DataFrame, // single string column "term"
       k: Int
   ): DataFrame = {
-    val nTerms = terms.agg(count(lit(1)).cast("long").as("n_terms"))
+    // a duplicated term row would double its tf contribution AND make
+    // the conjunction count unreachable — dedupe defensively
+    val uniq = terms.distinct()
+    val nTerms = uniq.agg(count(lit(1)).cast("long").as("n_terms"))
     val tf = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .join(broadcast(terms), col("token") === col("term"))
+      .join(broadcast(uniq), col("token") === col("term"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val hits = tf

@@ -1152,7 +1152,8 @@ object TextAnalysis {
       size(split(col(textCol), " ")).cast("long").as("n_tok"),
       explode(split(col(textCol), " ")).as("w"))
     toks
-      .join(broadcast(lexicon), lower(col("w")) === col("term"))
+      // a duplicated lexicon row would double-count hits — dedupe
+      .join(broadcast(lexicon.distinct()), lower(col("w")) === col("term"))
       .groupBy(col(idCol), col("tag"), col("n_tok"))
       .agg(count(lit(1)).as("n_hits"))
       .select(col(idCol), col("tag"), col("n_hits"), col("n_tok"))

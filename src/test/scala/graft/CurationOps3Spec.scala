@@ -343,6 +343,14 @@ class CurationOps3Spec extends SparkTestBase {
       (1L, "db", 3L, 4L),   // Table + ROW + table
       (2L, "perf", 3L, 3L)))
     // doc 3 has zero hits → absent by design
+    // a duplicated lexicon row must not double-count
+    val dupLex = lex.unionByName(Seq(("table", "db")).toDF("term", "tag"))
+    val out2 = TextAnalysis.wordlistTags(corpus, "doc_id", "text", dupLex)
+      .orderBy("doc_id", "tag").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tag"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_tok")))
+      .toSeq
+    assert(out2 == out)
   }
 
   test("randomProject: exact vs driver recomputation; projection preserves cosine order") {
@@ -398,6 +406,14 @@ class CurationOps3Spec extends SparkTestBase {
     val out = Search.searchAll(corpus, "doc_id", "text", terms, k = 10)
       .collect()
     assert(out.map(r => (r.getAs[Long]("hit_rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("total_tf"))).toSeq ==
+      Seq((1L, 1L, 4L), (2L, 3L, 4L)))
+    // a duplicated term row must not double-count or break the
+    // conjunction
+    val dupTerms = Seq("x", "y", "z", "x", "x").toDF("term")
+    val out2 = Search.searchAll(corpus, "doc_id", "text", dupTerms, k = 10)
+      .collect()
+    assert(out2.map(r => (r.getAs[Long]("hit_rank"), r.getAs[Long]("doc_id"),
       r.getAs[Long]("total_tf"))).toSeq ==
       Seq((1L, 1L, 4L), (2L, 3L, 4L)))
   }
