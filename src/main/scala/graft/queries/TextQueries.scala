@@ -367,6 +367,33 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_width_fold",
+      covers = "width-fold,P6,text-quality",
+      fn = (s, dir) => {
+        // every 4th doc mangled to full-width ASCII forms (the CJK-page
+        // artifact); folding must restore the original byte-for-byte
+        val half = (0x21 to 0x7E).map(_.toChar).mkString + ' '
+        val full = (0xFF01 to 0xFF5E).map(_.toChar).mkString + '　'
+        val mangled = when(col("doc_id") % 4 === 0,
+          translate(col("text"), half, full)).otherwise(col("text"))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 4 === 0).as("was_mangled"),
+            length(mangled).cast("long").as("mangled_len"),
+            md5(TextAnalysis.foldWidth(mangled)).as("folded_md5"),
+            (md5(TextAnalysis.foldWidth(mangled)) === md5(col("text")))
+              .as("fold_restores"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(widthFoldOracle),
+      doc = "full-width → half-width folding (the NFKC subset CJK web " +
+        "pages need: U+FF01..FF5E + ideographic space → ASCII): one " +
+        "codegen'd translate, zero shuffle; the fixture mangles every " +
+        "4th doc to full-width forms and the fold provably restores " +
+        "the original (fold_restores true on every row, md5-checked)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_vocab",
       covers = "vocab,token-count,D3,O2",
       fn = (s, dir) =>
@@ -1532,6 +1559,27 @@ object TextQueries {
         "the report one dimension-sized aggregation"
     )
   )
+
+  /** Oracle for q_text_width_fold: the same translate round-trip with
+    * the 95+1-char mappings embedded as SQL literals.
+    */
+  private def widthFoldOracle: String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val half = (0x21 to 0x7E).map(_.toChar).mkString + ' '
+    val full = (0xFF01 to 0xFF5E).map(_.toChar).mkString + '　'
+    s"""WITH m AS (
+       |  SELECT doc_id, text, doc_id % 4 = 0 AS was_mangled,
+       |    CASE WHEN doc_id % 4 = 0
+       |         THEN translate(text, ${lit(half)}, ${lit(full)})
+       |         ELSE text END AS mangled
+       |  FROM documents)
+       |SELECT doc_id, was_mangled,
+       |  CAST(length(mangled) AS BIGINT) AS mangled_len,
+       |  md5(translate(mangled, ${lit(full)}, ${lit(half)})) AS folded_md5,
+       |  md5(translate(mangled, ${lit(full)}, ${lit(half)})) = md5(text)
+       |    AS fold_restores
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle for q_text_span_corrupt: replays the 3-stratum span
     * arithmetic (integer floor bounds, md5-derived starts/lengths) and

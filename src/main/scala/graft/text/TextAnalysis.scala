@@ -1105,6 +1105,21 @@ object TextAnalysis {
       array_join(concat(targetParts.toSeq: _*), " ").as("target_text"))
   }
 
+  /** Full-width → half-width folding (the NFKC subset multilingual
+    * web cleaning actually needs: CJK pages mix full-width ASCII
+    * forms U+FF01..U+FF5E and the ideographic space U+3000 into
+    * otherwise-Latin runs, which breaks tokenization, langid stopword
+    * matching, and exact dedup keys). One translate() over the
+    * 95-char mapping — codegen'd, zero shuffle, and exactly
+    * replayable on any engine with the same mapping (unlike a full
+    * ICU NFKC pass, whose tables differ by version).
+    */
+  def foldWidth(text: Column): Column = {
+    val full = (0xFF01 to 0xFF5E).map(_.toChar).mkString + '　'
+    val half = (0x21 to 0x7E).map(_.toChar).mkString + ' '
+    translate(text, full, half)
+  }
+
   /** Context-length truncation (head-keep): cap every document at
     * `maxTokens` whitespace tokens, reporting how many were cut — the
     * standard preprocessing guard before packing/batching against a
