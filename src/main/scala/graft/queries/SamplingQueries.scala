@@ -176,6 +176,50 @@ object SamplingQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_sample_unimax",
+      covers = "unimax,sampling,mixture",
+      fn = (s, dir) =>
+        graft.text.Sampling
+          .unimaxPlan(table(s, dir, "documents"), "lang", "text",
+            budgetTokens = 20000L, maxEpochs = 1)
+          .orderBy("lang"),
+      oracle = Some(
+        """WITH RECURSIVE counts AS (
+          |  SELECT lang,
+          |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+          |      AS BIGINT) AS n_tok
+          |  FROM documents GROUP BY lang),
+          |ord AS (
+          |  SELECT lang, n_tok,
+          |    CAST(row_number() OVER (ORDER BY n_tok ASC, lang ASC)
+          |      AS BIGINT) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS nl
+          |  FROM counts),
+          |rec AS (
+          |  SELECT CAST(0 AS BIGINT) AS rn, CAST(20000 AS BIGINT) AS rem,
+          |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_tok,
+          |    CAST(NULL AS BIGINT) AS alloc
+          |  UNION ALL
+          |  SELECT o.rn,
+          |    r.rem - least(1 * o.n_tok, r.rem // (o.nl - o.rn + 1)),
+          |    o.lang, o.n_tok,
+          |    least(1 * o.n_tok, r.rem // (o.nl - o.rn + 1))
+          |  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+          |SELECT lang, n_tok, CAST(alloc AS BIGINT) AS alloc_tok,
+          |  CAST(CASE WHEN n_tok = 0 THEN 0
+          |       ELSE alloc * 1000 // n_tok END AS BIGINT) AS epochs_permille
+          |FROM rec WHERE lang IS NOT NULL ORDER BY lang""".stripMargin
+      ),
+      doc = "UniMax language balancing (Chung et al. '23 — the " +
+        "T5X/PaLM-2 allocator): languages ascending by size each get " +
+        "min(maxEpochs·n, remaining ∕ left) tokens, surplus flowing " +
+        "to larger languages instead of a temperature exponent; one " +
+        "corpus aggregation + a dimension-sized driver fold (codebook " +
+        "pattern), replayed as a recursive CTE — at this budget both " +
+        "the epoch-cap and budget-limited branches fire"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_sample_shuffle",
       covers = "sampling,shuffle",
       fn = (s, dir) =>

@@ -265,6 +265,48 @@ object Sampling {
       .select(col(sourceCol), col(idCol), col("n_tok"), col("n_copies"))
   }
 
+  /** UniMax language-balancing budget plan (Chung et al. '23,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining" — the T5X/PaLM-2
+    * allocator): process languages in INCREASING corpus-size order;
+    * each gets min(maxEpochs·n_l, remaining ∕ languages_left) tokens
+    * (integer floor division — documented determinism choice), so
+    * small languages are capped at their epoch budget and the surplus
+    * flows to larger ones instead of a temperature exponent.
+    *
+    * Shape: one corpus-sized token-count aggregation, then the greedy
+    * fold runs driver-local over the DIMENSION-sized language table
+    * (the codebook pattern — same bounded-collect rule as the k-means
+    * codebooks). Returns (langCol, n_tok, alloc_tok, epochs_permille)
+    * — epochs·1000 as an integer so the "how many epochs does each
+    * language see" answer carries no float.
+    */
+  def unimaxPlan(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1)
+    val spark = df.sparkSession
+    val rows = df
+      .groupBy(col(langCol))
+      .agg(sum(TextAnalysis.tokenCountWs(col(textCol))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n, l) }
+    var rem = budgetTokens
+    val out = rows.zipWithIndex.map { case ((l, n), i) =>
+      val left = rows.length - i
+      val a = math.min(maxEpochs.toLong * n, rem / left)
+      rem -= a
+      (l, n, a, if (n == 0) 0L else a * 1000L / n)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF(langCol, "n_tok", "alloc_tok", "epochs_permille")
+  }
+
   /** Preference-pair construction — the DPO/RLHF data-prep op
     * (Rafailov et al. '23): within each candidate group (the k
     * responses sampled for one prompt), pair the BEST-scored response

@@ -205,6 +205,31 @@ class CurationOps3Spec extends SparkTestBase {
     assert(out == Seq((0L, 4L, 2L, 4L), (2L, 2L, 7L, 6L)))
   }
 
+  test("unimaxPlan: epoch caps bind small languages, surplus flows up, budget conserved") {
+    import graft.text.Sampling
+    // lang sizes (ws tokens): a=2, b=4, c=20
+    val corpus = Seq(
+      ("a", "t1 t2"), ("b", "t1 t2 t3 t4"),
+      ("c", ("t1 " * 19).trim + " t20")
+    ).toDF("lang", "text")
+    val plan = Sampling.unimaxPlan(corpus, "lang", "text",
+        budgetTokens = 12L, maxEpochs = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("alloc_tok"), r.getAs[Long]("epochs_permille")))
+      .toSeq
+    // ascending: a gets min(4, 12/3=4)=4 (both bind), b min(8, 8/2=4)=4,
+    // c min(40, 4/1=4)=4
+    assert(plan == Seq(("a", 2L, 4L, 2000L), ("b", 4L, 4L, 1000L),
+      ("c", 20L, 4L, 200L)))
+    assert(plan.map(_._3).sum == 12L) // budget fully allocated
+    // big budget: every language epoch-capped, leftover unallocated
+    val plan2 = Sampling.unimaxPlan(corpus, "lang", "text",
+        budgetTokens = 1000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tok")).toMap
+    assert(plan2 == Map("a" -> 4L, "b" -> 8L, "c" -> 40L))
+  }
+
   // ---------------------------------------------------------------- chat template
 
   test("renderChat: spans are disjoint, ordered, and extract to the turn contents") {
