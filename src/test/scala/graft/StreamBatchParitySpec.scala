@@ -903,6 +903,35 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(got.toMap == expect)
   }
 
+  test("stateless transform chain (width-fold → truncate) is streaming-safe") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftwf")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.truncateTokens(
+        df.withColumn("text", graft.text.TextAnalysis.foldWidth($"text")),
+        "doc_id", "text", maxTokens = 30)
+        .select($"doc_id", $"n_cut", md5($"text_trunc").as("m"))
+    val expect = chain(batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val q = chain(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mb.collect().foreach(r =>
+          got.synchronized { got(r.getLong(0)) = (r.getLong(1), r.getString(2)) })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == expect)
+  }
+
   test("frozen-count Stupid Backoff: stream-static scoring equals batch scoring") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
