@@ -71,13 +71,17 @@ object Profile {
   ): DataFrame = {
     require(groupSize >= 1, "groupSize >= 1")
     val id = col(idCol)
-    val leaf = md5(concat(id.cast("string"), lit(":"), md5(col(textCol))))
+    // null text folds as "" — a null leaf would otherwise be silently
+    // DROPPED by array_join and the manifest would vouch for a corpus
+    // it didn't fully hash
+    val text = coalesce(col(textCol), lit(""))
+    val leaf = md5(concat(id.cast("string"), lit(":"), md5(text)))
     val leaves = df.select(
       col(shardCol).as("shard"),
       id.as("__id"),
       floor(id / groupSize).cast("long").as("grp"),
       leaf.as("__leaf"),
-      length(col(textCol)).cast("long").as("__chars"))
+      length(text).cast("long").as("__chars"))
     def chain(sorted: org.apache.spark.sql.Column) =
       md5(array_join(transform(sorted, x => x.getField("d")), ""))
     val groups = leaves

@@ -40,7 +40,8 @@ object ChatTemplate {
       init,
       (acc, t) => {
         val role = t.getField("role")
-        val content = t.getField("content")
+        // a null content would null the whole fold — treat as empty
+        val content = coalesce(t.getField("content"), lit(""))
         val header = concat(lit("<|"), role, lit("|>"))
         val s = (length(acc.getField("p")) + length(header)).cast("long")
         val e = s + length(content).cast("long")

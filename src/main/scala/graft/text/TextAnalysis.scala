@@ -1058,7 +1058,8 @@ object TextAnalysis {
   ): org.apache.spark.sql.DataFrame = {
     require(nSpans >= 1 && maxSpanTokens >= 1, "nSpans/maxSpanTokens >= 1")
     val id = col(idCol)
-    val toks = split(col(textCol), " ")
+    // null text behaves as "" (the Bpe.encode convention)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val n = size(toks).cast("long")
     def h(sub: String) =
       conv(substring(Sampling.saltedHex(salt + sub, id), 1, 8), 16, 10)
@@ -1133,12 +1134,13 @@ object TextAnalysis {
       maxTokens: Int
   ): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, "maxTokens >= 1")
-    val toks = split(col(textCol), " ")
+    val text = coalesce(col(textCol), lit(""))
+    val toks = split(text, " ")
     val n = size(toks)
     df.select(
       col(idCol),
       greatest(n - maxTokens, lit(0)).cast("long").as("n_cut"),
-      when(n <= maxTokens, col(textCol))
+      when(n <= maxTokens, text)
         .otherwise(array_join(slice(toks, 1, maxTokens), " "))
         .as("text_trunc"))
   }
@@ -1196,7 +1198,9 @@ object TextAnalysis {
       minDf: Long = 2L,
       unkTok: String = "<unk>"
   ): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
+    // null text behaves as "" (explode would otherwise drop the doc
+    // from the df table while the graft join still emits its row)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val exploded = df
       .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
       .select(col(idCol), col("pos").cast("long").as("pos"),

@@ -191,6 +191,38 @@ class DegenerateInputSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("null text is the empty doc for the new transforms, never a dropped row") {
+    import spark.implicits._
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // manifest: the null doc is HASHED (as ""), not silently dropped
+    val m = graft.ops.Profile
+      .corpusManifest(withNull.withColumn("source", lit("s")), "doc_id",
+        "text", "source")
+      .head()
+    assert(m.getAs[Long]("n_docs") == 2L)
+    val without = graft.ops.Profile
+      .corpusManifest(withNull.filter($"doc_id" === 1L)
+        .withColumn("source", lit("s")), "doc_id", "text", "source")
+      .head()
+    assert(m.getAs[String]("root_digest") != without.getAs[String]("root_digest"))
+    // per-row transforms emit a row for the null doc
+    assert(graft.text.TextAnalysis
+      .spanCorrupt(withNull, "doc_id", "text").count() == 2)
+    assert(graft.text.TextAnalysis
+      .truncateTokens(withNull, "doc_id", "text", 5)
+      .filter($"doc_id" === 2L).head().getAs[String]("text_trunc") == "")
+    assert(graft.text.TextAnalysis
+      .unkRareTokens(withNull, "doc_id", "text").count() == 2)
+    // chat template: null content renders as an empty turn
+    val conv = Seq((1L, Seq(("user", null.asInstanceOf[String]))))
+      .toDF("conv_id", "raw")
+      .withColumn("turns",
+        expr("transform(raw, x -> struct(x._1 AS role, x._2 AS content))"))
+    assert(graft.text.ChatTemplate.renderChat(conv, "conv_id", "turns", "S")
+      .head().getAs[String]("prompt") == "<|sys|>S<|end|><|user|><|end|>")
+  }
+
   test("adversarial many-frame GIF: CappedGifFrameSampler bounds the " +
     "frame walk and oversize payloads skip the codec entirely") {
     import graft.multimodal.{CappedGifFrameSampler, GifFrameSampler, ImageCodec}

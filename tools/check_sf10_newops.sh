@@ -15,8 +15,8 @@ cd "$(dirname "$0")/.."
 # replay is ~23 s at sf1 (measured) and scales linearly with corpus
 # chars (~4 min at sf10) - again oracle cost; it is hash-checked at
 # sf0.001/sf0.01/sf1.
-SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_ann_hard_negatives,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_dedup_cdc_chunks,q_ann_random_project,q_text_bpe_fertility,q_text_langid_confusion,q_text_truncate,q_text_chat_template,q_sft_preference_pairs,q_k_orc_roundtrip
-ORACLE_SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_ann_random_project,q_text_bpe_fertility,q_text_langid_confusion,q_text_truncate,q_text_chat_template,q_sft_preference_pairs,q_k_orc_roundtrip
+SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_ann_hard_negatives,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_dedup_cdc_chunks,q_ann_random_project,q_text_bpe_fertility,q_text_langid_confusion,q_text_truncate,q_text_chat_template,q_sft_preference_pairs,q_k_orc_roundtrip,q_text_width_fold,q_sample_unimax
+ORACLE_SUBSET=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_ann_random_project,q_text_bpe_fertility,q_text_langid_confusion,q_text_truncate,q_text_chat_template,q_sft_preference_pairs,q_k_orc_roundtrip,q_text_width_fold,q_sample_unimax
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch \
   "runMain graft.tools.ScaleBench testdata/sf1 BENCH_sf1_newops.json $SUBSET" \
   "runMain graft.tools.ScaleBench testdata/sf10 BENCH_sf10_newops.json $SUBSET" \
