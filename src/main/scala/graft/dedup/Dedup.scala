@@ -1474,6 +1474,54 @@ object Dedup {
       maxHamming: Int = 3,
       maxPerBucket: Option[Int] = None
   ): DataFrame = {
+    // Token-less docs (null/empty/space-only text) all fingerprint to
+    // 0L — banding them would emit every such pair as a hamming-0
+    // "near-dup". They carry no similarity signal (exact dedup owns
+    // empty docs), so drop them before banding.
+    val tokenful = df.filter(
+      coalesce(translate(col(textCol), " ", ""), lit("")) =!= "")
+    hammingPairs64(simHash(tokenful, idCol, textCol), idCol, "simhash",
+      maxHamming, maxPerBucket)
+  }
+
+  /** MinHash-LSH banding planner: for a target Jaccard threshold t
+    * (percent), choose the (bands, rowsPerBand) factorization of
+    * `nHashes` whose S-curve inflection s* = (1/b)^(1/r) sits closest
+    * to t — the standard Datasketch/MMDS §3.4.3 rule, so a user asks
+    * for "dedup at 0.8 Jaccard" and the planner picks the banding
+    * instead of hand-tuning. Ties (equal |s*−t|) break toward MORE
+    * bands (higher recall at the threshold). Pure driver-side planning
+    * arithmetic — the output configures [[minHashLshPairs]].
+    *
+    * The float comparison is decision-only (rule 9 of the QueryDef
+    * determinism contract): LshPlanMarginSpec proves every grid
+    * decision at the committed nHashes values carries ≥1e-6 margin, 3+
+    * orders above cross-libm pow noise.
+    */
+  def lshBandPlan(nHashes: Int, tPct: Int): (Int, Int) = {
+    require(nHashes >= 1 && tPct >= 1 && tPct <= 99, s"bad plan inputs: $nHashes, $tPct")
+    val t = tPct / 100.0
+    val cands = (1 to nHashes).filter(nHashes % _ == 0).map(b => (b, nHashes / b))
+    cands.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - t), -b)
+    }
+  }
+
+  /** Manku-style combinatorial-blocking Hamming join over ANY 64-bit
+    * fingerprint relation (one row per id, `fpCol` LongType) — the
+    * banding core of [[simHashPairs]], factored out so non-text
+    * fingerprints (image dHash, audio energy hashes) reuse the exact
+    * same complete-cover machinery. Returns (a, b, hamming) with
+    * a < b and hamming ≤ maxHamming; the C(m,2) two-chunk cover is
+    * complete, so the pair set equals the all-pairs predicate.
+    */
+  def hammingPairs64(
+      fpDf: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      maxPerBucket: Option[Int] = None
+  ): DataFrame = {
     val m = maxHamming + 2
     require(m <= 64, s"maxHamming=$maxHamming too large for a 64-bit fingerprint")
     // chunk i covers fingerprint bits [starts(i), starts(i+1))
@@ -1484,15 +1532,9 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftright(c, lo).bitwiseAND(mask)
     }
-    // Token-less docs (null/empty/space-only text) all fingerprint to
-    // 0L — banding them would emit every such pair as a hamming-0
-    // "near-dup". They carry no similarity signal (exact dedup owns
-    // empty docs), so drop them before banding.
-    val tokenful = df.filter(
-      coalesce(translate(col(textCol), " ", ""), lit("")) =!= "")
     // one row per doc, two longs — cached because BOTH self-join sides
-    // read it; without the cache the 64-bit-sum aggregation runs twice
-    val fp = simHash(tokenful, idCol, textCol).cache()
+    // read it; without the cache the fingerprint computation runs twice
+    val fp = fpDf.select(col(idCol), col(fpCol).as("simhash")).cache()
     val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
     val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
       val wi = starts(i + 1) - starts(i)

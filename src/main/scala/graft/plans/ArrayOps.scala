@@ -174,5 +174,9 @@ object ArrayOps {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order", exprs => ZOrderExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "script_counts", exprs => ScriptCountsExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fold_diacritics", exprs => FoldDiacriticsExpr(exprs.head), "built-in")
   }
 }

@@ -73,7 +73,8 @@ object Registry {
         PipelineQueries.defs ++
         TemporalQueries.defs ++
         LayoutQueries.defs ++
-        CurationOpsQueries.defs
+        CurationOpsQueries.defs ++
+        PerceptualQueries.defs
     // fail fast on duplicate registrations: byName/SparkEntry maps
     // silently dedupe, so a duplicate would otherwise surface only as
     // a confusing downstream test abort

@@ -1,0 +1,213 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.{ImageCodec, PerceptualHash}
+import graft.plans.ScriptCountsExpr
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Behavior proofs for the perceptual-identity family: dHash
+  * invariance/sensitivity over the REAL codec, Hamming-join
+  * completeness of the shared banding core, script classification
+  * (incl. the surrogate-pair case the BMP-bound oracles can't check),
+  * audio-fingerprint gain invariance, and the LSH planner's decision
+  * margins (the rule-9 guard for its float comparison).
+  */
+class PerceptualSpec extends SparkTestBase {
+
+  // ---------------------------------------------------------- dHash
+
+  test("dHash identical under uniform luma shift (variants 0/1), near under one-stripe perturbation (variant 2)") {
+    for (g <- 0L until 40L) {
+      val h0 = PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(g * 3)).get
+      val h1 = PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(g * 3 + 1)).get
+      val h2 = PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(g * 3 + 2)).get
+      assert(h0 == h1, s"group $g: uniform +1 shift must not change any bit")
+      val ham = java.lang.Long.bitCount(h0 ^ h2)
+      assert(ham <= 7, s"group $g: one perturbed stripe flipped $ham bits (> 7)")
+    }
+  }
+
+  test("dHash is content-sensitive across groups") {
+    val hashes = (0L until 60L)
+      .map(g => PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(g * 3)).get)
+    // distinct stripe patterns should produce mostly-distinct hashes
+    assert(hashes.distinct.size > 40, s"only ${hashes.distinct.size} distinct hashes")
+  }
+
+  test("dHash bits match the fixture recipe arithmetic (real decode cross-check)") {
+    // independently recompute the hash from the RECIPE (not the pixels)
+    // and compare against the decode-path hash — a decoder or grid bug
+    // would diverge
+    for (id <- Seq(0L, 5L, 17L, 100L, 301L)) {
+      val g = id / 3; val j = (id % 3).toInt
+      val w = (9 + g % 24).toInt; val h = (8 + g % 11).toInt
+      def v(px: Int, py: Int): Int = {
+        val sx = px * 8 / w; val sy = py * 8 / h
+        val base = (16 + Math.floorMod(g * 37 + sx * 73L + sy * 41L, 224L)).toInt + j
+        if (j == 2 && sx == 3 && sy == 3) base + 5 else base
+      }
+      var expect = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val a = v(cx * w / 9, cy * h / 8)
+        val b = v((cx + 1) * w / 9, cy * h / 8)
+        if (a < b) expect |= 1L << (cy * 8 + cx)
+      }
+      val got = PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(id)).get
+      assert(got == expect, s"id=$id: decode-path hash != recipe hash")
+    }
+  }
+
+  test("corrupt / non-image payloads are dropped by imageHashes, not fatal") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, PerceptualHash.fixtureStripePng(1L)),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = PerceptualHash.imageHashes(df, "id", "payload").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("hammingPairs64 equals brute force on a deterministic fingerprint set") {
+    val sess = spark
+    import sess.implicits._
+    // splitmix-ish scatter plus planted near-pairs at several distances
+    val base = (0 until 60).map { i =>
+      var z = i.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val planted = base.zipWithIndex.collect {
+      case (f, i) if i % 4 == 0 =>
+        // flip i%9 bits spread across the word
+        (0 until i % 9).foldLeft(f)((acc, k) => acc ^ (1L << (k * 7 % 64)))
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    val df = all.toDF("id", "fp")
+    for (k <- Seq(2, 5, 7)) {
+      val got = Dedup.hammingPairs64(df, "id", "fp", maxHamming = k)
+        .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, fa) <- all; (ib, fb) <- all if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= k
+      } yield (ia, ib, h.toLong)).toSet
+      assert(got == want, s"k=$k: banded cover != brute force")
+    }
+  }
+
+  // --------------------------------------------------- script counts
+
+  test("scriptClass covers the documented ranges") {
+    val cases = Seq(
+      'A'.toInt -> 0, 'z'.toInt -> 0, 0xE9 -> 0, // é
+      0x434 -> 1, 0x3B2 -> 2, 0x645 -> 3, 0x5DC -> 4, 0x928 -> 5,
+      0x4E2D -> 6, 0x30AB -> 6, 0xD55C -> 7,
+      '7'.toInt -> 8, ' '.toInt -> 9, '\n'.toInt -> 9,
+      '!'.toInt -> 10, 0x1F600 -> 10 // emoji: supplementary → other
+    )
+    for ((cp, want) <- cases)
+      assert(ScriptCountsExpr.scriptClass(cp) == want, f"cp=U+$cp%04X")
+  }
+
+  test("evalString iterates codepoints: surrogate pairs count once") {
+    // "a𝔞b" — 𝔞 = U+1D51E (supplementary, 2 UTF-16 units) → 1 'other'
+    val counts = ScriptCountsExpr
+      .evalString(UTF8String.fromString("a𝔞b")).toLongArray()
+    assert(counts(0) == 2 && counts(10) == 1 && counts.sum == 3)
+  }
+
+  test("script_counts native expression agrees with evalString through codegen") {
+    val sess = spark
+    import sess.implicits._
+    val rows = Seq("hello мир 中文 123", "", "نص عربي", "aA𝔞")
+    val got = rows.toDF("t")
+      .select(graft.plans.ScriptCounts.script_counts(col("t")).as("c"))
+      .as[Seq[Long]].collect()
+    val want = rows.map(r =>
+      ScriptCountsExpr.evalString(UTF8String.fromString(r)).toLongArray().toSeq)
+    assert(got.map(_.toSeq) sameElements want)
+  }
+
+  // ------------------------------------------------ audio fingerprint
+
+  test("audio fingerprint is gain-invariant and grouped on sf0.001") {
+    val out = graft.queries.Registry.byName("q_audio_fingerprint")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("scale_invariant")),
+      "3x gain copy must fingerprint identically")
+    // fingerprints must carry real bits (not all-zero degenerate)
+    assert(out.exists(_.getAs[Long]("fp") != 0L))
+  }
+
+  // ----------------------------------------------------- LSH planner
+
+  test("lshBandPlan decisions carry >=1e-2 margin on the committed grid (rule-9 guard)") {
+    val cands = Seq(1, 2, 4, 8, 16, 32, 64, 128).map(b => (b, 128 / b))
+    for (t <- 50 to 95 by 5) {
+      val scored = cands.map { case (b, r) =>
+        ((b, r), math.abs(math.pow(1.0 / b, 1.0 / r) - t / 100.0))
+      }.sortBy { case ((b, _), d) => (d, -b) }
+      val margin = scored(1)._2 - scored(0)._2
+      assert(margin >= 1e-2,
+        s"t=$t: margin $margin too small for cross-libm safety")
+      assert(Dedup.lshBandPlan(128, t) == scored.head._1,
+        s"t=$t: driver plan disagrees with grid argmin")
+    }
+  }
+
+  // ------------------------------------------------ fold diacritics
+
+  test("fold_diacritics matches DuckDB strip_accents on the committed alphabet") {
+    // parity pinned over the exact alphabet the oracle replays —
+    // verified against DuckDB 'strip_accents' output (recorded here:
+    // the expected string IS what DuckDB returns for the input)
+    val in = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÉÎÕÜŠšŽžŁłŘřĆćĐđøØßæÆœŒðÐþÞ"
+    val want = "aaaaaaceeeeiiiinooooouuuuyyAEIOUSsZzŁłRrCcĐđøØßæÆœŒðÐþÞ"
+    val folded = graft.plans.FoldDiacriticsExpr
+      .fold(UTF8String.fromString(in)).toString
+    assert(folded == want)
+  }
+
+  test("fold_diacritics ASCII fast path returns the identical buffer") {
+    val s = UTF8String.fromString("plain ascii text 123!")
+    assert(graft.plans.FoldDiacriticsExpr.fold(s) eq s)
+  }
+
+  test("fold_diacritics through codegen agrees with the static fold") {
+    val sess = spark
+    import sess.implicits._
+    val rows = Seq("café Škoda", "naïve piñata", "pure ascii", "")
+    val got = rows.toDF("t")
+      .select(graft.plans.FoldDiacriticsExpr.fold_diacritics(col("t")))
+      .as[String].collect().toSeq
+    val want = rows.map(r =>
+      graft.plans.FoldDiacriticsExpr.fold(UTF8String.fromString(r)).toString)
+    assert(got == want)
+    assert(got.head == "cafe Skoda" && got(1) == "naive pinata")
+  }
+
+  // --------------------------------------------- audio near-dup join
+
+  test("audio fingerprint pairs: every gain copy pairs with its original at hamming 0") {
+    val out = graft.queries.Registry.byName("q_audio_fingerprint_pairs")
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ids: orig = 2u, copy = 2u+1 → the planted pair (2u, 2u+1, 0)
+    val planted = out.filter(p => p._1 % 2 == 0 && p._2 == p._1 + 1)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_._3 == 0L), "gain copies must print identically")
+  }
+
+  test("lshBandPlan inflection brackets the threshold sensibly") {
+    // (1/b)^(1/r) for the chosen plan must be the closest reachable
+    // point; spot-check the canonical 0.8 → (8, 16) Datasketch answer
+    assert(Dedup.lshBandPlan(128, 80) == ((8, 16)))
+    assert(Dedup.lshBandPlan(128, 50) == ((32, 4)))
+    assert(Dedup.lshBandPlan(128, 95) == ((4, 32)))
+  }
+}
