@@ -1,7 +1,7 @@
 package graft.layout
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, md5, when}
+import org.apache.spark.sql.functions.{col, lit, md5, struct, when}
 
 /** Physical corpus layout: hash-bucketed parquet tables so that every
   * downstream key-equijoin and key-aggregation is EXCHANGE-FREE.
@@ -256,5 +256,90 @@ object Layout {
     val l = readTable(spark, leftTable)
     val r = readTable(spark, rightTable)
     l.join(r, l(leftKey) === r(rightKey))
+  }
+
+  /** Delta/Iceberg-style MERGE for a plain partitioned parquet table:
+    * apply a batch of upserts + deletes, rewriting ONLY the partitions
+    * the batch touches (partition-pruned copy-on-write).
+    *
+    * Semantics (per key, keys unique in both target and batch):
+    *   - batch row with `deleteCol` true and a matching target key →
+    *     target row removed (an unmatched delete is a no-op);
+    *   - batch row with `deleteCol` false, matching key → target row
+    *     REPLACED by the batch row;
+    *   - batch row with `deleteCol` false, no match → inserted.
+    *
+    * Contract: `partitionCol` is immutable under merge — a batch row
+    * carries the partition its key already lives in (the Hive-ACID
+    * constraint). That is what makes pruning sound: affected
+    * partitions = the batch's own distinct partition values, so the
+    * scan reads (and the overwrite rewrites) exactly those
+    * directories. The distinct-partition collect is bounded by the
+    * partition cardinality contract of `writePartitioned` (coarse
+    * values — thousands, not millions), never by batch row count.
+    *
+    * Scale shape: at 100 TB with daily-partitioned ingest, a merge
+    * batch touching 3 days reads 3 directories, full-outer-joins them
+    * against the (much smaller, broadcastable) batch on the key, and
+    * dynamically overwrites the same 3 directories; the other ~3000
+    * partitions are never opened. Re-applying the same batch is
+    * idempotent whenever the batch's values are absolute (not reads of
+    * current state) — merge∘merge = merge.
+    */
+  def mergeUpsert(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      keyCol: String,
+      batch: DataFrame,
+      deleteCol: String = "__deleted"): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataCols = batch.columns.filterNot(_ == deleteCol)
+    require(dataCols.contains(keyCol) && dataCols.contains(partitionCol),
+      s"batch must carry $keyCol and $partitionCol")
+
+    if (!fs.exists(fsPath)) {
+      // cold start: the whole batch is inserts
+      batch.filter(!col(deleteCol)).select(dataCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+      return
+    }
+
+    // bounded by partition cardinality (coarse by contract), not rows
+    val parts = batch.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val target = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(parts: _*)) // partition-pruned scan
+    val b = batch.select(
+      col(keyCol).as("__mk"), col(deleteCol).as("__mdel"),
+      struct(dataCols.map(col): _*).as("__mrow"))
+    val merged = target
+      .join(b, col(keyCol) === col("__mk"), "full_outer")
+      .filter(col("__mdel").isNull || !col("__mdel")) // drop deletes
+      .select(dataCols.map(c =>
+        // batch wins on match; target-only rows keep their values
+        when(col("__mk").isNotNull, col(s"__mrow.$c"))
+          .otherwise(col(c)).as(c)): _*)
+
+    // materialize BEFORE overwriting: the merged frame reads the same
+    // path it writes, which Spark's self-overwrite check rejects (and
+    // lazily overwriting a live input would be wrong anyway).
+    // localCheckpoint bounds the buffered data to the pruned partitions.
+    val materialized = merged.localCheckpoint()
+
+    // dynamic overwrite: only directories present in `merged` (= the
+    // pruned set) are replaced; untouched partitions' files stay put
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      materialized.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 }

@@ -437,6 +437,95 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_order_iclm",
+      covers = "iclm-ordering,ann-ivf,curriculum",
+      fn = (s, dir) =>
+        graft.similarity.Iclm
+          .iclmOrder(table(s, dir, "embeddings"), "vec_id", "embedding",
+            nLists = 16, iters = 2)
+          .orderBy("cluster", "pos"),
+      // Same two-Lloyd-iteration prelude as q_dedup_semantic (c0..a2),
+      // then the greedy nearest-neighbor chain per cluster as a
+      // recursive LATERAL argmax: every hop maximizes the exact
+      // quantized cosine (ties to the smaller id), replaying the
+      // engine's per-cluster decision sequence bit for bit.
+      oracle = Some(
+        """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+          |c0 AS (
+          |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
+          |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
+          |a1 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c0)),
+          |m1 AS (
+          |  SELECT li, pos, sum(xq) AS m, count(*) AS cnt
+          |  FROM (
+          |    SELECT li, generate_subscripts(embedding, 1) AS pos,
+          |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
+          |    FROM a1)
+          |  GROUP BY li, pos),
+          |c1rows AS (
+          |  SELECT li,
+          |    list(CAST(CAST(m AS BIGINT) AS DOUBLE)
+          |         / (1048576.0 * CAST(cnt AS DOUBLE)) ORDER BY pos) AS cl
+          |  FROM m1 GROUP BY li),
+          |c1 AS (
+          |  SELECT list(coalesce(cr.cl, c0.c[i.i]) ORDER BY i.i) AS c
+          |  FROM range(1, 17) i(i) CROSS JOIN c0 LEFT JOIN c1rows cr ON cr.li = i.i),
+          |a2 AS (
+          |  SELECT vec_id, embedding, list_position(d, list_min(d)) AS li
+          |  FROM (
+          |    SELECT vec_id, embedding,
+          |      list_transform(range(1, 17),
+          |        i -> list_sum(list_transform(range(1, len(embedding) + 1),
+          |          j -> (CAST(embedding[j] AS DOUBLE) - c[i][j])
+          |             * (CAST(embedding[j] AS DOUBLE) - c[i][j])))) AS d
+          |    FROM e, c1)),
+          |nm AS (
+          |  SELECT vec_id, li,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS q,
+          |    CAST(list_sum(list_transform(
+          |      list_transform(embedding,
+          |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)),
+          |      x -> x * x)) AS BIGINT) AS nsq
+          |  FROM a2),
+          |chain(li, cur, pos, visited) AS (
+          |  SELECT li, min(vec_id), 1, [min(vec_id)] FROM nm GROUP BY li
+          |  UNION ALL
+          |  SELECT c.li, nxt.vec_id, c.pos + 1, list_append(c.visited, nxt.vec_id)
+          |  FROM chain c JOIN LATERAL (
+          |    SELECT y.vec_id
+          |    FROM nm y, nm x
+          |    WHERE x.vec_id = c.cur AND y.li = c.li
+          |      AND NOT list_contains(c.visited, y.vec_id)
+          |    ORDER BY
+          |      CAST(CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+          |        j -> x.q[j] * y.q[j])) AS BIGINT) AS DOUBLE)
+          |        / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE))) DESC,
+          |      y.vec_id ASC
+          |    LIMIT 1) nxt ON TRUE)
+          |SELECT CAST(li AS BIGINT) AS cluster, cur AS vec_id,
+          |  CAST(pos AS BIGINT) AS pos
+          |FROM chain ORDER BY cluster, pos""".stripMargin),
+      doc = "in-context pretraining ordering (Shi et al. '24 ICLM): " +
+        "k-means cells (the certified ivfBuild machinery) + a greedy " +
+        "nearest-neighbor chain per cell over the quantized-exact " +
+        "cosine — semantically related docs become ADJACENT, so " +
+        "packSequences consuming (cluster, pos) order builds the " +
+        "paper's retrieved-context curriculum; O(cell²) dots inside " +
+        "one task per cell, never corpus². The oracle replays both " +
+        "Lloyd iterations AND every greedy hop (recursive LATERAL " +
+        "argmax, ties to smaller id)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_representative",
       covers = "dedup-clusters,representative-selection",
       fn = (s, dir) => {

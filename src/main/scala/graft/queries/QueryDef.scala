@@ -74,7 +74,9 @@ object Registry {
         TemporalQueries.defs ++
         LayoutQueries.defs ++
         CurationOpsQueries.defs ++
-        PerceptualQueries.defs
+        PerceptualQueries.defs ++
+        WebQueries.defs ++
+        OlapQueries.defs
     // fail fast on duplicate registrations: byName/SparkEntry maps
     // silently dedupe, so a duplicate would otherwise surface only as
     // a confusing downstream test abort

@@ -300,4 +300,54 @@ class LayoutSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
   }
+
+  test("mergeUpsert: update/delete/insert semantics, untouched partitions' files are byte-identical") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_spec_${System.nanoTime}").getPath
+    val base = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p3", 40.0)
+    ).toDF("k", "part", "v")
+    Layout.writePartitioned(base, path, "part")
+
+    val fsPath = new org.apache.hadoop.fs.Path(path, "part=p3")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p3Files() = fs.listStatus(fsPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sorted
+
+    val before = p3Files()
+    // batch touches p1 (update k=1, delete k=2, insert k=5) and p2
+    // (unmatched delete = no-op); p3 is never read or written
+    val batch = Seq(
+      (1L, "p1", 11.0, false),
+      (2L, "p1", 0.0, true),
+      (5L, "p1", 50.0, false),
+      (99L, "p2", 0.0, true)
+    ).toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", batch)
+
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0))
+    // the untouched partition was not rewritten — same files, sizes, mtimes
+    assert(p3Files() == before)
+  }
+
+  test("mergeUpsert: cold start inserts the batch; re-applying an absolute batch is idempotent") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_cold_${System.nanoTime}").getPath
+    val batch = Seq(
+      (1L, "a", 1.0, false), (2L, "a", 2.0, true), (3L, "b", 3.0, false)
+    ).toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", batch) // cold start
+    val once = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == Map(1L -> 1.0, 3L -> 3.0)) // delete rows never insert
+    Layout.mergeUpsert(spark, path, "part", "k", batch) // merge ∘ merge
+    val twice = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(twice == once)
+  }
 }
