@@ -67,6 +67,127 @@ object OlapQueries {
         "an undeclared pivot forces an extra distinct-values job and " +
         "an unbounded column fan-out, which a 100 TB pipeline never " +
         "wants; the declared form is one aggregation pass"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_event_funnel",
+      covers = "funnel,O6,T4",
+      fn = (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def stage(prev: org.apache.spark.sql.DataFrame,
+                  prevCol: String, step: String, out: String) =
+          ev.filter(col("event_type") === step)
+            .join(prev.select("user_id", prevCol), "user_id")
+            .filter(col("ts") > col(prevCol))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val t1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = stage(t1, "t1", "view", "t2")
+        val t3 = stage(t2, "t2", "purchase", "t3")
+        t1.join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            when(col("t3").isNotNull, 3L)
+              .when(col("t2").isNotNull, 2L)
+              .otherwise(1L).as("depth"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+          |           FROM events),
+          |t1 AS (SELECT user_id, min(tns) AS t1 FROM x
+          |       WHERE event_type = 'signup' GROUP BY user_id),
+          |t2 AS (SELECT x.user_id, min(tns) AS t2
+          |       FROM x JOIN t1 USING (user_id)
+          |       WHERE event_type = 'view' AND tns > t1 GROUP BY x.user_id),
+          |t3 AS (SELECT x.user_id, min(tns) AS t3
+          |       FROM x JOIN t2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND tns > t2 GROUP BY x.user_id)
+          |SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+          |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+          |            WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+          |    AS depth
+          |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+          |ORDER BY user_id""".stripMargin),
+      doc = "ordered 3-step event funnel (signup → later view → later " +
+        "purchase) per user: the conditional-min cascade — each stage " +
+        "is one user-keyed aggregation joined forward, so the whole " +
+        "funnel is three shuffles on the user key regardless of event " +
+        "volume; timestamps stay long epoch-nanos (no float, no " +
+        "timezone) and every min is deterministic"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_event_retention",
+      covers = "retention,cohort,A6",
+      fn = (s, dir) => {
+        val wk = expr("ts DIV 604800000000000").as("wk") // absolute week
+        val ev = table(s, dir, "events").select(col("user_id"), wk)
+        val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+        ev.distinct()
+          .join(cohort, "user_id")
+          .groupBy("cw", "wk")
+          .agg(countDistinct("user_id").as("n_users"))
+          .select(col("cw"), col("wk"), (col("wk") - col("cw")).as("week_offset"),
+            col("n_users"))
+          .orderBy("cw", "wk")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+          |           FROM events),
+          |c AS (SELECT user_id, min(wk) AS cw FROM x GROUP BY user_id),
+          |a AS (SELECT DISTINCT user_id, wk FROM x)
+          |SELECT c.cw, a.wk, a.wk - c.cw AS week_offset,
+          |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          |FROM a JOIN c USING (user_id)
+          |GROUP BY c.cw, a.wk ORDER BY c.cw, a.wk""".stripMargin),
+      doc = "cohort retention matrix: users bucketed by first-activity " +
+        "week, counted per (cohort, activity week). Weeks are integer " +
+        "floor-divisions of epoch-nanos (absolute week index — no " +
+        "calendar library, no timezone); the per-user distinct " +
+        "pre-aggregation shrinks events to user×week BEFORE the " +
+        "cohort join, so the matrix costs two keyed shuffles"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_schema_evolution",
+      covers = "schema-evolution,S1,U1",
+      fn = (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_schevo_$key").getPath
+        val o = table(s, dir, "orders")
+        // two ingest generations: batch b=1 predates the priority
+        // column, batch b=2 carries it — the standard live-pipeline
+        // schema widening
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+          .write.mode("overwrite").parquet(s"$path/b=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            col("o_orderpriority").as("pr"))
+          .write.mode("overwrite").parquet(s"$path/b=2")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(coalesce(col("pr"), lit("MISSING")).as("pr"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("p")).cast("long")).as("sum_pf"),
+            min("k").as("min_k"))
+          .orderBy("pr")
+      },
+      oracle = Some(
+        """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+          |            ELSE 'MISSING' END AS pr,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_pf,
+          |  min(o_orderkey) AS min_k
+          |FROM orders GROUP BY 1 ORDER BY pr""".stripMargin),
+      doc = "schema evolution on read: two parquet generations (one " +
+        "written before a column existed) scan as ONE relation via " +
+        "mergeSchema — the old generation surfaces the new column as " +
+        "null, no rewrite of historical data; the standard widening " +
+        "path for a corpus that gains metadata columns mid-life. " +
+        "Footer-only schema merge, no data pass"
     )
   )
 }

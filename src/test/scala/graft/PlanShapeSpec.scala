@@ -220,6 +220,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!inner.contains("\nSort") && !inner.contains("+- Sort"), inner)
   }
 
+  test("q_text_html_extract is a pure projection — zero exchanges") {
+    val p = plan("q_text_html_extract")
+    // extraction is the widest stage of a crawl pipeline: it must stay
+    // embarrassingly parallel (the only allowed movement is the final
+    // ORDER BY's range exchange)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_text_top_ngrams ranks via TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_rollup computes every grouping set in ONE shuffle (Expand, not one job per level)") {
+    val p = plan("q_agg_rollup")
+    assert(p.contains("Expand"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one hash exchange feeds the final aggregate for ALL levels (the
+    // distinct-aggregate pair over Expand); never one per level
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("q_event_funnel stays on keyed shuffle joins — no nested-loop fallback") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
