@@ -1061,13 +1061,21 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("comp")).as("ncomp"))
+      // localCheckpoint (eager), NOT cache: `labels` appears twice per
+      // round (neighbor join + convergence diff), so an un-truncated
+      // lineage DOUBLES in tree size every iteration — by round ~15
+      // merely stringifying the plan for the SQL listener takes hours
+      // (measured wedging the sf0.1 bench on the image-dedup graph).
+      // Checkpointing pins the plan at O(1) depth per round; the
+      // materialization it forces is work the convergence count did
+      // anyway.
       val next = labels
         .join(fromNeighbors, Seq("node"), "left")
         .select(
           col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
         )
-        .cache()
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("comp", "old"), Seq("node"))
         .filter(col("comp") =!= col("old"))

@@ -258,6 +258,54 @@ object Layout {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Incremental materialized rollup: fold a delta batch's PARTIAL
+    * aggregates into a stored aggregate table. Every measure column
+    * must be a mergeable LONG sum (counts are sums of 1; averages are
+    * (sum, count) pairs; min/max merge the same way via a later
+    * extension) — the algebraic-aggregate property that makes a
+    * materialized view maintainable without touching history.
+    *
+    * Why it matters at 100 TB: the naive refresh of a daily dashboard
+    * rollup re-reads the whole fact table per day. This reads ONLY the
+    * delta (already partially aggregated — group-cardinality-sized,
+    * not event-sized) plus the existing rollup (also
+    * group-cardinality-sized), merges by key in one shuffle, and
+    * rewrites the rollup. Fact data is never re-scanned. Same
+    * contract as streaming aggregation state, expressed as a batch
+    * table.
+    *
+    * Idempotence caveat: folding the SAME delta twice double-counts —
+    * callers dedupe batches upstream (the T2 resumability machinery:
+    * ingested-manifest anti-join), exactly as a streaming sink would.
+    */
+  def mergeRollup(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      delta: DataFrame): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val measures = delta.columns.filterNot(keys.contains)
+    require(measures.nonEmpty, "delta needs at least one measure column")
+    val merged =
+      if (!fs.exists(fsPath)) delta
+      else {
+        val cur = spark.read.parquet(path)
+        require(cur.columns.sorted.sameElements(delta.columns.sorted),
+          s"rollup schema drift: ${cur.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+        cur.unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(
+            org.apache.spark.sql.functions.sum(measures.head).as(measures.head),
+            measures.tail.map(m =>
+              org.apache.spark.sql.functions.sum(m).as(m)): _*)
+      }
+    // reads-own-path overwrite: materialize first (bounded by rollup
+    // cardinality, never fact volume)
+    val out = merged.localCheckpoint()
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Delta/Iceberg-style MERGE for a plain partitioned parquet table:
     * apply a batch of upserts + deletes, rewriting ONLY the partitions
     * the batch touches (partition-pruned copy-on-write).

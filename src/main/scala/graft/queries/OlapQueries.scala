@@ -188,6 +188,119 @@ object OlapQueries {
         "null, no rewrite of historical data; the standard widening " +
         "path for a corpus that gains metadata columns mid-life. " +
         "Footer-only schema merge, no data pass"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_layout_incremental_rollup",
+      covers = "incremental-rollup,A6,T2",
+      fn = (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_incroll_$key").getPath
+        // fresh build each run (two folds of disjoint halves = exactly
+        // one full aggregation — rerunning cannot double-count)
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        val ev = graft.core.Graft.table(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 10).as("ub"),
+            col("event_id"), floor(col("value") * 1000).cast("long").as("vq"))
+        def partial(half: org.apache.spark.sql.DataFrame) =
+          half.groupBy("event_type", "ub")
+            .agg(count(lit(1)).as("n"), sum("vq").as("sum_vq"))
+        graft.layout.Layout.mergeRollup(s, path, Seq("event_type", "ub"),
+          partial(ev.filter(col("event_id") % 2 === 0)))
+        graft.layout.Layout.mergeRollup(s, path, Seq("event_type", "ub"),
+          partial(ev.filter(col("event_id") % 2 === 1)))
+        s.read.parquet(path).orderBy("event_type", "ub")
+      },
+      oracle = Some(
+        """SELECT event_type, user_id % 10 AS ub,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vq
+          |FROM events GROUP BY event_type, user_id % 10
+          |ORDER BY event_type, ub""".stripMargin),
+      doc = "incremental materialized rollup: two delta batches fold " +
+        "their PARTIAL aggregates into the stored rollup " +
+        "(Layout.mergeRollup) and the result equals one full " +
+        "aggregation — the algebraic-merge property that lets a " +
+        "dashboard rollup refresh from deltas without ever re-reading " +
+        "the fact table; each fold shuffles group-cardinality rows, " +
+        "never event volume"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_window_range_frame",
+      covers = "O6,window-range-frame",
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-86400L * 1000000000L, 0L) // trailing 24 h
+        graft.core.Graft.table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000).cast("long").as("vq"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            sum("vq").over(w).as("trail_sum"),
+            count(lit(1)).over(w).as("trail_n"))
+          .filter(col("event_id") % 20 === 0)
+          .orderBy("user_id", "ts", "event_id")
+      },
+      oracle = Some(
+        """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+          |    CAST(floor(value * 1000) AS BIGINT) AS vq FROM events),
+          |w AS (SELECT user_id, event_id, tns AS ts,
+          |    CAST(SUM(vq) OVER (PARTITION BY user_id ORDER BY tns
+          |      RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS trail_sum,
+          |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tns
+          |      RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS trail_n
+          |  FROM x)
+          |SELECT user_id, event_id, ts, trail_sum, trail_n
+          |FROM w WHERE event_id % 20 = 0
+          |ORDER BY user_id, ts, event_id""".stripMargin),
+      doc = "event-time RANGE-frame window: trailing-24 h sum/count " +
+        "per user over epoch-nanos longs (the moving-metric shape " +
+        "behind rate limits and rolling dashboards); values quantize " +
+        "through one IEEE multiply + floor so every frame sum is " +
+        "integer-exact. One user-keyed sort window, no self-join " +
+        "(the naive trailing-window formulation is an O(n²) range " +
+        "self-join)"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_k_zstd_roundtrip",
+      covers = "K1,codec",
+      fn = (s, dir) => {
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_zstd_$key").getPath
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(path)
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val allZstd = fs.listStatus(fsPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .forall(_.getPath.getName.endsWith(".zstd.parquet"))
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+            countDistinct("l_orderkey").as("n_orders"))
+          .withColumn("all_zstd", lit(allZstd))
+      },
+      oracle = Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+          |  TRUE AS all_zstd
+          |FROM lineitem""".stripMargin),
+      doc = "zstd-compressed parquet round-trip (the archival-tier " +
+        "codec choice beside the snappy default — ~2× smaller at " +
+        "similar scan cost, the right trade for a corpus written once " +
+        "and scanned occasionally); the face proves the codec actually " +
+        "landed (every part file suffixed .zstd.parquet) and the data " +
+        "survives bit-exact aggregation"
     )
   )
 }

@@ -334,6 +334,28 @@ class LayoutSpec extends SparkTestBase {
     assert(p3Files() == before)
   }
 
+  test("mergeRollup: folding delta partials equals one full aggregation; schema drift is rejected") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_roll_spec_${System.nanoTime}").getPath
+    val facts = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L), ("a", 4L, 40L), ("b", 5L, 5L)
+    ).toDF("g", "id", "v")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    Layout.mergeRollup(spark, path, Seq("g"), partial(facts.filter($"id" <= 2)))
+    Layout.mergeRollup(spark, path, Seq("g"), partial(facts.filter($"id" > 2)))
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((3L, 70L)), "b" -> ((2L, 35L))))
+    // a delta whose columns drifted must fail loudly, not silently merge
+    val drifted = facts.groupBy("g").agg(sum("v").as("other"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.mergeRollup(spark, path, Seq("g"), drifted)
+    }
+    assert(ex.getMessage.contains("drift"))
+  }
+
   test("mergeUpsert: cold start inserts the batch; re-applying an absolute batch is idempotent") {
     import spark.implicits._
     val path = new java.io.File(

@@ -932,6 +932,42 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(got.toMap == expect)
   }
 
+  test("HTML extraction chain is streaming-safe (crawl front door on a live stream)") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("grafthtml")
+    Files.copy(Paths.get(src), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src)
+    // the same pure-projection chain a crawl ingest would run per
+    // micro-batch: wrap, extract, link-count — zero state, so stream
+    // output must equal batch output row for row
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val html = concat(
+        lit("<html><body><script>var x = 1;</script><h1>D"), $"doc_id",
+        lit("</h1><a href=\"https://e.com/"), $"doc_id",
+        lit("\">x</a><p>"), $"text", lit("</p></body></html>"))
+      df.select($"doc_id",
+        md5(graft.text.Html.htmlToText(html)).as("m"),
+        size(graft.text.Html.extractHrefs(html)).cast("long").as("nl"))
+    }
+    val expect = chain(batch).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val got = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val q = chain(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mb.collect().foreach(r =>
+          got.synchronized { got(r.getLong(0)) = (r.getString(1), r.getLong(2)) })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == expect)
+  }
+
   test("frozen-count Stupid Backoff: stream-static scoring equals batch scoring") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001/documents.parquet"
