@@ -1027,8 +1027,30 @@ object Dedup {
     r
   }
 
-  /** Distributed min-label propagation — the path for graphs too big to
-    * collect.
+  /** Distributed connected components — the path for graphs too big to
+    * collect. Alternating large-star/small-star contraction (Kiveris
+    * et al. '14, "Connected Components in MapReduce and Beyond"):
+    *
+    *   large-star: every node points its LARGER neighbors at the
+    *     minimum of its neighborhood (min(Γ(u) ∪ {u}));
+    *   small-star: every node points its smaller-or-equal neighbors
+    *     (and itself) at the minimum of its smaller neighborhood.
+    *
+    * Each round halves long paths, so convergence is O(log n) rounds
+    * versus min-label propagation's O(diameter) — the difference
+    * between ~5 and ~60 rounds on a chain-structured near-dup graph
+    * (StarContractionSpec measures exactly this). At the fixed point
+    * the edge set is a star forest: every edge is (member → component
+    * minimum), which is the label table.
+    *
+    * Two shuffles per star phase, all carrying bare id pairs. Every
+    * round's edge set is localCheckpoint'ed: the phases reference the
+    * previous round's frame multiple times, and an un-truncated
+    * lineage doubles per round (the measured sf0.1 bench wedge —
+    * plan stringification alone took hours by round 15).
+    *
+    * Convergence test is EXACT set equality (ss ⊆ prev via left_anti
+    * emptiness + equal counts on distinct sets), not a hash signature.
     */
   def connectedComponentsDistributed(
       pairs: DataFrame,
@@ -1037,56 +1059,64 @@ object Dedup {
       maxIters: Int = 20
   ): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus —
-    // pin the iteration to a few partitions so each label-propagation
-    // job is not dominated by task scheduling (at true scale raise
-    // this, or let AQE coalesce)
+    // pin the iteration to a few partitions so each contraction job is
+    // not dominated by task scheduling (at true scale raise this, or
+    // let AQE coalesce)
     val p = math.max(2, pairs.sparkSession.sparkContext.defaultParallelism / 8)
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var e = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct()
-      .repartition(p, col("src"))
-      .cache()
-    var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("comp", col("node"))
-      .repartition(p, col("node"))
-      .cache()
+      .repartition(p, col("u"))
+      .localCheckpoint()
+    var eCount = e.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // each node adopts min(own comp, neighbors' comps)
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("comp")).as("ncomp"))
-      // localCheckpoint (eager), NOT cache: `labels` appears twice per
-      // round (neighbor join + convergence diff), so an un-truncated
-      // lineage DOUBLES in tree size every iteration — by round ~15
-      // merely stringifying the plan for the SQL listener takes hours
-      // (measured wedging the sf0.1 bench on the image-dedup graph).
-      // Checkpointing pins the plan at O(1) depth per round; the
-      // materialization it forces is work the convergence count did
-      // anyway.
-      val next = labels
-        .join(fromNeighbors, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
-        )
+      // large-star: u's neighborhood minimum m; larger neighbors v > u
+      // re-attach as (v, m)
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("cu"), col("m").as("cv"))
+        .filter(col("cu") =!= col("cv"))
+        .select(col("cu").as("u"), col("cv").as("v"))
+        .distinct()
+      // small-star on the (u > v)-directed result: all smaller
+      // neighbors and u itself attach to the smaller-neighborhood min
+      val d = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins2 = d.groupBy("u").agg(min("v").as("m"))
+      val ss = d.join(mins2, "u")
+        .select(col("v").as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .repartition(p, col("u"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old"), Seq("node"))
-        .filter(col("comp") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val ssCount = ss.count()
+      val newEdges = ss.join(e, Seq("u", "v"), "left_anti").limit(1).count()
+      converged = ssCount == eCount && newEdges == 0L
+      e.unpersist()
+      e = ss
+      eCount = ssCount
       iter += 1
     }
-    edges.unpersist()
-    labels
+    // fixed point: a star forest — (u, v) = (member, component min);
+    // roots appear only on the v side and label themselves
+    val members = e.select(col("u").as("node"), col("v").as("comp"))
+    val roots = e.select(col("v").as("node")).distinct()
+      .join(members.select("node"), Seq("node"), "left_anti")
+      .withColumn("comp", col("node"))
+    members.unionByName(roots).repartition(p, col("node")).localCheckpoint()
   }
 
   /** Components + canonical (min id) + cluster size from any near-dup
