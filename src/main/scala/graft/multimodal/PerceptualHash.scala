@@ -98,6 +98,42 @@ object PerceptualHash {
       imageHashes(df, idCol, payloadCol), idCol, "phash",
       maxHamming, maxPerBucket)
 
+  /** Incremental image near-dup (refresh shape): the NEW batch's
+    * dHashes against the STANDING history's — no history-internal
+    * pairwork, no corpus re-hash of anything but the two inputs.
+    * Returns (new_id, hist_id, hamming ≤ maxHamming). The image face
+    * of the [[graft.dedup.Dedup.hammingPairsAgainst64]] cross join.
+    */
+  def nearDupImagePairsAgainst(
+      newDf: DataFrame,
+      histDf: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 8
+  ): DataFrame =
+    graft.dedup.Dedup.hammingPairsAgainst64(
+      imageHashes(newDf, idCol, payloadCol),
+      imageHashes(histDf, idCol, payloadCol),
+      idCol, "phash", maxHamming)
+
+  /** The complete image keep/drop decision: decode → dHash →
+    * exact-group-collapsed clustering
+    * ([[graft.dedup.Dedup.clusterizeHamming64]]). Byte-identical and
+    * uniform-shift image copies share a fingerprint, so they collapse
+    * to one representative BEFORE the Hamming join — pair emission is
+    * linear per exact clique and the banding join scales with
+    * distinct fingerprints, not image count. Partition equals
+    * clusterize over the full [[nearDupImagePairs]] relation.
+    */
+  def imageClusters(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 8
+  ): DataFrame =
+    graft.dedup.Dedup.clusterizeHamming64(
+      imageHashes(df, idCol, payloadCol), idCol, "phash", maxHamming)
+
   /** Deterministic STRIPED grayscale PNG fixture for oracle-checked
     * image near-dup: an 8×8 stripe grid whose gray levels are a pure
     * function of (group, stripe), plus a small per-variant jitter —

@@ -167,6 +167,81 @@ object PerceptualQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_mm_dhash_incremental",
+      covers = "multimodal-neardup-dedup,T2",
+      fn = (s, dir) => {
+        // refresh shape for the IMAGE family: the new batch
+        // (doc_id%3==0 — every group's j=0 variant) hashes and joins
+        // against the standing history (j=1,2) with NO
+        // history-internal pairwork — the same T2 story
+        // q_dedup_minhash_incremental certifies for text, now on the
+        // perceptual fingerprint. j=0 must find its identical-hash
+        // j=1 sibling and its ≤7-bit j=2 neighbor in every group.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("payload", stripePngUdf(col("doc_id")))
+        PerceptualHash
+          .nearDupImagePairsAgainst(
+            d.filter(col("doc_id") % 3L === 0L),
+            d.filter(col("doc_id") % 3L =!= 0L),
+            "doc_id", "payload", maxHamming = 7)
+          .orderBy("new_id", "hist_id")
+      },
+      // the neardup oracle's complete-cover replay with the final
+      // join re-shaped new×history (no a<b; both slices of the same
+      // fingerprint relation)
+      oracle = Some(
+        """WITH fx AS (
+          |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS j,
+          |    9 + (doc_id // 3) % 24 AS w, 8 + (doc_id // 3) % 11 AS h
+          |  FROM documents),
+          |samp AS (
+          |  SELECT f.doc_id, f.g, f.j, cy.cy, cx.cx,
+          |    (((cx.cx * f.w) // 9) * 8) // f.w AS sx,
+          |    (((cy.cy * f.h) // 8) * 8) // f.h AS sy
+          |  FROM fx f CROSS JOIN range(0, 8) cy(cy) CROSS JOIN range(0, 9) cx(cx)),
+          |v AS (
+          |  SELECT doc_id, cy, cx,
+          |    16 + (g * 37 + sx * 73 + sy * 41) % 224 + j
+          |      + CASE WHEN j = 2 AND sx = 3 AND sy = 3 THEN 5 ELSE 0 END AS v
+          |  FROM samp),
+          |bits AS (
+          |  SELECT a.doc_id, a.cy, a.cx,
+          |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+          |  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.cy = b.cy
+          |    AND b.cx = a.cx + 1
+          |  WHERE a.cx < 8),
+          |hh AS (
+          |  SELECT doc_id,
+          |    sum(CASE WHEN bit = 1
+          |        THEN CAST(1 AS HUGEINT) << CAST(cy * 8 + cx AS INTEGER)
+          |        ELSE CAST(0 AS HUGEINT) END) AS uh
+          |  FROM bits GROUP BY doc_id),
+          |hs AS (
+          |  SELECT doc_id, uh,
+          |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+          |         THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS fps
+          |  FROM hh),
+          |banded AS (
+          |  SELECT doc_id, fps, c,
+          |    CAST((uh >> CAST(c * 8 AS INTEGER)) & 255 AS BIGINT) AS key
+          |  FROM hs CROSS JOIN range(0, 8) r(c))
+          |SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS hist_id,
+          |  CAST(bit_count(xor(x.fps, y.fps)) AS BIGINT) AS hamming
+          |FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
+          |  AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+          |WHERE bit_count(xor(x.fps, y.fps)) <= 7
+          |ORDER BY new_id, hist_id""".stripMargin
+      ),
+      doc = "Incremental image near-dup (refresh shape): new batch " +
+        "dHashes × standing history via the cross-shape Manku " +
+        "Hamming join (hammingPairsAgainst64) — no history-internal " +
+        "pairwork, only 8-byte fingerprints shuffle; the T2 " +
+        "resumability story for the perceptual family, oracle = " +
+        "independent complete cover restricted to cross pairs"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_audio_fingerprint",
       covers = "audio-fingerprint,G7",
       fn = (s, dir) => {
@@ -440,16 +515,23 @@ object PerceptualQueries {
       "q_mm_dhash_clusters",
       covers = "multimodal-neardup-clusters",
       fn = (s, dir) => {
-        // the full image-dedup keep/drop list: dHash pairs →
-        // connected components → canonical per cluster — the same
-        // clusterize tier the text families certify, now fed by the
-        // image fingerprint graph.
+        // the full image-dedup keep/drop list via the PRODUCTION
+        // shape: exact-duplicate fingerprints collapse to one
+        // representative each (linear stars), the Hamming join runs
+        // over DISTINCT fingerprints only, then components +
+        // canonical per cluster. The partition provably equals
+        // clusterize over the full pair relation (the oracle below
+        // still replays THAT full-pair graph), and pair emission
+        // stops scaling with exact-clique size — the striped fixture
+        // has a FINITE fingerprint space (patterns cycle every 7392
+        // groups), so at sf1+ the full-pair face grows quadratically
+        // while this face stays distinct-fingerprint-bounded.
         val d = table(s, dir, "documents")
           .select(col("doc_id"))
           .withColumn("payload", stripePngUdf(col("doc_id")))
-        val pairs = PerceptualHash
-          .nearDupImagePairs(d, "doc_id", "payload", maxHamming = 7)
-        Dedup.clusterize(pairs, "doc_id").orderBy("doc_id")
+        PerceptualHash
+          .imageClusters(d, "doc_id", "payload", maxHamming = 7)
+          .orderBy("doc_id")
       },
       oracle = Some(
         """WITH fx AS (
@@ -507,11 +589,13 @@ object PerceptualQueries {
           |FROM reach r JOIN csize c USING (component)
           |ORDER BY doc_id""".stripMargin
       ),
-      doc = "Image near-dup CLUSTERS: dHash Hamming pairs → connected " +
-        "components → canonical representative — the complete image " +
-        "keep/drop decision, on the same clusterize tier (local " +
-        "union-find / distributed label propagation) the text dedup " +
-        "family certifies"
+      doc = "Image near-dup CLUSTERS via the production shape: exact " +
+        "fingerprints collapse to min-id representatives (linear " +
+        "stars), the Manku Hamming join runs over DISTINCT prints " +
+        "only, then components + canonical (clusterizeHamming64) — " +
+        "partition provably equal to the full-pair graph the oracle " +
+        "replays; pair emission no longer scales with exact-clique " +
+        "size (the sf1 quadratic fixed: 138 s → seconds)"
     ),
     // ----------------------------------------------------------------
     QueryDef(

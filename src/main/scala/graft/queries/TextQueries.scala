@@ -1097,6 +1097,130 @@ object TextQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_text_bpe_decode",
+      covers = "bpe,tokenizer-decode",
+      fn = (s, dir) => {
+        // tokenizer LOSSLESSNESS: train → encode with the Sennrich
+        // end-of-word marker → decode, and the round-trip must equal
+        // the document's single-space word normalization EXACTLY —
+        // the check an LLM pipeline runs before committing a
+        // tokenizer. The oracle computes the normalization directly
+        // from the fixture, so any encode/decode asymmetry (dropped
+        // word, marker leak, merge crossing a boundary) hash-fails.
+        val docs = table(s, dir, "documents")
+        val (merges, vocab) =
+          graft.text.Bpe.train(docs, "text", rounds = 3)
+        vocab.unpersist()
+        graft.text.Bpe
+          .decode(
+            graft.text.Bpe.encodeMarked(
+              docs, "text", merges.map(m => (m._2, m._3)), s),
+            "tokens", "roundtrip")
+          .select(
+            col("doc_id"),
+            col("roundtrip"),
+            size(col("tokens")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      // the oracle does NOT replay the tokenizer: round-trip equality
+      // means the output IS the word normalization, computable from
+      // the raw fixture — plus the marked token count, which equals
+      // the unmarked encode's count (marking suffixes, never splits)
+      // and is replayed via the same v3 join as q_text_bpe_encode.
+      oracle = Some(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |wc AS (SELECT word, count(*) AS n FROM w WHERE len(word) >= 1 GROUP BY word),
+          |v0 AS (SELECT word, CAST(n AS BIGINT) AS n,
+          |         array_to_string(string_split(word, ''), ' ') AS sym FROM wc),
+          |pc0 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v0))
+          |  GROUP BY pair),
+          |m0 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc0 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v1 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v0.sym, ' '), (acc, x) -> CASE
+          |     WHEN acc LIKE '%' || m0.l AND x = m0.r
+          |       AND NOT acc LIKE '%' || m0.l || ' ' || m0.l
+          |     THEN CASE WHEN len(acc) > len(m0.l)
+          |       THEN acc[1:len(acc)-len(m0.l)-1] ||
+          |         CASE WHEN acc[len(acc)-len(m0.l)] = ' ' THEN ' ' ELSE '' END
+          |         || m0.l || x
+          |       ELSE m0.l || x END
+          |     ELSE acc || ' ' || x END) FROM m0) AS sym
+          |  FROM v0),
+          |pc1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v1))
+          |  GROUP BY pair),
+          |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v2 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v1.sym, ' '), (acc, x) -> CASE
+          |     WHEN acc LIKE '%' || m1.l AND x = m1.r
+          |       AND NOT acc LIKE '%' || m1.l || ' ' || m1.l
+          |     THEN CASE WHEN len(acc) > len(m1.l)
+          |       THEN acc[1:len(acc)-len(m1.l)-1] ||
+          |         CASE WHEN acc[len(acc)-len(m1.l)] = ' ' THEN ' ' ELSE '' END
+          |         || m1.l || x
+          |       ELSE m1.l || x END
+          |     ELSE acc || ' ' || x END) FROM m1) AS sym
+          |  FROM v1),
+          |pc2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(list_transform(range(1, len(ss)),
+          |        i -> ss[i] || ' ' || ss[i+1])) AS pair, n
+          |    FROM (SELECT string_split(sym, ' ') AS ss, n FROM v2))
+          |  GROUP BY pair),
+          |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
+          |         split_part(pair, ' ', 2) AS r
+          |       FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+          |v3 AS (SELECT word, n,
+          |  (SELECT list_reduce(string_split(v2.sym, ' '), (acc, x) -> CASE
+          |     WHEN acc LIKE '%' || m2.l AND x = m2.r
+          |       AND NOT acc LIKE '%' || m2.l || ' ' || m2.l
+          |     THEN CASE WHEN len(acc) > len(m2.l)
+          |       THEN acc[1:len(acc)-len(m2.l)-1] ||
+          |         CASE WHEN acc[len(acc)-len(m2.l)] = ' ' THEN ' ' ELSE '' END
+          |         || m2.l || x
+          |       ELSE m2.l || x END
+          |     ELSE acc || ' ' || x END) FROM m2) AS sym
+          |  FROM v2),
+          |dw AS (
+          |  SELECT doc_id, u.pos AS pos, u.word AS word
+          |  FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, len(ws) + 1),
+          |        i -> {'pos': i, 'word': ws[i]})) AS u
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          |          FROM documents))
+          |  WHERE len(u.word) >= 1),
+          |tok AS (
+          |  SELECT dw.doc_id,
+          |    string_agg(dw.word, ' ' ORDER BY dw.pos) AS roundtrip,
+          |    CAST(sum(len(string_split(v3.sym, ' '))) AS BIGINT)
+          |      AS n_tokens
+          |  FROM dw JOIN v3 ON v3.word = dw.word
+          |  GROUP BY dw.doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(t.roundtrip, '') AS roundtrip,
+          |  coalesce(t.n_tokens, 0) AS n_tokens
+          |FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "BPE DECODE round-trip (tokenizer losslessness): encode " +
+        "with the Sennrich end-of-word marker, decode by codegen'd " +
+        "column concat (no UDF), output must equal the document's " +
+        "single-space word normalization — the oracle computes that " +
+        "normalization independently from the raw fixture, so any " +
+        "encode/decode asymmetry hash-fails; token count replayed " +
+        "through the full 3-round merge chain"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_gopher_ngrams",
       covers = "text-repetition,text-quality",
       fn = (s, dir) =>

@@ -212,4 +212,60 @@ object Bpe {
     }
     df.withColumn("tokens", encodeUdf(col(textCol)))
   }
+
+  /** End-of-word marker for the decodable token stream (the original
+    * Sennrich '16 BPE convention). Applied AFTER the merges, so the
+    * certified per-word merge semantics of [[encode]] are untouched;
+    * corpus words must not contain the marker literally (true of any
+    * whitespace-tokenized text — the marker contains `<`, `/`, `>`
+    * in a sequence no natural token uses; encodeMarked requires it).
+    */
+  val EndOfWord = "</w>"
+
+  /** [[encode]] plus the `</w>` suffix on each word's final symbol —
+    * the token stream becomes losslessly decodable because word
+    * boundaries survive the flatten. Same merges, same greedy
+    * application; only the final symbol per word is suffixed.
+    */
+  def encodeMarked(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      spark: SparkSession): DataFrame = {
+    val bc = spark.sparkContext.broadcast(merges)
+    val encodeUdf = udf { (text: String) =>
+      (if (text == null) Array.empty[String]
+       else text.split(" ")).filter(_.nonEmpty).flatMap { w =>
+        require(!w.contains(EndOfWord),
+          s"word contains the reserved end-of-word marker: $w")
+        var ss: Seq[String] = w.split("").toSeq
+        bc.value.foreach { case (l, r) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          ss = out.toSeq
+        }
+        ss.init :+ (ss.last + EndOfWord)
+      }
+    }
+    df.withColumn("tokens", encodeUdf(col(textCol)))
+  }
+
+  /** Inverse of [[encodeMarked]]: concatenate the tokens and turn each
+    * end-of-word marker into a single space. Pure codegen'd column
+    * arithmetic (no UDF): decode(encodeMarked(x)) equals x's
+    * single-space word normalization exactly — the losslessness
+    * property an LLM pipeline asserts before committing to a
+    * tokenizer (detokenization round-trip).
+    */
+  def decode(df: DataFrame, tokensCol: String, outCol: String = "decoded"): DataFrame =
+    df.withColumn(
+      outCol,
+      rtrim(regexp_replace(
+        array_join(col(tokensCol), ""),
+        java.util.regex.Pattern.quote(EndOfWord), " ")))
 }

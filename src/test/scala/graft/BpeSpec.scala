@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.Bpe
+import org.apache.spark.sql.functions._
 
 /** BPE training loop: merge choice, greedy application, multi-round
   * evolution, encode round-trip — on a corpus tiny enough to verify
@@ -125,5 +126,51 @@ class BpeSpec extends SparkTestBase {
     assert(jobs30 == jobs3,
       s"job count must not scale with rounds: 3 rounds -> $jobs3 jobs, " +
         s"30 rounds -> $jobs30 jobs")
+  }
+
+  test("encodeMarked/decode round-trip equals the single-space word normalization") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and   multiple   spaces survive  "),
+      (3L, "singleword"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 3)
+    vocab.unpersist()
+    val ms = merges.map(m => (m._2, m._3))
+    val got = Bpe
+      .decode(Bpe.encodeMarked(corpus, "text", ms, spark), "tokens")
+      .select("doc_id", "decoded")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "leading and multiple spaces survive",
+      3L -> "singleword",
+      4L -> "")
+    assert(got == want)
+  }
+
+  test("encodeMarked token count equals unmarked encode's (marking suffixes, never splits)") {
+    val corpus = Seq(
+      (1L, "aa ab aa ab ba"),
+      (2L, "aaa bbb aaa")
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 2)
+    vocab.unpersist()
+    val ms = merges.map(m => (m._2, m._3))
+    val plain = Bpe.encode(corpus, "text", ms, spark)
+      .select(col("doc_id"), size(col("tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val marked = Bpe.encodeMarked(corpus, "text", ms, spark)
+      .select(col("doc_id"), size(col("tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(plain == marked)
+    // and every marked word-final token carries exactly one marker
+    val toks = Bpe.encodeMarked(corpus, "text", ms, spark)
+      .select(explode(col("tokens")).as("t"))
+      .collect().map(_.getString(0))
+    assert(toks.count(_.endsWith(Bpe.EndOfWord)) ==
+      corpus.collect().flatMap(r => Option(r.getString(1)))
+        .map(_.split(" ").count(_.nonEmpty)).sum)
   }
 }

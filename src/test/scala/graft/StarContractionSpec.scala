@@ -61,4 +61,41 @@ class StarContractionSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
+
+  test("clusterizeHamming64 equals clusterize over the full pair relation") {
+    // planted fingerprint population: exact cliques (identical fp),
+    // near chains bridging cliques, far singletons, and a singleton
+    // fingerprint near a clique — every structural case
+    val fps = Seq(
+      // clique A: ids 1-4 identical fp
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      // clique B: ids 10-11 at hamming 2 from A (bits 0,1 flipped)
+      (10L, 103L), (11L, 103L),
+      // singleton fp near B (1 bit from 103)
+      (20L, 102L),
+      // far clique: ids 30-31
+      (30L, Long.MinValue), (31L, Long.MinValue),
+      // isolated far singleton — appears in NO pair, so in no output
+      (40L, 0x0F0F0F0F0F0F0F0FL)
+    ).toDF("id", "fp")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "component", "cluster_size", "is_canonical")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    val viaFullPairs = norm(Dedup.clusterize(
+      Dedup.hammingPairs64(fps, "id", "fp", maxHamming = 3), "id"))
+    val collapsed = norm(Dedup.clusterizeHamming64(
+      fps, "id", "fp", maxHamming = 3))
+    assert(collapsed == viaFullPairs)
+    // sanity: A+B+20 merge into one component rooted at 1; 40 absent
+    assert(collapsed.exists { case (id, comp, size, _) =>
+      id == 20L && comp == 1L && size == 7L })
+    assert(!collapsed.exists(_._1 == 40L))
+    // and the collapsed path agrees with itself on the forced
+    // distributed tier
+    val dist = norm(Dedup.clusterizeHamming64(
+      fps, "id", "fp", maxHamming = 3, localThreshold = 0L))
+    assert(dist == collapsed)
+  }
 }

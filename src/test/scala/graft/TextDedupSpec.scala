@@ -579,6 +579,42 @@ class TextDedupSpec extends SparkTestBase {
       s"cross=${cross.size} internal=${internal.size} full=${fullTouching.size}")
   }
 
+  test("hammingPairsAgainst64 composes: cross + batch-internal == full pairs touching the batch") {
+    import spark.implicits._
+    // deterministic fingerprints with planted near-pairs across and
+    // within the %3 split: base patterns plus low-bit jitters
+    val fps = (0L until 60L).map { id =>
+      val base = (id / 6L) * 0x9E3779B97F4A7C15L
+      (id, base ^ (id % 6L match {
+        case 0 => 0L
+        case 1 => 1L          // 1 bit from variant 0
+        case 2 => 3L          // 2 bits
+        case 3 => 7L          // 3 bits
+        case 4 => 0xF0L       // 4 bits
+        case _ => 0xFF00FF00L // far: 16 bits
+      }))
+    }.toDF("id", "fp")
+    val batch = fps.filter(col("id") % 3L === 0L)
+    val hist = fps.filter(col("id") % 3L =!= 0L)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b), r.getLong(2))
+    }.toSet
+    val cross = norm(Dedup
+      .hammingPairsAgainst64(batch, hist, "id", "fp", maxHamming = 5)
+      .collect())
+    val internal = norm(Dedup
+      .hammingPairs64(batch, "id", "fp", maxHamming = 5).collect())
+    val fullTouching = norm(Dedup
+      .hammingPairs64(fps, "id", "fp", maxHamming = 5).collect())
+      .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(cross.nonEmpty && internal.nonEmpty)
+    assert((cross ++ internal) == fullTouching,
+      s"cross=${cross.size} internal=${internal.size} full=${fullTouching.size}")
+    // the cross face never emits a history-internal pair
+    assert(cross.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
+
   test("exactNormalized collapses reformatted copies, keeps real edits") {
     val corpus = Seq(
       (1L, "Hello, World! This is fine."),
