@@ -1111,12 +1111,17 @@ object Dedup {
       iter += 1
     }
     // fixed point: a star forest — (u, v) = (member, component min);
-    // roots appear only on the v side and label themselves
+    // roots appear only on the v side and label themselves. NOT
+    // checkpointed: the per-round checkpoints already pin lineage at
+    // O(1) depth, and leaving this last step declarative keeps the
+    // distributed tier's plan (joins over the checkpointed edge set)
+    // distinguishable from the driver tier's collected-rows scan —
+    // ScaleSpec asserts exactly that.
     val members = e.select(col("u").as("node"), col("v").as("comp"))
     val roots = e.select(col("v").as("node")).distinct()
       .join(members.select("node"), Seq("node"), "left_anti")
       .withColumn("comp", col("node"))
-    members.unionByName(roots).repartition(p, col("node")).localCheckpoint()
+    members.unionByName(roots).repartition(p, col("node"))
   }
 
   /** Components + canonical (min id) + cluster size from any near-dup

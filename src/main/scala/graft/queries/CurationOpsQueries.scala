@@ -442,7 +442,7 @@ object CurationOpsQueries {
       fn = (s, dir) =>
         graft.similarity.Iclm
           .iclmOrder(table(s, dir, "embeddings"), "vec_id", "embedding",
-            nLists = 16, iters = 2)
+            nLists = 16, iters = 2, targetCell = 4096)
           .orderBy("cluster", "pos"),
       // Same two-Lloyd-iteration prelude as q_dedup_semantic (c0..a2),
       // then the greedy nearest-neighbor chain per cluster as a

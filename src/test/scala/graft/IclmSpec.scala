@@ -45,6 +45,39 @@ class IclmSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("targetCell below the floor leaves the ordering bit-identical") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 500 vectors / 4096 target << 8 lists → the floor wins and the
+    // output must equal the fixed-nLists run row for row
+    val fixed = Iclm.iclmOrder(df, "vec_id", "embedding", nLists = 8, iters = 2)
+      .orderBy("cluster", "pos").collect().toSeq
+    val auto = Iclm.iclmOrder(df, "vec_id", "embedding", nLists = 8, iters = 2,
+      targetCell = 4096)
+      .orderBy("cluster", "pos").collect().toSeq
+    assert(auto == fixed)
+  }
+
+  test("targetCell grows the list count once cells would exceed it") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 500 vectors / target 50 → ceil = 10 lists > the 4 requested
+    val out = Iclm.iclmOrder(df, "vec_id", "embedding", nLists = 4, iters = 2,
+      targetCell = 50).cache()
+    try {
+      assert(out.count() == 500L)
+      assert(out.select("cluster").distinct().count() > 4L)
+      // contiguity invariant holds under the grown list count too
+      val bad = out.groupBy("cluster")
+        .agg(count(lit(1)).as("m"), max("pos").as("mx"), min("pos").as("mn"))
+        .where(col("mx") =!= col("m") || col("mn") =!= 1)
+        .count()
+      assert(bad == 0L)
+    } finally out.unpersist()
+  }
+
   test("maxClusterSize guard fires instead of silently running an oversized cell") {
     val df = Seq.tabulate(10)(i => (i.toLong, vec(i * 7.0))).toDF("vec_id", "embedding")
     val ex = intercept[org.apache.spark.SparkException] {
