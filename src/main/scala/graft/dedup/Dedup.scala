@@ -1575,9 +1575,24 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftright(c, lo).bitwiseAND(mask)
     }
-    // one row per doc, two longs — cached because BOTH self-join sides
-    // read it; without the cache the fingerprint computation runs twice
+    // one row per doc, two longs — cached because the distinct-print
+    // banding AND both expansion joins read it
     val fp = fpDf.select(col(idCol), col(fpCol).as("simhash")).cache()
+    // EXACT-GROUP COLLAPSE on the pair-emission path (round 11): the
+    // banded self-join runs over DISTINCT fingerprints only, then the
+    // surviving fingerprint pairs expand back to id pairs through two
+    // co-keyed equi-joins, and identical-fingerprint id pairs come
+    // from one fingerprint-keyed self-join. The emitted pair set is
+    // PROVABLY the original's: a doc pair (x, y), hamming ≤ k, has
+    // either equal prints (→ the within-group join, hamming 0) or
+    // distinct prints whose pair shares ≥1 Manku band (→ the distinct
+    // banding, expanded via x's and y's print groups — each doc pair
+    // arises from exactly ONE print pair, so no distinct over the
+    // expanded relation is needed). Candidate work collapses from
+    // Σ_buckets |bucket|² over DOCS to the same sum over distinct
+    // PRINTS — on a corpus where every payload occurs c times, a c²
+    // join reduction (measured on the stripe-PNG image face at sf0.1:
+    // 19.1M → ~0.2M band candidates, 5.1 s → sub-second).
     val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
     val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
       val wi = starts(i + 1) - starts(i)
@@ -1589,32 +1604,49 @@ object Dedup {
       )
     }
     val bandedAll = fp
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("simhash")).distinct()
+      .select(col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val banded = maxPerBucket match {
       case None => bandedAll
       case Some(cap) =>
-        // rank-limit WITHIN the bucket (first `cap` rows by id) rather
-        // than dropping over-cap buckets outright: a hot key keeps its
-        // first cap members' pairs instead of losing all of them, and
-        // the candidate ceiling stays O(m·n·cap) (≤ cap² join rows per
-        // bucket). The window shuffles on the same (band, key) the
-        // self-join exchanges anyway.
+        // rank-limit WITHIN the bucket (first `cap` DISTINCT prints by
+        // fingerprint value) rather than dropping over-cap buckets
+        // outright: a hot key keeps its first cap prints' pairs
+        // instead of losing all of them, and the candidate ceiling
+        // stays O(m·d·cap) over d distinct prints (≤ cap² join rows
+        // per bucket). The window shuffles on the same (band, key) the
+        // self-join exchanges anyway. Note the cap now counts PRINTS,
+        // not docs — strictly more recall per cap than the pre-r11
+        // doc cap, since exact duplicates no longer consume budget.
         val wBucket = Window.partitionBy(col("band"), col("key"))
-          .orderBy(col(idCol).asc)
+          .orderBy(col("simhash").asc)
         bandedAll
           .withColumn("__bn", row_number().over(wBucket))
           .filter(col("__bn") <= cap)
           .drop("__bn")
     }
-    val l = banded.select(col(idCol).as("a"), col("simhash").as("fa"), col("band"), col("key"))
-    val r = banded.select(col(idCol).as("b"), col("simhash").as("fb"), col("band"), col("key"))
-    val pairs = l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+    val l = banded.select(col("simhash").as("fa"), col("band"), col("key"))
+    val r = banded.select(col("simhash").as("fb"), col("band"), col("key"))
+    val fpPairs = l.join(r, Seq("band", "key"))
+      .filter(col("fa") < col("fb"))
+      .select(col("fa"), col("fb"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-    val out = pairs.cache()
+    val xa = fp.select(col(idCol).as("__xa"), col("simhash").as("fa"))
+    val xb = fp.select(col(idCol).as("__xb"), col("simhash").as("fb"))
+    val cross = fpPairs.join(xa, "fa").join(xb, "fb")
+      .select(
+        least(col("__xa"), col("__xb")).as("a"),
+        greatest(col("__xa"), col("__xb")).as("b"),
+        col("hamming"))
+    val within = fp.select(col(idCol).as("a"), col("simhash"))
+      .join(fp.select(col(idCol).as("b"), col("simhash")), "simhash")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0L).as("hamming"))
+    val out = within.unionByName(cross).cache()
     out.count()
     fp.unpersist()
     out
@@ -1647,6 +1679,13 @@ object Dedup {
       shiftright(c, lo).bitwiseAND(mask)
     }
     val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
+    // Exact-group collapse, cross-shape (round 11, same algebra as
+    // [[hammingPairs64]]): band-join DISTINCT prints of each side,
+    // then expand each surviving print pair through both sides' print
+    // groups. A (new, hist) doc pair has exactly one print pair, and
+    // a ≤k print pair (including fa = fb, hamming 0) shares ≥1 Manku
+    // band — so the expansion reproduces the original pair set with
+    // candidate work scaled by distinct prints, not doc counts.
     def banded(df: DataFrame): DataFrame = {
       val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
         val wi = starts(i + 1) - starts(i)
@@ -1657,20 +1696,31 @@ object Dedup {
             .as("key")
         )
       }
-      df.select(col(idCol), col(fpCol).as("fp"))
-        .select(col(idCol), col("fp"), explode(array(bandCols: _*)).as("bk"))
-        .select(col(idCol), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+      df.select(col(fpCol).as("fp")).distinct()
+        .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
     }
-    banded(newFp)
-      .select(col(idCol).as("new_id"), col("fp").as("fa"), col("band"), col("key"))
+    val newC = newFp.select(col(idCol), col(fpCol)).cache()
+    val histC = histFp.select(col(idCol), col(fpCol)).cache()
+    val fpPairs = banded(newC)
+      .select(col("fp").as("fa"), col("band"), col("key"))
       .join(
-        banded(histFp)
-          .select(col(idCol).as("hist_id"), col("fp").as("fb"), col("band"), col("key")),
+        banded(histC).select(col("fp").as("fb"), col("band"), col("key")),
         Seq("band", "key"))
-      .select(col("new_id"), col("hist_id"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .select(col("fa"), col("fb"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+    val out = fpPairs
+      .join(newC.select(col(idCol).as("new_id"), col(fpCol).as("fa")), "fa")
+      .join(histC.select(col(idCol).as("hist_id"), col(fpCol).as("fb")), "fb")
+      .select(col("new_id"), col("hist_id"), col("hamming"))
+      .cache()
+    out.count()
+    newC.unpersist()
+    histC.unpersist()
+    out
   }
 
   /** Components + canonicals directly from a 64-bit FINGERPRINT

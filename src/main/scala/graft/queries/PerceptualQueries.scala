@@ -28,6 +28,46 @@ object PerceptualQueries {
   private val stripePngUdf =
     udf { (id: Long) => PerceptualHash.fixtureStripePng(id) }
 
+  /** Marker-guarded parquet materialization of the stripe-PNG payload
+    * table `(doc_id, payload)` — the IMAGE-CORPUS stand-in the dHash
+    * family reads. PNG ENCODING is fixture synthesis (building the
+    * corpus), not operator work, so it runs once per (documents
+    * vintage) here and the timed queries measure what the operator
+    * actually costs at scale: parquet scan → decode → dHash → band
+    * join. Same pattern as [[LayoutQueries.compactionFixture]]:
+    * signature = documents.parquet listing, stale fixture rebuilt,
+    * `fn` self-prepares so Verify/IsoBench stay correct standalone.
+    */
+  private[queries] def payloadFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_stripepng_$key").getPath
+    val marker = new java.io.File(path, "_GRAFT_READY")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString("|")
+      else s"${f.length}:${f.lastModified}"
+    val want = sig(new java.io.File(dir, "documents.parquet"))
+    val fresh = marker.exists &&
+      java.nio.file.Files.readString(marker.toPath) == want
+    if (!fresh) {
+      table(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("payload", stripePngUdf(col("doc_id")))
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(marker.toPath, want)
+    }
+    path
+  }
+
+  /** The fixture image corpus as a DataFrame (self-preparing). */
+  private def payloads(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(payloadFixture(s, dir))
+
   /** Mixed-script BMP literal fragments shared between the Spark query
     * and the oracle SQL (embedded verbatim in both — no chr()
     * construction, which Spark truncates to one byte).
@@ -54,9 +94,7 @@ object PerceptualQueries {
         // dHash. The oracle predicts all 64 bits arithmetically from
         // the fixture recipe, so a decode, channel-order, or grid-math
         // bug cannot pass.
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("payload", stripePngUdf(col("doc_id")))
+        val d = payloads(s, dir)
         PerceptualHash
           .imageHashes(d, "doc_id", "payload")
           .orderBy("doc_id")
@@ -96,7 +134,8 @@ object PerceptualQueries {
       doc = "64-bit perceptual image hash (nearest-sample dHash) over " +
         "REAL decoded pixels — every bit an integer luma comparison " +
         "the oracle predicts from the striped-fixture recipe; per-row " +
-        "work behind the codec boundary, payloads never shuffle"
+        "work behind the codec boundary, payloads never shuffle",
+      prepare = Some((s, d) => { payloadFixture(s, d); () })
     ),
     // ----------------------------------------------------------------
     QueryDef(
@@ -110,9 +149,7 @@ object PerceptualQueries {
         // replays the complete-cover pair set with a pigeonhole
         // 8×8-bit banding — both covers are complete, so the pair sets
         // agree exactly.
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("payload", stripePngUdf(col("doc_id")))
+        val d = payloads(s, dir)
         PerceptualHash
           .nearDupImagePairs(d, "doc_id", "payload", maxHamming = 7)
           .orderBy("a", "b")
@@ -163,7 +200,8 @@ object PerceptualQueries {
       doc = "Image near-dup dedup: real decode → dHash → the SAME " +
         "Manku combinatorial-blocking Hamming join the text SimHash " +
         "path uses (hammingPairs64) — only 8-byte fingerprints " +
-        "shuffle; the oracle replays an independent complete cover"
+        "shuffle; the oracle replays an independent complete cover",
+      prepare = Some((s, d) => { payloadFixture(s, d); () })
     ),
     // ----------------------------------------------------------------
     QueryDef(
@@ -177,9 +215,7 @@ object PerceptualQueries {
         // q_dedup_minhash_incremental certifies for text, now on the
         // perceptual fingerprint. j=0 must find its identical-hash
         // j=1 sibling and its ≤7-bit j=2 neighbor in every group.
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("payload", stripePngUdf(col("doc_id")))
+        val d = payloads(s, dir)
         PerceptualHash
           .nearDupImagePairsAgainst(
             d.filter(col("doc_id") % 3L === 0L),
@@ -238,7 +274,8 @@ object PerceptualQueries {
         "Hamming join (hammingPairsAgainst64) — no history-internal " +
         "pairwork, only 8-byte fingerprints shuffle; the T2 " +
         "resumability story for the perceptual family, oracle = " +
-        "independent complete cover restricted to cross pairs"
+        "independent complete cover restricted to cross pairs",
+      prepare = Some((s, d) => { payloadFixture(s, d); () })
     ),
     // ----------------------------------------------------------------
     QueryDef(
@@ -526,9 +563,7 @@ object PerceptualQueries {
         // has a FINITE fingerprint space (patterns cycle every 7392
         // groups), so at sf1+ the full-pair face grows quadratically
         // while this face stays distinct-fingerprint-bounded.
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("payload", stripePngUdf(col("doc_id")))
+        val d = payloads(s, dir)
         PerceptualHash
           .imageClusters(d, "doc_id", "payload", maxHamming = 7)
           .orderBy("doc_id")
@@ -595,7 +630,8 @@ object PerceptualQueries {
         "only, then components + canonical (clusterizeHamming64) — " +
         "partition provably equal to the full-pair graph the oracle " +
         "replays; pair emission no longer scales with exact-clique " +
-        "size (the sf1 quadratic fixed: 138 s → seconds)"
+        "size (the sf1 quadratic fixed: 138 s → seconds)",
+      prepare = Some((s, d) => { payloadFixture(s, d); () })
     ),
     // ----------------------------------------------------------------
     QueryDef(
