@@ -12,6 +12,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  private lazy val log =
+    org.apache.logging.log4j.LogManager.getLogger("graft.dedup.Dedup")
+
   /** Exact dedup: hash-groupBy on content digest, keep the smallest id.
     * One shuffle on the digest; digest computed map-side so only
     * (digest, id) shuffles, never the payload.
@@ -686,19 +689,51 @@ object Dedup {
       val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
       xs.take(s - minOverlap + 1)
     }
-    val pre = docs.select(col(idCol), explode(prefixUdf(col("xs"))).as("shingle"))
+    // prefix tokens carry their 0-based POSITION and the doc's set
+    // size — the two integers the PPJoin filters below run on
+    val pre = docs
+      .withColumn("sz", size(col("xs")).cast("long"))
+      .select(col(idCol), col("sz"),
+        posexplode(prefixUdf(col("xs"))).as(Seq("pos", "shingle")))
     val rare =
       if (maxDf == Long.MaxValue) pre
       else
         pre.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
           .filter(col("df") <= maxDf)
           .drop("df")
-    val cand = rare
-      .select(col(idCol).as("a"), col("shingle"))
-      .join(rare.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
-      .filter(col("a") < col("b"))
+    // PPJoin candidate pruning (Xiao et al., WWW'08) — both filters
+    // LOSSLESS at any t (1e-9 slack absorbs the float boundary; the
+    // exact merge-intersect verify below is unchanged):
+    //  * length filter, inside the join condition so pruned rows never
+    //    reach the pair aggregation: J ≥ t forces
+    //    min(sa,sb) ≥ t·max(sa,sb);
+    //  * positional filter: both shingle arrays are sorted in the SAME
+    //    global order, so the first prefix-prefix match (min pa / min
+    //    pb — simultaneously minimized by the smallest common element)
+    //    has zero common elements before it, bounding the achievable
+    //    overlap by 1 + min(sa−pa−1, sb−pb−1), which must reach the
+    //    t/(1+t)·(sa+sb) overlap a ≥t pair needs.
+    // The pair aggregation replaces the old DISTINCT — the same
+    // (a, b) shuffle, now carrying four small ints and followed by a
+    // filter that keeps the expensive array-fetch verify joins off
+    // every pair the bounds kill.
+    val la = rare.select(col(idCol).as("a"), col("sz").as("sa"),
+      col("pos").as("pa"), col("shingle"))
+    val lb = rare.select(col(idCol).as("b"), col("sz").as("sb"),
+      col("pos").as("pb"), col("shingle").as("shingle_b"))
+    val cand = la
+      .join(lb,
+        col("shingle") === col("shingle_b") && col("a") < col("b") &&
+          least(col("sa"), col("sb")).cast("double") >=
+            lit(t) * greatest(col("sa"), col("sb")).cast("double") - lit(1e-9))
+      .groupBy("a", "b")
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        min("sa").as("sa"), min("sb").as("sb"))
+      .filter(
+        (lit(1L) + least(col("sa") - col("pa") - 1L,
+          col("sb") - col("pb") - 1L)).cast("double") >=
+          lit(t / (1.0 + t)) * (col("sa") + col("sb")).cast("double") - lit(1e-9))
       .select("a", "b")
-      .distinct()
     val intersectUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
       var i = 0; var j = 0; var o = 0L
       while (i < x.length && j < y.length) {
@@ -1051,13 +1086,45 @@ object Dedup {
     *
     * Convergence test is EXACT set equality (ss ⊆ prev via left_anti
     * emptiness + equal counts on distinct sets), not a hash signature.
+    *
+    * A loop that exhausts `maxIters` without reaching the fixed point
+    * THROWS instead of deriving labels from a non-star-forest edge set
+    * — wrong components would silently mis-drop documents downstream,
+    * and O(log n) convergence means non-convergence at the default 20
+    * rounds is a pathological graph, not a tuning matter.
     */
   def connectedComponentsDistributed(
       pairs: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
       maxIters: Int = 20
-  ): DataFrame = {
+  ): DataFrame =
+    connectedComponentsDistributedWithCleanup(pairs, aCol, bCol, maxIters)._1
+
+  /** The localCheckpoint RDD backing a just-checkpointed frame — the
+    * handle [[connectedComponentsDistributedWithCleanup]] frees blocks
+    * through (DataFrame.unpersist is a no-op on LogicalRDD-backed
+    * frames; the blocks otherwise linger until GC/ContextCleaner).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** [[connectedComponentsDistributed]] plus an explicit storage
+    * release handle: the returned frame is backed by the final round's
+    * localCheckpoint, so callers that materialize a derivative (as
+    * [[clusterize]] does) call `cleanup()` afterwards to free the
+    * checkpoint blocks immediately instead of waiting for the
+    * ContextCleaner. Intermediate rounds' checkpoint blocks are freed
+    * inside the loop as soon as the next round materializes.
+    */
+  def connectedComponentsDistributedWithCleanup(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): (DataFrame, () => Unit) = {
     // the pair graph is orders of magnitude smaller than the corpus —
     // pin the iteration to a few partitions so each contraction job is
     // not dominated by task scheduling (at true scale raise this, or
@@ -1105,11 +1172,21 @@ object Dedup {
       val ssCount = ss.count()
       val newEdges = ss.join(e, Seq("u", "v"), "left_anti").limit(1).count()
       converged = ssCount == eCount && newEdges == 0L
-      e.unpersist()
+      // this round's frame is materialized and the convergence probe
+      // above was the previous round's last reader — free the previous
+      // checkpoint's BLOCKS now (DataFrame.unpersist would be a no-op
+      // on the LogicalRDD-backed frame)
+      checkpointRdd(e).foreach(_.unpersist(blocking = false))
       e = ss
       eCount = ssCount
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsDistributed did not reach the star-forest " +
+          s"fixed point in $maxIters rounds ($eCount edges at exit) — " +
+          "labels from a non-fixed-point edge set would be WRONG; " +
+          "raise maxIters (O(log n) rounds suffice on any real graph)")
     // fixed point: a star forest — (u, v) = (member, component min);
     // roots appear only on the v side and label themselves. NOT
     // checkpointed: the per-round checkpoints already pin lineage at
@@ -1121,7 +1198,9 @@ object Dedup {
     val roots = e.select(col("v").as("node")).distinct()
       .join(members.select("node"), Seq("node"), "left_anti")
       .withColumn("comp", col("node"))
-    members.unionByName(roots).repartition(p, col("node"))
+    val lastCheckpoint = checkpointRdd(e)
+    (members.unionByName(roots).repartition(p, col("node")),
+      () => lastCheckpoint.foreach(_.unpersist(blocking = false)))
   }
 
   /** Components + canonical (min id) + cluster size from any near-dup
@@ -1170,11 +1249,14 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
-    val comps = connectedComponentsDistributed(pairs)
+    val (comps, releaseCheckpoint) =
+      connectedComponentsDistributedWithCleanup(pairs)
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     // materialize the (small — one row per node that appears in a
     // pair) label table, then release the distributed-path iteration
-    // cache; intermediates must not outlive the call
+    // storage (the final round's localCheckpoint blocks — a plain
+    // comps.unpersist() would be a no-op on the checkpoint-backed
+    // frame); intermediates must not outlive the call
     val out = comps
       .join(sizes, Seq("comp"))
       .select(
@@ -1185,7 +1267,7 @@ object Dedup {
       )
       .cache()
     out.count()
-    comps.unpersist()
+    releaseCheckpoint()
     out
   }
 
@@ -1457,6 +1539,11 @@ object Dedup {
     * (the earlier relational explode→64-column-aggregate formulation
     * shuffled the whole token stream; at corpus scale the per-row form
     * is strictly better and the bench agrees ~4×).
+    *
+    * The fold iterates Unicode CODEPOINTS (not UTF-16 units), matching
+    * DuckDB's codepoint-based `unicode()` replay exactly on ALL text —
+    * including supplementary-plane characters (emoji, historic
+    * scripts), which a charAt fold would hash as surrogate halves.
     */
   val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
@@ -1470,7 +1557,11 @@ object Dedup {
           if (t.nonEmpty) {
             var h = 0xcbf29ce484222325L
             var k = 0
-            while (k < t.length) { h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+            while (k < t.length) {
+              val cp = t.codePointAt(k)
+              h ^= cp.toLong; h *= 0x100000001b3L
+              k += Character.charCount(cp)
+            }
             var j = 0
             while (j < 64) {
               if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -1503,19 +1594,34 @@ object Dedup {
     * Join per band, verify with popcount.
     *
     * `maxPerBucket`: optional skew guard for production corpora — keep
-    * only the first `cap` members (by id) of each band bucket before
-    * the self-join (an adversarial or degenerate corpus can still pile
-    * one key). Trades bounded recall for a hard O(m·n·cap) candidate
-    * ceiling, while a hot key still contributes its first cap members'
-    * pairs instead of vanishing; leave None on oracle-checked faces
-    * (exact cover).
+    * only the first `cap` DISTINCT fingerprints (by value) of each band
+    * bucket before the self-join (an adversarial or degenerate corpus
+    * can still pile one key). Trades bounded recall for a hard
+    * O(m·d·cap) candidate ceiling over d distinct prints, while a hot
+    * key still contributes its first cap prints' pairs instead of
+    * vanishing; leave None on oracle-checked faces (exact cover).
+    *
+    * AUTO-ESCALATION (round 11): any fixed 64-bit banding has a
+    * random-collision floor ∝ n²/2^w (SCALE.md) — measured 12.9×/decade
+    * at sf10 (500k docs), past the ~12× near-linear bar. So when the
+    * caller passes no explicit cap and the tokenful corpus exceeds
+    * `autoCapDocs` DISTINCT-fingerprint-bearing docs, the bucket cap
+    * defaults to `autoCap` instead of unbounded: below the threshold
+    * the cover is exact (every oracle face — sf0.001…sf1 — is), above
+    * it the candidate count is hard-bounded and the engine does not
+    * quietly cross its banding floor. Pass `maxPerBucket =
+    * Some(Int.MaxValue)` to force the exact cover at any size, or
+    * migrate to [[simHashPairs128]] (the committed ≥10⁸-doc
+    * configuration — wider keys move the floor itself).
     */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxPerBucket: Option[Int] = None
+      maxPerBucket: Option[Int] = None,
+      autoCapDocs: Long = 200000L,
+      autoCap: Int = 512
   ): DataFrame = {
     // Token-less docs (null/empty/space-only text) all fingerprint to
     // 0L — banding them would emit every such pair as a hamming-0
@@ -1523,8 +1629,25 @@ object Dedup {
     // empty docs), so drop them before banding.
     val tokenful = df.filter(
       coalesce(translate(col(textCol), " ", ""), lit("")) =!= "")
-    hammingPairs64(simHash(tokenful, idCol, textCol), idCol, "simhash",
-      maxHamming, maxPerBucket)
+    val fps = simHash(tokenful, idCol, textCol).cache()
+    val cap = maxPerBucket match {
+      case Some(c) if c == Int.MaxValue => None // explicit exact cover
+      case Some(c)                      => Some(c)
+      case None =>
+        // one count over the cached 16-byte-row fingerprint relation —
+        // metadata-priced next to the banding join it sizes
+        if (fps.count() > autoCapDocs) {
+          log.warn(
+            s"simHashPairs: corpus exceeds $autoCapDocs docs — " +
+              s"capping band buckets at $autoCap distinct prints " +
+              "(bounded recall; see scaladoc / SCALE.md, or use " +
+              "simHashPairs128 for an exact wider-key cover)")
+          Some(autoCap)
+        } else None
+    }
+    val out = hammingPairs64(fps, idCol, "simhash", maxHamming, cap)
+    fps.unpersist() // out is eagerly materialized inside hammingPairs64
+    out
   }
 
   /** MinHash-LSH banding planner: for a target Jaccard threshold t
@@ -1795,10 +1918,11 @@ object Dedup {
             var h2 = 0x55c5e55dfb685f30L // basis ^ 0x9e3779b97f4a7c15
             var k = 0
             while (k < t.length) {
-              val c = t.charAt(k).toLong
+              // codepoint fold — see [[simHashUdf]]
+              val c = t.codePointAt(k).toLong
               h1 ^= c; h1 *= 0x100000001b3L
               h2 ^= c; h2 *= 0x100000001b3L
-              k += 1
+              k += Character.charCount(c.toInt)
             }
             var j = 0
             while (j < 64) {

@@ -325,6 +325,13 @@ object Layout {
     * directories. The distinct-partition collect is bounded by the
     * partition cardinality contract of `writePartitioned` (coarse
     * values — thousands, not millions), never by batch row count.
+    * The contract is ENFORCED, not just documented: a batch row that
+    * moves a key across partitions of the pruned set fails the merge
+    * (require), and `validateKeysGlobally = true` additionally runs a
+    * column-pruned full-table key scan to catch keys already living
+    * outside the batch's partition set. Deletes that empty an entire
+    * partition remove its directory (dynamic overwrite alone would
+    * leave the stale files in place).
     *
     * Scale shape: at 100 TB with daily-partitioned ingest, a merge
     * batch touching 3 days reads 3 directories, full-outer-joins them
@@ -340,7 +347,8 @@ object Layout {
       partitionCol: String,
       keyCol: String,
       batch: DataFrame,
-      deleteCol: String = "__deleted"): Unit = {
+      deleteCol: String = "__deleted",
+      validateKeysGlobally: Boolean = false): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = batch.columns.filterNot(_ == deleteCol)
@@ -362,6 +370,38 @@ object Layout {
     val b = batch.select(
       col(keyCol).as("__mk"), col(deleteCol).as("__mdel"),
       struct(dataCols.map(col): _*).as("__mrow"))
+
+    // ENFORCE the partition-immutability contract inside the pruned
+    // scan (it is what makes pruning sound, so a violation must fail
+    // loudly, not insert a silent duplicate): a batch row whose key
+    // matches a target row in a DIFFERENT partition of the batch's own
+    // partition set is a contract breach. One extra inner join over
+    // the pruned scan with the broadcastable batch — bounded by the
+    // same pruning as the merge itself. Keys living in partitions
+    // OUTSIDE the batch's set are invisible to any pruned scan;
+    // `validateKeysGlobally` opts into the column-pruned full-table
+    // key scan that catches those too (pay it on low-trust batches).
+    val moved = target
+      .join(b, col(keyCol) === col("__mk"), "inner")
+      .filter(col(partitionCol) =!= col(s"__mrow.$partitionCol"))
+      .select(col(keyCol)).limit(5).collect()
+    require(moved.isEmpty,
+      s"mergeUpsert contract violation: batch rows move key(s) " +
+        s"${moved.map(_.get(0)).mkString(", ")} across partitions " +
+        s"of $partitionCol (partition is immutable under merge)")
+    if (validateKeysGlobally) {
+      val outside = spark.read.parquet(path)
+        .filter(!col(partitionCol).isin(parts: _*))
+        .select(col(keyCol), col(partitionCol))
+        .join(b.select(col("__mk")), col(keyCol) === col("__mk"), "left_semi")
+        .limit(5).collect()
+      require(outside.isEmpty,
+        s"mergeUpsert contract violation: batch key(s) " +
+          s"${outside.map(_.get(0)).mkString(", ")} already live in " +
+          s"partitions outside the batch's own partition set " +
+          s"(merge would duplicate them)")
+    }
+
     val merged = target
       .join(b, col(keyCol) === col("__mk"), "full_outer")
       .filter(col("__mdel").isNull || !col("__mdel")) // drop deletes
@@ -388,6 +428,21 @@ object Layout {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+
+    // a batch whose deletes EMPTY an entire partition produces no rows
+    // for it, so dynamic overwrite never touches the old directory and
+    // the deleted rows would silently survive — diff the batch's
+    // partition set against the merged output's and drop the now-empty
+    // directories explicitly (both sets are partition-cardinality
+    // bounded by contract)
+    val liveParts = materialized.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSet
+    parts.filterNot(liveParts.contains).foreach { v =>
+      val dirName = partitionCol + "=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(fsPath, dirName), true)
     }
   }
 }

@@ -449,6 +449,13 @@ object CurationOpsQueries {
       // recursive LATERAL argmax: every hop maximizes the exact
       // quantized cosine (ties to the smaller id), replaying the
       // engine's per-cluster decision sequence bit for bit.
+      //
+      // ORACLE VALIDITY BOUND: this replay hardwires 16 lists while
+      // the engine auto-splits clusters above targetCell=4096 rows —
+      // the two agree only while the embeddings table stays ≤
+      // nLists·targetCell = 65,536 rows (true at sf0.001–sf0.1; sf1+
+      // splits and the SQL replay diverges BY DESIGN, not engine
+      // error — see tools/check_sf10_r10b.sh which excludes it).
       oracle = Some(
         """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
           |c0 AS (

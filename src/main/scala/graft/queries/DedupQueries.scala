@@ -546,11 +546,10 @@ object DedupQueries {
       // by list_prepend of the offset basis), per-bit ±1 majorities
       // over exploded (token, bit) rows, pigeonhole bands from the
       // unsigned fingerprint, popcount verify on the signed one.
-      // BMP-only caveat: DuckDB's unicode() folds CODEPOINTS while the
-      // Scala loop folds UTF-16 units — identical on BMP text (the
-      // corpus is ASCII; checked at all SFs), divergent only on
-      // supplementary-plane characters. The q_dedup_simhash128 replay
-      // inherits the same assumption.
+      // Both sides fold CODEPOINTS: DuckDB's unicode() is codepoint-
+      // based and (since r11) the Scala UDF iterates codePointAt — so
+      // the replay is exact on ALL text including supplementary-plane
+      // characters (TextDedupSpec has a non-BMP fixture case).
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents
@@ -606,10 +605,8 @@ object DedupQueries {
       // replayed exactly like the 64-bit oracle; the oracle bands on
       // its own complete cover (16 chunks of 8 bits — ≥9 clean at
       // k=7) since any complete cover yields the same distinct pairs.
-      // Same BMP-only caveat as the 64-bit replay: DuckDB's unicode()
-      // folds CODEPOINTS while the Scala loop folds UTF-16 units, so
-      // the two agree exactly on BMP text (the fixture corpus is
-      // ASCII; supplementary-plane text would diverge on both faces).
+      // Codepoint fold on both sides (r11) — exact on all text,
+      // supplementary plane included; see the 64-bit replay's note.
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents

@@ -334,6 +334,49 @@ class LayoutSpec extends SparkTestBase {
     assert(p3Files() == before)
   }
 
+  test("mergeUpsert: deletes that empty a partition remove its directory; " +
+    "partition-moving batches and out-of-partition keys fail the contract") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_empty_${System.nanoTime}").getPath
+    val base = Seq(
+      (1L, "p1", 10.0), (2L, "p2", 20.0), (3L, "p2", 30.0)
+    ).toDF("k", "part", "v")
+    Layout.writePartitioned(base, path, "part")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // batch deletes EVERY p1 row → the p1 directory itself must go
+    // (dynamic overwrite alone would leave the stale files in place
+    // and the "deleted" row would survive a full-table read)
+    val wipeP1 = Seq((1L, "p1", 0.0, true)).toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", wipeP1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "part=p1")))
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 20.0, 3L -> 30.0))
+
+    // a batch row that MOVES key 2 from p2 to p3 violates partition
+    // immutability — but both partitions must be in the batch's set
+    // for the pruned scan to see it, hence key 3 pinning p2
+    val mover = Seq((2L, "p3", 99.0, false), (3L, "p2", 30.0, false))
+      .toDF("k", "part", "v", "__deleted")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.mergeUpsert(spark, path, "part", "k", mover)
+    }
+    assert(ex.getMessage.contains("across partitions"))
+
+    // key 2 already lives in p2; a batch claiming it in p3 WITHOUT
+    // touching p2 is invisible to the pruned scan — the global
+    // validation opt-in catches it
+    val foreign = Seq((2L, "p3", 99.0, false)).toDF("k", "part", "v", "__deleted")
+    val ex2 = intercept[IllegalArgumentException] {
+      Layout.mergeUpsert(spark, path, "part", "k", foreign,
+        validateKeysGlobally = true)
+    }
+    assert(ex2.getMessage.contains("outside"))
+  }
+
   test("mergeRollup: folding delta partials equals one full aggregation; schema drift is rejected") {
     import spark.implicits._
     val path = new java.io.File(

@@ -153,6 +153,28 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("simhash folds Unicode CODEPOINTS, not UTF-16 units — exact on " +
+    "supplementary-plane text (the DuckDB unicode() replay contract)") {
+    // 𝕊𝕦𝕡 — three MATHEMATICAL DOUBLE-STRUCK codepoints, six UTF-16
+    // units; a charAt fold would hash six surrogate halves instead.
+    val tok = new String(Array(0x1d54a, 0x1d566, 0x1d561), 0, 3)
+    assert(tok.length == 6 && tok.codePointCount(0, tok.length) == 3)
+    val df = Seq((1L, tok)).toDF("doc_id", "text")
+    def fnv(seed: Long, cs: Seq[Long]): Long =
+      cs.foldLeft(seed)((h, c) => (h ^ c) * 0x100000001b3L)
+    val cps = tok.codePoints().toArray.map(_.toLong).toSeq
+    val units = tok.toCharArray.map(_.toLong).toSeq
+    // single-token doc: every per-bit majority is ±1 of the token's
+    // hash bit, so the fingerprint EQUALS the token hash — the test
+    // pins the fold itself, not just collision behavior
+    val fp64 = Dedup.simHash(df, "doc_id", "text").head().getLong(1)
+    assert(fp64 == fnv(0xcbf29ce484222325L, cps))
+    assert(fp64 != fnv(0xcbf29ce484222325L, units))
+    val fp128 = df.select(Dedup.simHash128Udf(col("text"))).head().getSeq[Long](0)
+    assert(fp128 == Seq(
+      fnv(0xcbf29ce484222325L, cps), fnv(0x55c5e55dfb685f30L, cps)))
+  }
+
   test("simHashPairs maxPerBucket cap: a generous cap changes nothing, a " +
     "tight cap only ever SUBTRACTS pairs") {
     import spark.implicits._
