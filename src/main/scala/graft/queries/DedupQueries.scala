@@ -550,6 +550,13 @@ object DedupQueries {
       // based and (since r11) the Scala UDF iterates codePointAt — so
       // the replay is exact on ALL text including supplementary-plane
       // characters (TextDedupSpec has a non-BMP fixture case).
+      //
+      // ORACLE VALIDITY BOUND: above autoCapDocs = 200k docs the
+      // engine auto-caps band buckets (bounded recall past the 64-bit
+      // banding floor — see simHashPairs scaladoc), so this exact
+      // complete-cover replay is only valid below that threshold
+      // (true at sf0.001–sf1; the sf10 gate excludes it by design,
+      // see tools/check_sf10_dedup.sh).
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents
@@ -857,9 +864,11 @@ object DedupQueries {
         // checked against the fixture recipe. The oracle predicts the
         // sampling schedule (distinct floor(i·k/3)), timestamps
         // (100 ms/frame), and dimensions arithmetically.
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("payload", fixtureGifUdf(col("doc_id")))
+        val d = s.read.parquet(FixtureCache.payloadParquet(s, dir, "gif") {
+          table(s, dir, "documents")
+            .select(col("doc_id"))
+            .withColumn("payload", fixtureGifUdf(col("doc_id")))
+        })
         graft.multimodal.Multimodal
           .sampleFrames(d, "doc_id", "payload",
             graft.multimodal.GifFrameSampler, n = 3, batchSize = 64)
@@ -889,7 +898,15 @@ object DedupQueries {
       doc = "REAL animated-GIF frame sampling (javax.imageio sequence " +
         "reader): fixture GIFs decoded, evenly sampled, re-encoded; " +
         "schedule/timestamps/dimensions oracle-checked against the " +
-        "fixture recipe"
+        "fixture recipe",
+      prepare = Some((s, d) => {
+        FixtureCache.payloadParquet(s, d, "gif") {
+          table(s, d, "documents")
+            .select(col("doc_id"))
+            .withColumn("payload", fixtureGifUdf(col("doc_id")))
+        }
+        ()
+      })
     ),
     // ----------------------------------------------------------------
     QueryDef(

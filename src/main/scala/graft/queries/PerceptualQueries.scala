@@ -39,29 +39,12 @@ object PerceptualQueries {
     * `fn` self-prepares so Verify/IsoBench stay correct standalone.
     */
   private[queries] def payloadFixture(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_stripepng_$key").getPath
-    val marker = new java.io.File(path, "_GRAFT_READY")
-    def sig(f: java.io.File): String =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
-          .mkString("|")
-      else s"${f.length}:${f.lastModified}"
-    val want = sig(new java.io.File(dir, "documents.parquet"))
-    val fresh = marker.exists &&
-      java.nio.file.Files.readString(marker.toPath) == want
-    if (!fresh) {
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    FixtureCache.payloadParquet(s, dir, "stripepng") {
       table(s, dir, "documents")
         .select(col("doc_id"))
         .withColumn("payload", stripePngUdf(col("doc_id")))
-        .write.mode("overwrite").parquet(path)
-      java.nio.file.Files.writeString(marker.toPath, want)
     }
-    path
-  }
 
   /** The fixture image corpus as a DataFrame (self-preparing). */
   private def payloads(

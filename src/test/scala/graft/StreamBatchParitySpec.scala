@@ -467,6 +467,91 @@ class StreamBatchParitySpec extends SparkTestBase {
       graft.layout.Layout.dropWithLocation(spark, tableName)
   }
 
+  test("near-dup stream RESUMES from its checkpoint: LSH bucket state " +
+    "survives the restart — cross-restart pairs close, committed pairs " +
+    "are not re-emitted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftndresume")
+    val inDir = root.resolve("in")
+    val outPath = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "completely different content about distributed systems and shuffles here"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir.toString + "/*")
+      val q = Incremental.nearDupStream(stream, "doc_id", "text", minJaccard = 0.8)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: the (1, 2) pair closes and commits
+    Seq((1L, tA), (2L, tA), (10L, tB)).toDF("doc_id", "text")
+      .write.parquet(inDir.resolve("a").toString)
+    runOnce()
+    def rows() = spark.read.parquet(outPath)
+      .select("a", "b").as[(String, String)].collect().toSeq
+    val r1 = rows()
+    assert(r1.toSet == Set(("1", "2")), s"run 1 pairs: $r1")
+    val n12 = r1.count(_ == ("1", "2"))
+    // run 2, SAME checkpoint: doc 3 (another copy of tA) arrives — it
+    // must pair against docs 1 AND 2 out of the RESTORED bucket state,
+    // and the already-committed (1, 2) pair must not re-emit
+    Seq((3L, tA)).toDF("doc_id", "text")
+      .write.parquet(inDir.resolve("b").toString)
+    runOnce()
+    val r2 = rows()
+    assert(r2.toSet == Set(("1", "2"), ("1", "3"), ("2", "3")),
+      s"cross-restart pairs did not close (state lost?): ${r2.toSet}")
+    assert(r2.count(_ == ("1", "2")) == n12,
+      "restart re-emitted an already-committed pair")
+  }
+
+  test("shard stream RESUMES from its checkpoint: a restart packs only " +
+    "new files, offsets continue gaplessly, nothing re-lands") {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graftshardresume")
+    val inDir = root.resolve("in")
+    val shardPath = root.resolve("shards").toString
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(src.schema)
+        .parquet(inDir.toString + "/*")
+      Incremental.shardStream(stream, "doc_id", "text", shardPath, ckpt,
+        tokensPerShard = 512L).awaitTermination()
+    }
+    val lo = src.filter($"doc_id" < 100L)
+    val hi = src.filter($"doc_id" >= 100L && $"doc_id" < 150L)
+    lo.write.parquet(inDir.resolve("a").toString)
+    runOnce()
+    val t1 = spark.read.parquet(shardPath).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(t1.sorted == lo.select("doc_id").as[Long].collect().toSeq.sorted)
+    // run 2, SAME checkpoint: only the new increment's docs land
+    hi.write.parquet(inDir.resolve("b").toString)
+    runOnce()
+    val rows = spark.read.parquet(shardPath)
+      .select(col("doc_id"), col("shard").cast("long"),
+        col("start_off"), col("end_off"))
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly-once across the restart: every doc exactly once
+    assert(rows.map(_._1).toSeq.sorted ==
+      (lo.unionByName(hi)).select("doc_id").as[Long].collect().toSeq.sorted,
+      "restart re-landed or lost docs")
+    // offsets continue gaplessly from run 1 into run 2
+    val byOff = rows.sortBy(_._3)
+    assert(byOff.head._3 == 0L)
+    byOff.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 == b._3, s"offset gap between $a and $b")
+      case _           => ()
+    }
+    byOff.foreach { case (_, sh, so, _) => assert(sh == so / 512L) }
+  }
+
   test("full refresh composition: stream-curate -> batch near-dup sweep -> " +
     "training shards (the lambda split, end to end)") {
     import spark.implicits._
