@@ -1101,15 +1101,11 @@ object Dedup {
   ): DataFrame =
     connectedComponentsDistributedWithCleanup(pairs, aCol, bCol, maxIters)._1
 
-  /** The localCheckpoint RDD backing a just-checkpointed frame — the
-    * handle [[connectedComponentsDistributedWithCleanup]] frees blocks
-    * through (DataFrame.unpersist is a no-op on LogicalRDD-backed
-    * frames; the blocks otherwise linger until GC/ContextCleaner).
+  /** The localCheckpoint RDD backing a just-checkpointed frame — see
+    * [[graft.core.Graft.checkpointRdd]] (shared with the layout merge).
     */
   private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
+    graft.core.Graft.checkpointRdd(df)
 
   /** [[connectedComponentsDistributed]] plus an explicit storage
     * release handle: the returned frame is backed by the final round's

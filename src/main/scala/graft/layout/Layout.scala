@@ -1,7 +1,7 @@
 package graft.layout
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, md5, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, md5, struct, when}
 
 /** Physical corpus layout: hash-bucketed parquet tables so that every
   * downstream key-equijoin and key-aggregation is EXCHANGE-FREE.
@@ -371,24 +371,11 @@ object Layout {
       col(keyCol).as("__mk"), col(deleteCol).as("__mdel"),
       struct(dataCols.map(col): _*).as("__mrow"))
 
-    // ENFORCE the partition-immutability contract inside the pruned
-    // scan (it is what makes pruning sound, so a violation must fail
-    // loudly, not insert a silent duplicate): a batch row whose key
-    // matches a target row in a DIFFERENT partition of the batch's own
-    // partition set is a contract breach. One extra inner join over
-    // the pruned scan with the broadcastable batch — bounded by the
-    // same pruning as the merge itself. Keys living in partitions
-    // OUTSIDE the batch's set are invisible to any pruned scan;
-    // `validateKeysGlobally` opts into the column-pruned full-table
-    // key scan that catches those too (pay it on low-trust batches).
-    val moved = target
-      .join(b, col(keyCol) === col("__mk"), "inner")
-      .filter(col(partitionCol) =!= col(s"__mrow.$partitionCol"))
-      .select(col(keyCol)).limit(5).collect()
-    require(moved.isEmpty,
-      s"mergeUpsert contract violation: batch rows move key(s) " +
-        s"${moved.map(_.get(0)).mkString(", ")} across partitions " +
-        s"of $partitionCol (partition is immutable under merge)")
+    // Keys living in partitions OUTSIDE the batch's set are invisible
+    // to any pruned scan; `validateKeysGlobally` opts into the
+    // column-pruned full-table key scan that catches those too (pay
+    // it on low-trust batches). The within-pruned-set immutability
+    // check is free — it rides the merge join itself, below.
     if (validateKeysGlobally) {
       val outside = spark.read.parquet(path)
         .filter(!col(partitionCol).isin(parts: _*))
@@ -402,19 +389,56 @@ object Layout {
           s"(merge would duplicate them)")
     }
 
+    // ENFORCE partition immutability ON the merge join itself (it is
+    // what makes pruning sound, so a violation must fail loudly, not
+    // insert a silent duplicate): a matched row whose batch partition
+    // differs from its target partition raises a flag column; the
+    // flag is checked on the CHECKPOINTED merge, so the guard costs
+    // one metadata-cheap pass over already-materialized rows — no
+    // second scan of the pruned partitions. The merge projection runs
+    // BEFORE the checkpoint (narrow rows buffer — the __mrow struct
+    // would double the footprint) and the delete filter runs AFTER the
+    // flag check, so a delete row carrying the wrong partition (which
+    // would silently no-op the intended delete) fails too.
     val merged = target
       .join(b, col(keyCol) === col("__mk"), "full_outer")
-      .filter(col("__mdel").isNull || !col("__mdel")) // drop deletes
       .select(dataCols.map(c =>
         // batch wins on match; target-only rows keep their values
         when(col("__mk").isNotNull, col(s"__mrow.$c"))
-          .otherwise(col(c)).as(c)): _*)
+          .otherwise(col(c)).as(c)) ++ Seq(
+        col("__mdel"),
+        (col(keyCol).isNotNull && col("__mk").isNotNull &&
+          col(partitionCol) =!= col(s"__mrow.$partitionCol"))
+          .as("__pmoved")): _*)
 
     // materialize BEFORE overwriting: the merged frame reads the same
     // path it writes, which Spark's self-overwrite check rejects (and
     // lazily overwriting a live input would be wrong anyway).
-    // localCheckpoint bounds the buffered data to the pruned partitions.
-    val materialized = merged.localCheckpoint()
+    // localCheckpoint bounds the buffered data to the pruned
+    // partitions; its blocks are released explicitly at the end (see
+    // Graft.checkpointRdd — run-over-run leak measured without it).
+    val matMerged = merged.localCheckpoint()
+    // ONE pass over the checkpointed rows answers both bookkeeping
+    // questions (violation flag; partitions that still have live
+    // rows — needed below to detect delete-emptied directories):
+    // example keys for the error message are looked up only on the
+    // rare violation path
+    val audit = matMerged.agg(
+      org.apache.spark.sql.functions.max(col("__pmoved")).as("moved"),
+      org.apache.spark.sql.functions.collect_set(
+        when(col("__mdel").isNull || !col("__mdel"), col(partitionCol)))
+        .as("live")).head()
+    if (!audit.isNullAt(0) && audit.getBoolean(0)) {
+      val moved = matMerged.filter(col("__pmoved"))
+        .select(col(keyCol)).limit(5).collect()
+      throw new IllegalArgumentException(
+        s"mergeUpsert contract violation: batch rows move key(s) " +
+          s"${moved.map(_.get(0)).mkString(", ")} across partitions " +
+          s"of $partitionCol (partition is immutable under merge)")
+    }
+    val materialized = matMerged
+      .filter(col("__mdel").isNull || !col("__mdel")) // drop deletes
+      .drop("__mdel", "__pmoved")
 
     // dynamic overwrite: only directories present in `merged` (= the
     // pruned set) are replaced; untouched partitions' files stay put
@@ -436,13 +460,16 @@ object Layout {
     // partition set against the merged output's and drop the now-empty
     // directories explicitly (both sets are partition-cardinality
     // bounded by contract)
-    val liveParts = materialized.select(partitionCol).distinct().collect()
-      .map(_.get(0)).toSet
+    val liveParts = audit.getSeq[Any](1).toSet
     parts.filterNot(liveParts.contains).foreach { v =>
       val dirName = partitionCol + "=" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(String.valueOf(v))
       fs.delete(new org.apache.hadoop.fs.Path(fsPath, dirName), true)
     }
+    // release the checkpoint blocks NOW — they buffered the pruned
+    // partitions' rows and nothing references them after the write
+    graft.core.Graft.checkpointRdd(matMerged)
+      .foreach(_.unpersist(blocking = false))
   }
 }

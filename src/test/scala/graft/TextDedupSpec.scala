@@ -190,6 +190,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(capped.subsetOf(exact))
   }
 
+  test("simHashPairs auto-escalates above the corpus threshold: capped " +
+    "posture is a subset of exact, generous auto-cap changes nothing, " +
+    "Int.MaxValue forces the exact cover") {
+    import spark.implicits._
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta gamma delta w${i % 7} epsilon zeta")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Option[Int], autoDocs: Long, autoCap: Int) = graft.dedup.Dedup
+      .simHashPairs(corpus, "doc_id", "text", maxHamming = 7,
+        maxPerBucket = cap, autoCapDocs = autoDocs, autoCap = autoCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None, 200000L, 512) // 60 docs < threshold: exact
+    // threshold crossed with a generous cap: identical pair set
+    assert(pairs(None, 10L, 1000) == exact)
+    // threshold crossed with a tight cap: only ever SUBTRACTS pairs
+    assert(pairs(None, 10L, 2).subsetOf(exact))
+    // the explicit exact-cover escape hatch ignores the threshold
+    assert(pairs(Some(Int.MaxValue), 10L, 2) == exact)
+  }
+
   test("algebraic invariants: dedup partitions rows, jaccard bounded, simhash reflexive") {
     // exact dedup partitions the corpus: copies sum to row count
     val total = docs.count()
