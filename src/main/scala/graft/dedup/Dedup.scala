@@ -763,6 +763,112 @@ object Dedup {
     out
   }
 
+  /** ASYMMETRIC containment pairs: (a, b) where C(a→b) =
+    * |sh(a) ∩ sh(b)| / |sh(a)| >= t, a != b (mutual containment emits
+    * both directions). This is the quotation / boilerplate-wrap face
+    * symmetric Jaccard misses entirely: a paragraph pasted into a
+    * 50×-longer page has J ≈ |a|/|b| ≈ 0.02 but C(a→b) = 1.0 — real
+    * curation pipelines drop the short copy, which no Jaccard
+    * threshold can find.
+    *
+    * Candidate generation is ONE-SIDED prefix filtering: a qualifying
+    * pair needs overlap >= ceil(t·sa), so the globally-smallest common
+    * shingle must sit within a's first sa − ceil(t·sa) + 1 hashes —
+    * only that prefix is probed. The contained-in side has no upper
+    * length bound, so b indexes ALL its shingles (the inherent
+    * asymmetric-join cost; `maxDf` caps hot postings). Lossless prunes
+    * before the exact merge-intersect verify:
+    *  * length: overlap <= sb, so sb >= t·sa;
+    *  * positional: for qualifying pairs min(pa)/min(pb) belong to the
+    *    first common element (a's hit is in the prefix, b indexes
+    *    everything), so overlap <= 1 + min(sa−pa−1, sb−pb−1) >= t·sa
+    *    must hold (1e-9 slack — float error only admits extras).
+    * Same contract shape as [[ngramJaccardPairsPrefix]]; the verify is
+    * the identical compiled merge-intersect, so emitted n_common /
+    * containment are exact.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val t = minContainment
+    val docs = df
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    val prefixUdf = udf { (xs: Seq[Long]) =>
+      val s = xs.length
+      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
+      xs.take(s - minOverlap + 1)
+    }
+    val withSz = docs.withColumn("sz", size(col("xs")).cast("long"))
+    // probe side: prefix postings of the CONTAINED candidate a
+    val pa0 = withSz.select(col(idCol).as("a"), col("sz").as("sa"),
+      posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
+    // index side: EVERY posting of the containing candidate b
+    val pb0 = withSz.select(col(idCol).as("b"), col("sz").as("sb"),
+      posexplode(col("xs")).as(Seq("pb", "shingle_b")))
+    // df computed over the FULL index side (true document frequency);
+    // the probe side prunes against the same hot set
+    val hot =
+      if (maxDf == Long.MaxValue) None
+      else Some(
+        pb0.groupBy(col("shingle_b").as("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("shingle")
+          .cache())
+    val (pra, prb) = hot match {
+      case None => (pa0, pb0)
+      case Some(h) =>
+        (pa0.join(h, Seq("shingle"), "left_anti"),
+          pb0.join(h.select(col("shingle").as("shingle_b")),
+            Seq("shingle_b"), "left_anti"))
+    }
+    val cand = pra
+      .join(prb,
+        col("shingle") === col("shingle_b") && col("a") =!= col("b") &&
+          col("sb").cast("double") >= lit(t) * col("sa").cast("double") - lit(1e-9))
+      .groupBy("a", "b")
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        min("sa").as("sa"), min("sb").as("sb"))
+      .filter(
+        (lit(1L) + least(col("sa") - col("pa") - 1L,
+          col("sb") - col("pb") - 1L)).cast("double") >=
+          lit(t) * col("sa").cast("double") - lit(1e-9))
+      .select("a", "b")
+    val intersectUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var i = 0; var j = 0; var o = 0L
+      while (i < x.length && j < y.length) {
+        val c = java.lang.Long.compare(x(i), y(j))
+        if (c == 0) { o += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      o
+    }
+    val out = cand
+      .join(docs.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
+      .join(docs.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
+      .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
+      .withColumn("n_a", size(col("xs_a")).cast("long"))
+      .withColumn("n_b", size(col("xs_b")).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
+        col("containment"))
+      .cache()
+    out.count()
+    hot.foreach(_.unpersist())
+    docs.unpersist()
+    out
+  }
+
   /** Distinct shingles hashed to longs IN-ROW (xxhash64 inside the
     * transform lambda) before exploding — the exploded relation carries
     * 8-byte longs instead of strings, which is what shuffles/joins in

@@ -303,6 +303,49 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_containment",
+      covers = "dedup-containment,prefix-filter",
+      fn = (s, dir) =>
+        Dedup
+          .containmentPairs(
+            table(s, dir, "documents"),
+            "doc_id", "text",
+            n = 3, minContainment = 0.8, maxDf = Long.MaxValue
+          )
+          .orderBy("a", "b"),
+      // brute-force asymmetric truth: C(a→b) = |∩| / |sh(a)|, a ≠ b,
+      // BOTH directions kept — proves the one-sided prefix + length +
+      // positional prunes are lossless
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id)
+          |SELECT p.a, p.b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+          |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+          |FROM pairs p
+          |JOIN sizes sa ON sa.doc_id = p.a
+          |JOIN sizes sb ON sb.doc_id = p.b
+          |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8
+          |ORDER BY a, b""".stripMargin
+      ),
+      doc = "ASYMMETRIC containment pairs (|A∩B|/|A| >= 0.8, both " +
+        "directions): the quotation/boilerplate-wrap face Jaccard " +
+        "misses — a paragraph pasted into a 50x-longer page is " +
+        "J~0.02 but C=1.0. One-sided prefix filter probes only the " +
+        "contained side's first s-ceil(t*s)+1 hashes against a full " +
+        "index of the containing side; the brute-force oracle proves " +
+        "the length+positional prunes lossless"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       covers = "dedup-clusters",
       fn = (s, dir) =>

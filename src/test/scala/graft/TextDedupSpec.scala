@@ -761,4 +761,59 @@ class TextDedupSpec extends SparkTestBase {
       .collect()
     assert(windowed.head.getAs[Long]("n_dropped") == 0L)
   }
+
+  test("containment join finds the asymmetric quoted-paragraph pair Jaccard misses") {
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quoted),                    // the short original
+      (2L, s"$filler $quoted"),        // wrapped in 60 unrelated tokens
+      (3L, "totally unrelated words about engines and planes today")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup
+      .containmentPairs(corpus, "doc_id", "text", n = 3,
+        minContainment = 0.8, maxDf = Long.MaxValue)
+      .orderBy("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+    // doc 1 has 6 distinct 3-shingles, ALL present in doc 2 → C(1→2)=1.0
+    assert(pairs.exists { case (a, b, nc, na, _, c) =>
+      a == 1L && b == 2L && nc == 6L && na == 6L && c == 1.0 })
+    // the reverse direction fails the threshold (6/66 shingles)
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // the symmetric face confirms WHY this operator exists: the same
+    // pair's Jaccard is 6/66 — invisible to any dedup-regime threshold
+    val j = Dedup
+      .ngramJaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.05)
+      .filter(col("a") === 1L && col("b") === 2L)
+      .collect()
+    assert(j.nonEmpty && j.head.getAs[Double]("jaccard") < 0.1)
+
+    // mutual containment emits both directions
+    val twins = Seq(
+      (7L, "one two three four five six"),
+      (8L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val both = Dedup
+      .containmentPairs(twins, "doc_id", "text", n = 3,
+        minContainment = 0.8, maxDf = Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(both == Set((7L, 8L), (8L, 7L)))
+
+    // maxDf caps hot postings on the INDEX side: with every shingle of
+    // the pair above the cap, no candidates survive (bounded-recall
+    // posture, documented)
+    val capped = Dedup
+      .containmentPairs(twins, "doc_id", "text", n = 3,
+        minContainment = 0.8, maxDf = 1L)
+      .count()
+    assert(capped == 0L)
+  }
 }
