@@ -869,6 +869,32 @@ object Dedup {
     out
   }
 
+  /** The ACTION face of [[containmentPairs]]: drop each doc that is
+    * >= t contained in a LARGER doc (strictly more shingles; equal
+    * sizes tie-break on smaller id so a mutual-containment pair —
+    * near-identical docs — keeps exactly one). This is the curation
+    * step real pipelines take on a containment hit: the short quoted
+    * copy dies, the page that quotes it survives. Docs with no
+    * shingles (shorter than n tokens) pass through untouched — they
+    * carry no containment signal either way.
+    */
+  def containmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, n, minContainment, maxDf)
+    val doomed = pairs
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("b") < col("a")))
+      .select(col("a").as(idCol))
+      .distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Distinct shingles hashed to longs IN-ROW (xxhash64 inside the
     * transform lambda) before exploding — the exploded relation carries
     * 8-byte longs instead of strings, which is what shuffles/joins in

@@ -346,6 +346,50 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_containment_drop",
+      covers = "dedup-containment,anti-join",
+      fn = (s, dir) =>
+        Dedup
+          .containmentDedup(
+            table(s, dir, "documents"),
+            "doc_id", "text",
+            n = 3, minContainment = 0.8, maxDf = Long.MaxValue
+          )
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id),
+          |doomed AS (
+          |  SELECT DISTINCT p.a
+          |  FROM pairs p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  JOIN sizes sb ON sb.doc_id = p.b
+          |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8
+          |    AND (sb.n_sh > sa.n_sh OR (sb.n_sh = sa.n_sh AND p.b < p.a)))
+          |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          |FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT a FROM doomed)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "The ACTION face of the containment join: drop each doc " +
+        ">= 0.8-contained in a LARGER doc (equal sizes keep the min " +
+        "id, so mutual pairs keep exactly one) — the curation step a " +
+        "containment hit actually triggers. Left-anti against the " +
+        "doomed set; no-shingle docs pass through"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       covers = "dedup-clusters",
       fn = (s, dir) =>

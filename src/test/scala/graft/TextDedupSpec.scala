@@ -816,4 +816,22 @@ class TextDedupSpec extends SparkTestBase {
       .count()
     assert(capped == 0L)
   }
+
+  test("containmentDedup drops the contained copy, keeps the wrapper and bystanders") {
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quoted),                 // contained in 2 → dropped
+      (2L, s"$filler $quoted"),     // the larger wrapper → survives
+      (3L, "totally unrelated words about engines and planes today"),
+      (4L, "too short"),            // no shingles → passes through
+      (7L, "one two three four five six"),  // mutual pair: min id kept
+      (8L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val kept = Dedup
+      .containmentDedup(corpus, "doc_id", "text", n = 3,
+        minContainment = 0.8, maxDf = Long.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 7L))
+  }
 }
