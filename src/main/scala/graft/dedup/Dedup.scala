@@ -725,7 +725,17 @@ object Dedup {
       .join(lb,
         col("shingle") === col("shingle_b") && col("a") < col("b") &&
           least(col("sa"), col("sb")).cast("double") >=
-            lit(t) * greatest(col("sa"), col("sb")).cast("double") - lit(1e-9))
+            lit(t) * greatest(col("sa"), col("sb")).cast("double") - lit(1e-9) &&
+          // positional bound PER POSTING, ahead of the pair-agg
+          // shuffle (lossless: the first common element's posting —
+          // the simultaneous minimizer of pa and pb for a qualifying
+          // pair — always satisfies it, so the min-aggregated values
+          // and the post-agg filter outcome are unchanged; pruned
+          // rows are redundant-for-min or belong to non-qualifying
+          // pairs)
+          (lit(1L) + least(col("sa") - col("pa") - 1L,
+            col("sb") - col("pb") - 1L)).cast("double") >=
+            lit(t / (1.0 + t)) * (col("sa") + col("sb")).cast("double") - lit(1e-9))
       .groupBy("a", "b")
       .agg(min("pa").as("pa"), min("pb").as("pb"),
         min("sa").as("sa"), min("sb").as("sb"))
@@ -744,9 +754,21 @@ object Dedup {
       }
       o
     }
+    // Verify joins BROADCAST the doc-array side when it fits: a
+    // shuffle join here moves every candidate row re-laden with its
+    // ~kB shingle array a second time (measured 25 GB at 31M
+    // candidates), dwarfing the candidate generation itself. Above
+    // the broadcast bound the arrays stay on a shuffle join — at that
+    // scale co-locate via a bucketed-by-id docs layout instead
+    // (layout.Layout.writeBucketed).
+    val docsFit = docs.count() <= VerifyBroadcastMaxDocs
+    def side(alias: String) = {
+      val d = docs.select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
+      if (docsFit) broadcast(d) else d
+    }
     val out = cand
-      .join(docs.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
-      .join(docs.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
+      .join(side("a"), Seq("a"))
+      .join(side("b"), Seq("b"))
       .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
       .withColumn("n_a", size(col("xs_a")).cast("long"))
       .withColumn("n_b", size(col("xs_b")).cast("long"))
@@ -762,6 +784,14 @@ object Dedup {
     docs.unpersist()
     out
   }
+
+  /** Verify-join broadcast bound for the prefix-filtered pair paths:
+    * docs-with-shingle-arrays relations at or under this row count are
+    * broadcast to both verify joins (≈0.8 GB at ~1 kB/doc of hashes —
+    * sized for 8 GiB+ executors). Beyond it the verify falls back to
+    * shuffle joins; co-locate with a bucketed docs layout there.
+    */
+  private val VerifyBroadcastMaxDocs = 1000000L
 
   /** ASYMMETRIC containment pairs: (a, b) where C(a→b) =
     * |sh(a) ∩ sh(b)| / |sh(a)| >= t, a != b (mutual containment emits
@@ -783,6 +813,11 @@ object Dedup {
     *    first common element (a's hit is in the prefix, b indexes
     *    everything), so overlap <= 1 + min(sa−pa−1, sb−pb−1) >= t·sa
     *    must hold (1e-9 slack — float error only admits extras).
+    *    Both prunes are exactly lossless at maxDf = Long.MaxValue;
+    *    under a finite cap the first common element may itself be a
+    *    pruned hot posting, so the positional bound can discard pairs
+    *    the cap already made unreachable — recall loss stays confined
+    *    to hot-shingle pairs, which is the cap's documented contract.
     * Same contract shape as [[ngramJaccardPairsPrefix]]; the verify is
     * the identical compiled merge-intersect, so emitted n_common /
     * containment are exact.
@@ -829,10 +864,22 @@ object Dedup {
           pb0.join(h.select(col("shingle").as("shingle_b")),
             Seq("shingle_b"), "left_anti"))
     }
+    // Positional filter PER POSTING, inside the join condition — ahead
+    // of the pair-aggregation shuffle. Lossless: a qualifying pair's
+    // first common element e has >= ceil(t*sa) common elements at
+    // positions >= pb(e) in b, so sb - pb(e) >= t*sa and e's posting
+    // survives; min(pa)/min(pb) are achieved AT e, so the aggregated
+    // values are unchanged. Every pruned row was either a non-first
+    // posting of a surviving pair (redundant for the min-agg) or a
+    // candidate no qualifying pair needs — at scale this is the cut
+    // that keeps hot cross-corpus shingles (boilerplate, numerics)
+    // from exploding the shuffle.
     val cand = pra
       .join(prb,
         col("shingle") === col("shingle_b") && col("a") =!= col("b") &&
-          col("sb").cast("double") >= lit(t) * col("sa").cast("double") - lit(1e-9))
+          col("sb").cast("double") >= lit(t) * col("sa").cast("double") - lit(1e-9) &&
+          (col("sb") - col("pb")).cast("double") >=
+            lit(t) * col("sa").cast("double") - lit(1e-9))
       .groupBy("a", "b")
       .agg(min("pa").as("pa"), min("pb").as("pb"),
         min("sa").as("sa"), min("sb").as("sb"))
@@ -851,9 +898,19 @@ object Dedup {
       }
       o
     }
+    // Broadcast the doc-array side of the verify joins when it fits —
+    // same rationale as [[ngramJaccardPairsPrefix]]: re-shuffling
+    // array-laden candidate rows is the dominant cost (measured 25 GB
+    // at 31M candidates on sf10; the candidate generation itself was
+    // 12 s). Beyond the bound, bucket the docs layout by id instead.
+    val docsFit = docs.count() <= VerifyBroadcastMaxDocs
+    def side(alias: String) = {
+      val d = docs.select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
+      if (docsFit) broadcast(d) else d
+    }
     val out = cand
-      .join(docs.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
-      .join(docs.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
+      .join(side("a"), Seq("a"))
+      .join(side("b"), Seq("b"))
       .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
       .withColumn("n_a", size(col("xs_a")).cast("long"))
       .withColumn("n_b", size(col("xs_b")).cast("long"))
