@@ -254,4 +254,21 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"${q.name} has a cartesian:\n$p")
     }
   }
+
+  test("containment verify joins broadcast the doc-array side below the bound") {
+    // the operator caches its output, so the verify plan lives inside
+    // the InMemoryRelation — pull the cached plan out and assert both
+    // verify joins are broadcast (the 25 GB-shuffle regression guard)
+    val out = graft.dedup.Dedup.containmentPairs(
+      graft.core.Graft.table(spark, dir, "documents"),
+      "doc_id", "text", n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        im.cachedPlan.toString
+    }
+    assert(cached.nonEmpty, out.queryExecution.optimizedPlan.toString)
+    val p = cached.mkString("\n")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    out.unpersist()
+  }
 }
