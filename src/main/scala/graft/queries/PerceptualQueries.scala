@@ -583,28 +583,51 @@ object PerceptualQueries {
           |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
           |         THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS fps
           |  FROM hh),
+          |-- exact-group collapse (r11): identical fingerprints share
+          |-- EVERY band key and every Hamming relation, so the full-pair
+          |-- graph's components equal the distinct-fingerprint rep
+          |-- graph's components expanded back through the fps groups
+          |-- (an inter-group edge holds for any member pair iff it holds
+          |-- for the reps — it is a property of the fps VALUES). The
+          |-- recursive CTE then runs over the fps-bounded rep graph
+          |-- instead of the member graph, whose intra-clique edge set
+          |-- spilled >76 GB of duckdb temp at 50k images.
+          |grp AS (
+          |  SELECT fps, min(uh) AS uh, min(doc_id) AS rep,
+          |    count(*) AS gsize
+          |  FROM hs GROUP BY fps),
           |banded AS (
-          |  SELECT doc_id, fps, c,
+          |  SELECT rep, fps, c,
           |    CAST((uh >> CAST(c * 8 AS INTEGER)) & 255 AS BIGINT) AS key
-          |  FROM hs CROSS JOIN range(0, 8) r(c)),
-          |pairs AS (
-          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM grp CROSS JOIN range(0, 8) r(c)),
+          |rpairs AS (
+          |  SELECT DISTINCT x.rep AS a, y.rep AS b
           |  FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
-          |    AND x.doc_id < y.doc_id
+          |    AND x.rep < y.rep
           |  WHERE bit_count(xor(x.fps, y.fps)) <= 7),
-          |edges AS (SELECT a AS src, b AS dst FROM pairs
-          |          UNION SELECT b, a FROM pairs),
-          |reach AS (
+          |redges AS (SELECT a AS src, b AS dst FROM rpairs
+          |           UNION SELECT b, a FROM rpairs),
+          |rreach AS (
           |  WITH RECURSIVE r(node, mn) AS (
-          |    SELECT src, src FROM edges
+          |    SELECT src, src FROM redges
           |    UNION
-          |    SELECT e.dst, r.mn FROM r JOIN edges e ON e.src = r.node
+          |    SELECT e.dst, r.mn FROM r JOIN redges e ON e.src = r.node
           |  ) SELECT node, min(mn) AS component FROM r GROUP BY node),
+          |-- a doc appears in the output iff it has >= 1 full-graph pair:
+          |-- its rep is edged (cross-fps pair) OR its fps group has >= 2
+          |-- members (intra-group Hamming-0 pairs)
+          |repcomp AS (
+          |  SELECT g.fps, coalesce(rr.component, g.rep) AS component
+          |  FROM grp g LEFT JOIN rreach rr ON rr.node = g.rep
+          |  WHERE rr.node IS NOT NULL OR g.gsize >= 2),
+          |members AS (
+          |  SELECT h.doc_id, rc.component
+          |  FROM hs h JOIN repcomp rc ON rc.fps = h.fps),
           |csize AS (SELECT component, count(*) AS cluster_size
-          |          FROM reach GROUP BY component)
-          |SELECT r.node AS doc_id, r.component, c.cluster_size,
-          |       r.node = r.component AS is_canonical
-          |FROM reach r JOIN csize c USING (component)
+          |          FROM members GROUP BY component)
+          |SELECT m.doc_id, m.component, c.cluster_size,
+          |       m.doc_id = m.component AS is_canonical
+          |FROM members m JOIN csize c USING (component)
           |ORDER BY doc_id""".stripMargin
       ),
       doc = "Image near-dup CLUSTERS via the production shape: exact " +
