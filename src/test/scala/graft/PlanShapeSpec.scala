@@ -271,4 +271,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     out.unpersist()
   }
+
+  test("jaccard-prefix verify joins broadcast the doc-array side below the bound") {
+    val out = graft.dedup.Dedup.ngramJaccardPairsPrefix(
+      graft.core.Graft.table(spark, dir, "documents"),
+      "doc_id", "text", n = 3, minJaccard = 0.8, maxDf = Long.MaxValue)
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        im.cachedPlan.toString
+    }
+    assert(cached.nonEmpty, out.queryExecution.optimizedPlan.toString)
+    val p = cached.mkString("\n")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    out.unpersist()
+  }
 }
