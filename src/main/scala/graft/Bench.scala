@@ -87,21 +87,37 @@ object Bench {
     // min-of-3 re-measures at 1.6 s), so it gets two more runs at the
     // END of the bench — after the load burst that inflated it has
     // typically passed — and the overall min is recorded. Bounded to
-    // the outliers, so a quiet run pays nothing.
+    // the outliers, so a quiet run pays nothing. Because this gives
+    // extra minimization chances ONLY to apparent regressions, the
+    // pre-repass value is preserved in BENCH_DETAIL's `repassed` map —
+    // a genuine 3x slowdown stays visible next to the minimized stamp
+    // instead of being silently absorbed.
+    //
+    // The reference is the `queries_full` object of the committed
+    // detail file, parsed as JSON (a whole-file "key":float regex also
+    // matched total_sec/omitted_sec and any future numeric field).
     val reference: Map[String, Double] = try {
       val f = java.nio.file.Paths.get("BENCH_DETAIL.json")
       if (java.nio.file.Files.exists(f)) {
-        val txt = java.nio.file.Files.readString(f)
-        """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap - "total_sec"
-      } else Map.empty
+        import org.json4s._
+        org.json4s.jackson.JsonMethods
+          .parse(java.nio.file.Files.readString(f)) \ "queries_full" match {
+          case JObject(fields) =>
+            fields.collect {
+              case (k, JDouble(v))  => k -> v
+              case (k, JInt(v))     => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      } else Map.empty[String, Double]
     } catch { case _: Exception => Map.empty }
+    val repassed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = withRerun.map { case (name, best, once) =>
       val ref = reference.getOrElse(name, Double.MaxValue)
       if (best > 0.5 && best > 3.0 * ref) {
         val re = math.min(once(), once())
+        repassed(name) = best // the un-repassed min-of-2/3, kept visible
         if (re < best)
           System.err.println(
             f"[bench-repass] $name: $best%.2f -> $re%.2f (ref $ref%.2f)")
@@ -125,7 +141,10 @@ object Bench {
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val detail = s"""{"total_sec":${f3(total)},"n_queries":${results.length},"queries_full":$qsFull,"sf":"$sfDir"}"""
+    val repassedJson = repassed
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val detail = s"""{"total_sec":${f3(total)},"n_queries":${results.length},"queries_full":$qsFull,"repassed":$repassedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] detail write: ${e.getMessage}") }

@@ -668,6 +668,20 @@ object Dedup {
     * cap also perturbs n_common). The ceiling uses a 1e-9 slack so an
     * upward float error can only LENGTHEN a prefix (extra candidates,
     * never lost exactness).
+    *
+    * Cap interaction with the positional filter (same contract as
+    * [[containmentPairs]]): the filters are exactly lossless at
+    * maxDf = Long.MaxValue. Under a finite cap the pair's true first
+    * common shingle may itself be a pruned hot posting, so the
+    * surviving min(pa)/min(pb) belong to a LATER common element, the
+    * overlap upper bound under-estimates, and the positional filter
+    * can drop a qualifying pair that pre-filter candidate generation
+    * (any surviving common prefix posting) would have kept — i.e.
+    * finite-maxDf recall loss is confined to hot-shingle pairs but is
+    * strictly larger than the r10 prefix path's. That is the cap's
+    * documented contract (hot cross-corpus shingles are boilerplate);
+    * oracle faces run at maxDf = Long.MaxValue where both filters are
+    * proven lossless against the brute-force truth.
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
@@ -702,8 +716,10 @@ object Dedup {
           .filter(col("df") <= maxDf)
           .drop("df")
     // PPJoin candidate pruning (Xiao et al., WWW'08) — both filters
-    // LOSSLESS at any t (1e-9 slack absorbs the float boundary; the
-    // exact merge-intersect verify below is unchanged):
+    // LOSSLESS at any t when maxDf = Long.MaxValue (1e-9 slack absorbs
+    // the float boundary; the exact merge-intersect verify below is
+    // unchanged; for finite maxDf the positional filter's recall
+    // caveat is in the scaladoc above):
     //  * length filter, inside the join condition so pruned rows never
     //    reach the pair aggregation: J ≥ t forces
     //    min(sa,sb) ≥ t·max(sa,sb);
@@ -1865,6 +1881,13 @@ object Dedup {
     * same complete-cover machinery. Returns (a, b, hamming) with
     * a < b and hamming ≤ maxHamming; the C(m,2) two-chunk cover is
     * complete, so the pair set equals the all-pairs predicate.
+    *
+    * `maxPerBucket` bounds BOTH candidate and output volume: band
+    * buckets rank-limit to the first `cap` distinct prints, and
+    * identical-fingerprint groups larger than the cap emit a linear
+    * star (min-id rep → member) instead of their ~n²/2 clique —
+    * connected components are preserved exactly either way (see the
+    * `within` comment below). Unset, both are exact.
     */
   def hammingPairs64(
       fpDf: DataFrame,
@@ -1950,10 +1973,42 @@ object Dedup {
         least(col("__xa"), col("__xb")).as("a"),
         greatest(col("__xa"), col("__xb")).as("b"),
         col("hamming"))
-    val within = fp.select(col(idCol).as("a"), col("simhash"))
-      .join(fp.select(col(idCol).as("b"), col("simhash")), "simhash")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), lit(0L).as("hamming"))
+    // Within-group (identical-fingerprint) pairs. Uncapped, the clique
+    // is exact. With a cap set, the caller has opted into BOUNDED
+    // OUTPUT — and an exact-duplicate pileup (one print repeated n
+    // times: the adversarial/degenerate corpus the cap exists for)
+    // would otherwise emit ~n²/2 identical-print pairs no cap touches.
+    // So groups LARGER than the cap emit a linear star rep→member
+    // (min-id rep) instead of the clique: connected components — the
+    // property every downstream consumer (clusterize, drop sets) uses
+    // — are preserved exactly, output is O(n) per group, and groups at
+    // or under the cap keep their full clique so the capped pair set
+    // only changes on corpora that were already past the posture's
+    // bounds. maxPerBucket = Some(Int.MaxValue) still means the exact
+    // cover everywhere ([[simHashPairs]] maps it to cap = None).
+    val within = maxPerBucket match {
+      case None =>
+        fp.select(col(idCol).as("a"), col("simhash"))
+          .join(fp.select(col(idCol).as("b"), col("simhash")), "simhash")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), lit(0L).as("hamming"))
+      case Some(cap) =>
+        // group size + rep ride one window over the same simhash
+        // exchange the self-join below uses
+        val wG = Window.partitionBy(col("simhash"))
+        val sized = fp
+          .withColumn("__gn", count(lit(1)).over(wG))
+          .withColumn("__rep", min(col(idCol)).over(wG))
+        val small = sized.filter(col("__gn") <= cap)
+        val clique = small.select(col(idCol).as("a"), col("simhash"))
+          .join(small.select(col(idCol).as("b"), col("simhash")), "simhash")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+        val star = sized.filter(col("__gn") > cap)
+          .filter(col(idCol) =!= col("__rep"))
+          .select(col("__rep").as("a"), col(idCol).as("b"))
+        clique.unionByName(star).withColumn("hamming", lit(0L))
+    }
     val out = within.unionByName(cross).cache()
     out.count()
     fp.unpersist()

@@ -362,11 +362,33 @@ object Layout {
       return
     }
 
-    // bounded by partition cardinality (coarse by contract), not rows
-    val parts = batch.select(partitionCol).distinct().collect()
-      .map(_.get(0)).toSeq
+    // bounded by partition cardinality (coarse by contract), not rows.
+    // Each value is collected alongside its Spark STRING rendering —
+    // the same Cast(_, StringType, sessionTz) the dynamic-partition
+    // writer feeds getPartitionPathString — so the emptied-directory
+    // cleanup below targets the directory Spark actually wrote
+    // (String.valueOf diverges for timestamps/decimals, and null is
+    // written as __HIVE_DEFAULT_PARTITION__, not "null")
+    val partRows = batch
+      .select(col(partitionCol), col(partitionCol).cast("string").as("__ps"))
+      .distinct().collect()
+    val partsTyped = partRows.map(_.get(0)).toSeq
+    val partsRendered = partRows.map(r =>
+      if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    val nonNullParts = partsTyped.filter(_ != null)
+    val batchHasNullPart = partsTyped.contains(null)
+    // null-safe membership in the batch's partition set: a bare isin
+    // yields NULL (never true) for a null partition value, which would
+    // exclude the target's null partition from the pruned scan and
+    // silently duplicate its keys on merge
+    def inBatchParts(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base =
+        if (nonNullParts.isEmpty) lit(false)
+        else coalesce(c.isin(nonNullParts: _*), lit(false))
+      if (batchHasNullPart) base || c.isNull else base
+    }
     val target = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(parts: _*)) // partition-pruned scan
+      .filter(inBatchParts(col(partitionCol))) // partition-pruned scan
     val b = batch.select(
       col(keyCol).as("__mk"), col(deleteCol).as("__mdel"),
       struct(dataCols.map(col): _*).as("__mrow"))
@@ -378,7 +400,7 @@ object Layout {
     // check is free — it rides the merge join itself, below.
     if (validateKeysGlobally) {
       val outside = spark.read.parquet(path)
-        .filter(!col(partitionCol).isin(parts: _*))
+        .filter(!inBatchParts(col(partitionCol)))
         .select(col(keyCol), col(partitionCol))
         .join(b.select(col("__mk")), col(keyCol) === col("__mk"), "left_semi")
         .limit(5).collect()
@@ -407,8 +429,11 @@ object Layout {
         when(col("__mk").isNotNull, col(s"__mrow.$c"))
           .otherwise(col(c)).as(c)) ++ Seq(
         col("__mdel"),
+        // null-SAFE inequality: a key moving into or out of the null
+        // partition must flag too (plain =!= is null there, so max()
+        // would never see the violation)
         (col(keyCol).isNotNull && col("__mk").isNotNull &&
-          col(partitionCol) =!= col(s"__mrow.$partitionCol"))
+          !(col(partitionCol) <=> col(s"__mrow.$partitionCol")))
           .as("__pmoved")): _*)
 
     // materialize BEFORE overwriting: the merged frame reads the same
@@ -423,11 +448,19 @@ object Layout {
     // rows — needed below to detect delete-emptied directories):
     // example keys for the error message are looked up only on the
     // rare violation path
+    // live partitions are collected as their STRING renderings (to
+    // match partsRendered above); collect_set skips nulls, so a live
+    // null partition gets its own flag — without it the cleanup below
+    // would delete a null partition that still has rows
+    val liveCond = col("__mdel").isNull || !col("__mdel")
     val audit = matMerged.agg(
       org.apache.spark.sql.functions.max(col("__pmoved")).as("moved"),
       org.apache.spark.sql.functions.collect_set(
-        when(col("__mdel").isNull || !col("__mdel"), col(partitionCol)))
-        .as("live")).head()
+        when(liveCond, col(partitionCol).cast("string")))
+        .as("live"),
+      org.apache.spark.sql.functions.max(
+        when(liveCond && col(partitionCol).isNull, lit(true)))
+        .as("live_null")).head()
     if (!audit.isNullAt(0) && audit.getBoolean(0)) {
       val moved = matMerged.filter(col("__pmoved"))
         .select(col(keyCol)).limit(5).collect()
@@ -460,12 +493,22 @@ object Layout {
     // partition set against the merged output's and drop the now-empty
     // directories explicitly (both sets are partition-cardinality
     // bounded by contract)
-    val liveParts = audit.getSeq[Any](1).toSet
-    parts.filterNot(liveParts.contains).foreach { v =>
-      val dirName = partitionCol + "=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(String.valueOf(v))
-      fs.delete(new org.apache.hadoop.fs.Path(fsPath, dirName), true)
+    val liveParts = audit.getSeq[String](1).toSet
+    val liveNull = !audit.isNullAt(2) && audit.getBoolean(2)
+    partsRendered.foreach { rendered =>
+      val isLive =
+        if (rendered == null) liveNull else liveParts.contains(rendered)
+      if (!isLive) {
+        // getPartitionPathString is the writer's own naming: null (and
+        // empty string) become __HIVE_DEFAULT_PARTITION__, everything
+        // else is the escaped session-timezone string cast — the
+        // previous escapePathName(String.valueOf(v)) missed nulls,
+        // timestamps, and decimals, leaving their emptied directories
+        // (and thus their "deleted" rows) alive
+        val dirName = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.getPartitionPathString(partitionCol, rendered)
+        fs.delete(new org.apache.hadoop.fs.Path(fsPath, dirName), true)
+      }
     }
     // release the checkpoint blocks NOW — they buffered the pruned
     // partitions' rows and nothing references them after the write

@@ -11,12 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * timed queries measure scan → decode → operator only.
   *
   * The marker stores a signature of the source table's file listing;
-  * a driver-regenerated fixture invalidates it. `fn` callers remain
-  * self-preparing (build-if-stale on first read), so Verify/IsoBench
-  * stay correct standalone; Bench additionally runs the builds in its
-  * untimed prepare phase.
+  * a driver-regenerated fixture invalidates it. A missing source
+  * listing is a hard error (a constant "absent" signature would pin
+  * the first cached payload forever while the builders below read the
+  * real table through the same `$dir/documents.parquet` path — they
+  * would fail or, worse, silently serve stale doc_ids). The marker is
+  * written via temp-file + atomic rename so a concurrent suite sharing
+  * java.io.tmpdir can never observe a half-written signature; the rare
+  * double-build race is idempotent (both writers produce identical
+  * deterministic payloads).
+  *
+  * `fn` callers remain self-preparing (build-if-stale on first read),
+  * so Verify/IsoBench stay correct standalone; Bench additionally runs
+  * the builds in its untimed prepare phase.
   */
 object FixtureCache {
+
+  /** The one source-table path every builder reads (Graft.table
+    * resolves the same `$sfDir/$name.parquet`) — signature and build
+    * must agree on it or staleness detection silently dies.
+    */
+  private def sourceListing(dir: String): java.io.File =
+    new java.io.File(dir, "documents.parquet")
 
   def payloadParquet(
       s: SparkSession,
@@ -32,12 +48,22 @@ object FixtureCache {
           .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
           .mkString("|")
       else s"${f.length}:${f.lastModified}"
-    val want = sig(new java.io.File(dir, "documents.parquet"))
+    val src = sourceListing(dir)
+    require(src.exists,
+      s"FixtureCache: source listing $src is missing — the staleness " +
+        "signature would degenerate to a constant and never invalidate " +
+        "a regenerated corpus")
+    val want = sig(src)
     val fresh = marker.exists &&
       java.nio.file.Files.readString(marker.toPath) == want
     if (!fresh) {
       build.write.mode("overwrite").parquet(path)
-      java.nio.file.Files.writeString(marker.toPath, want)
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(path), "_GRAFT_READY_", ".tmp")
+      java.nio.file.Files.writeString(tmp, want)
+      java.nio.file.Files.move(tmp, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     path
   }

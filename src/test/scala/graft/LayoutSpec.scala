@@ -415,4 +415,77 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(twice == once)
   }
+
+  test("mergeUpsert: null partition values merge, flag moves, and their " +
+    "emptied __HIVE_DEFAULT_PARTITION__ directory is removed") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_null_${System.nanoTime}").getPath
+    val base = Seq(
+      (1L, Some("p1"), 10.0), (2L, None, 20.0), (3L, None, 30.0)
+    ).toDF("k", "part", "v")
+    Layout.writePartitioned(base, path, "part")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nullDir =
+      new org.apache.hadoop.fs.Path(path, "part=__HIVE_DEFAULT_PARTITION__")
+    assert(fs.exists(nullDir))
+
+    // update k=2 and delete k=3 INSIDE the null partition — the pruned
+    // scan must select the null-partition rows (a bare isin never
+    // matches null), or k=2 would duplicate
+    val upd = Seq((2L, Option.empty[String], 21.0, false),
+      (3L, Option.empty[String], 0.0, true))
+      .toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", upd)
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 21.0))
+    assert(fs.exists(nullDir)) // k=2 still lives there
+
+    // a batch moving k=2 from the null partition to p1 must flag the
+    // immutability violation (plain =!= is NULL on the null side)
+    val mover = Seq((2L, Some("p1"), 99.0, false),
+      (99L, Option.empty[String], 1.0, true))
+      .toDF("k", "part", "v", "__deleted")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.mergeUpsert(spark, path, "part", "k", mover)
+    }
+    assert(ex.getMessage.contains("across partitions"))
+
+    // deleting the last null-partition row removes the default-name
+    // directory itself (escapePathName(String.valueOf(null)) targeted a
+    // literal "null" dir, silently resurrecting deleted rows)
+    val wipe = Seq((2L, Option.empty[String], 0.0, true))
+      .toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", wipe)
+    assert(!fs.exists(nullDir))
+    val left = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(left == Set(1L))
+  }
+
+  test("mergeUpsert: timestamp partition values — emptied directory is " +
+    "removed under Spark's own path rendering") {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_ts_${System.nanoTime}").getPath
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-02 12:30:00")
+    val base = Seq((1L, t1, 10.0), (2L, t2, 20.0)).toDF("k", "part", "v")
+    Layout.writePartitioned(base, path, "part")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs().size == 2) // sanity: two timestamp partitions on disk
+
+    // delete the only row of the t2 partition: its directory (whose
+    // name is the ESCAPED session-tz rendering, not String.valueOf's
+    // Timestamp.toString with the .0 fraction) must be gone afterwards
+    val wipe = Seq((2L, t2, 0.0, true)).toDF("k", "part", "v", "__deleted")
+    Layout.mergeUpsert(spark, path, "part", "k", wipe)
+    assert(dirs().size == 1)
+    val got = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
 }

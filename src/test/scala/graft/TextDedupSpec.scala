@@ -190,6 +190,35 @@ class TextDedupSpec extends SparkTestBase {
     assert(capped.subsetOf(exact))
   }
 
+  test("hammingPairs64 with a cap bounds exact-duplicate groups to a " +
+    "linear star that preserves connected components") {
+    import spark.implicits._
+    // one print repeated 10x (the adversarial pileup), plus a 2-doc
+    // group at hamming-1 from it, plus an isolated far print
+    val fps = (0L until 10L).map(i => (i, 0x5555555555550000L)) ++
+      Seq((20L, 0x5555555555550001L), (21L, 0x5555555555550001L),
+        (30L, 0x00000000ffffffffL))
+    val df = fps.toDF("id", "fp")
+    def run(cap: Option[Int]) = graft.dedup.Dedup
+      .hammingPairs64(df, "id", "fp", maxHamming = 3, maxPerBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run(None)
+    // exact: 45 clique pairs + 1 small-group pair + 10*2 cross pairs
+    assert(exact.size == 45 + 1 + 20)
+    val capped = run(Some(4))
+    // the 10-doc group exceeds the cap -> 9 star pairs from rep id=0;
+    // the 2-doc group is under it -> keeps its clique pair; cross
+    // pairs between the two distinct prints are cap-unaffected here
+    assert(capped == (0L until 10L).drop(1).map(i => (0L, i)).toSet ++
+      Set((20L, 21L)) ++
+      (for { a <- 0L until 10L; b <- Seq(20L, 21L) } yield (a, b)).toSet)
+    // connected components are IDENTICAL under the capped star
+    def comps(pairs: Set[(Long, Long)]) = graft.dedup.Dedup
+      .clusterize(pairs.toSeq.toDF("a", "b"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(capped) == comps(exact))
+  }
+
   test("simHashPairs auto-escalates above the corpus threshold: capped " +
     "posture is a subset of exact, generous auto-cap changes nothing, " +
     "Int.MaxValue forces the exact cover") {
