@@ -760,43 +760,18 @@ object Dedup {
           col("sb") - col("pb") - 1L)).cast("double") >=
           lit(t / (1.0 + t)) * (col("sa") + col("sb")).cast("double") - lit(1e-9))
       .select("a", "b")
-    val intersectUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      var i = 0; var j = 0; var o = 0L
-      while (i < x.length && j < y.length) {
-        val c = java.lang.Long.compare(x(i), y(j))
-        if (c == 0) { o += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
-      }
-      o
+    // Verify = broadcast joins under the bound / bucketed-by-id
+    // co-location above it, with the native codegen merge-intersect —
+    // see [[verifyPairsExact]] for the full shuffle-volume argument.
+    val out = verifyPairsExact(docs, cand, idCol) { v =>
+      v.withColumn(
+          "jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
+          col("jaccard"))
     }
-    // Verify joins BROADCAST the doc-array side when it fits: a
-    // shuffle join here moves every candidate row re-laden with its
-    // ~kB shingle array a second time (measured 25 GB at 31M
-    // candidates), dwarfing the candidate generation itself. Above
-    // the broadcast bound the arrays stay on a shuffle join — at that
-    // scale co-locate via a bucketed-by-id docs layout instead
-    // (layout.Layout.writeBucketed).
-    val docsFit = docs.count() <= VerifyBroadcastMaxDocs
-    def side(alias: String) = {
-      val d = docs.select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
-      if (docsFit) broadcast(d) else d
-    }
-    val out = cand
-      .join(side("a"), Seq("a"))
-      .join(side("b"), Seq("b"))
-      .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
-      .withColumn("n_a", size(col("xs_a")).cast("long"))
-      .withColumn("n_b", size(col("xs_b")).cast("long"))
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
-        col("jaccard"))
-      .cache()
-    out.count()
     docs.unpersist()
     out
   }
@@ -804,10 +779,133 @@ object Dedup {
   /** Verify-join broadcast bound for the prefix-filtered pair paths:
     * docs-with-shingle-arrays relations at or under this row count are
     * broadcast to both verify joins (≈0.8 GB at ~1 kB/doc of hashes —
-    * sized for 8 GiB+ executors). Beyond it the verify falls back to
-    * shuffle joins; co-locate with a bucketed docs layout there.
+    * sized for 8 GiB+ executors). Beyond it the verify co-locates on a
+    * bucketed-by-id docs layout (see [[verifyPairsExact]]). Override
+    * with the session conf `spark.graft.verify.broadcastMaxDocs`
+    * (PlanShapeSpec forces the above-bound path this way).
     */
   private val VerifyBroadcastMaxDocs = 1000000L
+
+  /** Exact verify of prefix-filter candidates: attach both sorted
+    * shingle-hash arrays to each (a, b) candidate, count the true
+    * intersection with the native codegen merge loop
+    * ([[graft.plans.SortedIntersectCount]] — the former Seq[Long] UDF
+    * boxed ~10¹⁰ longs at sf10 and was ~80% of the operator wall), and
+    * hand (a, b, n_common, n_a, n_b) to `finish` for the metric filter.
+    * The result is materialized (cache + count) before returning so
+    * the bucketed path can drop its temp table.
+    *
+    * Two physical postures, chosen by corpus size:
+    *
+    *  - docs ≤ broadcast bound: both array sides broadcast — candidate
+    *    rows never re-shuffle (the 25 GB regression the r11 broadcast
+    *    killed), arrays move once per executor.
+    *  - above the bound: docs are written ONCE to a bucketed-by-id
+    *    table ([[graft.layout.Layout.writeBucketed]] — on a real
+    *    deployment the corpus already lives bucketed by id and this
+    *    write is free), and both verify joins read the arrays
+    *    SCAN-LOCALLY: the a-side join shuffles only the narrow id
+    *    pairs to the bucketing, and exactly one intermediate exchange
+    *    carries one array per candidate (the a-side's xs, en route to
+    *    the b-side join), which is the irreducible minimum for exact
+    *    pairwise verification
+    *    without broadcast (Vernica et al., SIGMOD'10 §5 ship exactly
+    *    one record's token set per candidate in their verify phase;
+    *    any exact |A∩B| needs both sets in one place, and bucketing
+    *    can co-locate only one join key at a time). The docs-side
+    *    scans themselves are PROVABLY exchange-free
+    *    (PlanShapeSpec: no Exchange between either bucketed scan and
+    *    its join), so total verify shuffle volume is
+    *    |cand| × (2 ids) + |cand| × |xs_a| — at the containment
+    *    defaults the contained side's (smaller) array — versus the
+    *    pre-r11 |cand| × (|xs_a| + |xs_b|) BOTH ways plus two full
+    *    docs-relation shuffles.
+    */
+  private[graft] def verifyPairsExact(
+      docs: DataFrame,
+      cand: DataFrame,
+      idCol: String)(finish: DataFrame => DataFrame): DataFrame =
+    verifyPairsExact2(docs, docs, cand, idCol)(finish)
+
+  /** Two-sided form of [[verifyPairsExact]] for the cross-shaped
+    * (new × history) verifies: the a side's arrays come from `docsA`,
+    * the b side's from `docsB` (pass the same relation twice for the
+    * self-join shape — it is broadcast/bucketed once, not twice).
+    */
+  private[graft] def verifyPairsExact2(
+      docsA: DataFrame,
+      docsB: DataFrame,
+      cand: DataFrame,
+      idCol: String)(finish: DataFrame => DataFrame): DataFrame = {
+    import graft.plans.ArrayOps.sorted_intersect_count
+    val spark = docsA.sparkSession
+    val same = docsA eq docsB
+    val bound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
+      .map(_.toLong).getOrElse(VerifyBroadcastMaxDocs)
+    def verified(sideA: DataFrame, sideB: DataFrame): DataFrame =
+      cand
+        .join(sideA, Seq("a"))
+        .join(sideB, Seq("b"))
+        // counts computed IN the post-join projection: the arrays are
+        // consumed and dropped inside the join stage, never
+        // materialized into downstream rows
+        .select(col("a"), col("b"),
+          sorted_intersect_count(col("xs_a"), col("xs_b")).as("n_common"),
+          size(col("xs_a")).cast("long").as("n_a"),
+          size(col("xs_b")).cast("long").as("n_b"))
+    val nDocs =
+      if (same) docsA.count() else math.max(docsA.count(), docsB.count())
+    if (nDocs <= bound) {
+      def side(d: DataFrame, alias: String) = broadcast(
+        d.select(col(idCol).as(alias), col("xs").as(s"xs_$alias")))
+      val out =
+        finish(verified(side(docsA, "a"), side(docsB, "b"))).cache()
+      out.count()
+      out
+    } else {
+      val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+      val tblA = s"graft_verify_docs_a_$nonce"
+      val tblB = s"graft_verify_docs_b_$nonce"
+      val buckets = spark.conf.getOption("spark.graft.verify.buckets")
+        .map(_.toInt)
+        .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      graft.layout.Layout.writeBucketed(
+        docsA.select(col(idCol), col("xs")), tblA, idCol, buckets)
+      if (!same) graft.layout.Layout.writeBucketed(
+        docsB.select(col(idCol), col("xs")), tblB, idCol, buckets)
+      try {
+        def side(tbl: String, alias: String) = spark.table(tbl)
+          .select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
+        val res = finish(verified(
+          side(tblA, "a"), side(if (same) tblA else tblB, "b")))
+        lastVerifyPlan = Some(res.queryExecution.executedPlan)
+        // The verified-and-filtered output is PAIR-LIST sized (the
+        // dedup hits, not the corpus) — materialize it to a temp
+        // parquet before dropping the docs table. cache() alone is NOT
+        // enough: DROP TABLE cascade-uncaches every plan referencing
+        // the dropped relation, silently turning later reads of the
+        // "materialized" result into recomputes against deleted files.
+        val outDir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_verify_out_$nonce").getPath
+        res.write.mode("overwrite").parquet(outDir)
+        val back = spark.read.parquet(outDir).cache()
+        back.count()
+        back
+      } finally {
+        graft.layout.Layout.dropWithLocation(spark, tblA)
+        if (!same) graft.layout.Layout.dropWithLocation(spark, tblB)
+      }
+    }
+  }
+
+  /** Test hook: the physical plan of the most recent above-bound
+    * verify ([[verifyPairsExact]]'s bucketed branch) — the returned
+    * frame reads the materialized pair list, so the verify plan is
+    * not reachable from it (PlanShapeSpec asserts the bucketed scans
+    * and the single array-bearing exchange here instead).
+    */
+  private[graft] var lastVerifyPlan
+      : Option[org.apache.spark.sql.execution.SparkPlan] = None
 
   /** ASYMMETRIC containment pairs: (a, b) where C(a→b) =
     * |sh(a) ∩ sh(b)| / |sh(a)| >= t, a != b (mutual containment emits
@@ -904,39 +1002,18 @@ object Dedup {
           col("sb") - col("pb") - 1L)).cast("double") >=
           lit(t) * col("sa").cast("double") - lit(1e-9))
       .select("a", "b")
-    val intersectUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      var i = 0; var j = 0; var o = 0L
-      while (i < x.length && j < y.length) {
-        val c = java.lang.Long.compare(x(i), y(j))
-        if (c == 0) { o += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
-      }
-      o
+    // Verify = broadcast joins under the bound / bucketed-by-id
+    // co-location above it, with the native codegen merge-intersect —
+    // see [[verifyPairsExact]] for the full shuffle-volume argument
+    // (here the exchange-crossing array is xs_a: the CONTAINED side,
+    // the smaller one on the quotation face this operator exists for).
+    val out = verifyPairsExact(docs, cand, idCol) { v =>
+      v.withColumn("containment",
+          col("n_common").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= minContainment)
+        .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
+          col("containment"))
     }
-    // Broadcast the doc-array side of the verify joins when it fits —
-    // same rationale as [[ngramJaccardPairsPrefix]]: re-shuffling
-    // array-laden candidate rows is the dominant cost (measured 25 GB
-    // at 31M candidates on sf10; the candidate generation itself was
-    // 12 s). Beyond the bound, bucket the docs layout by id instead.
-    val docsFit = docs.count() <= VerifyBroadcastMaxDocs
-    def side(alias: String) = {
-      val d = docs.select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
-      if (docsFit) broadcast(d) else d
-    }
-    val out = cand
-      .join(side("a"), Seq("a"))
-      .join(side("b"), Seq("b"))
-      .withColumn("n_common", intersectUdf(col("xs_a"), col("xs_b")))
-      .withColumn("n_a", size(col("xs_a")).cast("long"))
-      .withColumn("n_b", size(col("xs_b")).cast("long"))
-      .withColumn("containment",
-        col("n_common").cast("double") / col("n_a").cast("double"))
-      .filter(col("containment") >= minContainment)
-      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
-        col("containment"))
-      .cache()
-    out.count()
     hot.foreach(_.unpersist())
     docs.unpersist()
     out
@@ -951,6 +1028,97 @@ object Dedup {
     * shingles (shorter than n tokens) pass through untouched — they
     * carry no containment signal either way.
     */
+  /** Incremental (refresh-shape) containment join: every NEW document
+    * checked for ≥ t containment IN a standing-history document, with
+    * no history-internal and no new-internal pairwork — the T2
+    * resumability face of [[containmentPairs]], mirroring
+    * [[minHashLshPairsAgainst]] / [[hammingPairsAgainst64]]. Real
+    * curation pipelines containment-check a new crawl against the
+    * corpus (drop the freshly-crawled quote of a standing page), not
+    * the corpus against itself; the one-sided index is already
+    * direction-aware, so index = history (every posting), probe = new
+    * (prefix postings only). `maxDf` caps hot HISTORY postings — the
+    * true document frequency of the standing corpus, which is the df
+    * that matters across refreshes. Same lossless length + positional
+    * prunes and exact merge-intersect verify as the batch face;
+    * returns (new_id, hist_id, n_common, n_a, n_b, containment) where
+    * containment = |new ∩ hist| / |new| ≥ t. A doc id present on both
+    * sides never pairs with itself.
+    */
+  def containmentPairsAgainst(
+      newDf: DataFrame,
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val t = minContainment
+    def sh(df: DataFrame) = df
+      .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    val newDocs = sh(newDf)
+    val histDocs = sh(histDf)
+    val prefixUdf = udf { (xs: Seq[Long]) =>
+      val s = xs.length
+      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
+      xs.take(s - minOverlap + 1)
+    }
+    // probe: prefix postings of the NEW (contained-candidate) side
+    val pa0 = newDocs.withColumn("sz", size(col("xs")).cast("long"))
+      .select(col(idCol).as("a"), col("sz").as("sa"),
+        posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
+    // index: EVERY posting of the HISTORY (containing) side
+    val pb0 = histDocs.withColumn("sz", size(col("xs")).cast("long"))
+      .select(col(idCol).as("b"), col("sz").as("sb"),
+        posexplode(col("xs")).as(Seq("pb", "shingle_b")))
+    val hot =
+      if (maxDf == Long.MaxValue) None
+      else Some(
+        pb0.groupBy(col("shingle_b").as("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("shingle")
+          .cache())
+    val (pra, prb) = hot match {
+      case None => (pa0, pb0)
+      case Some(h) =>
+        (pa0.join(h, Seq("shingle"), "left_anti"),
+          pb0.join(h.select(col("shingle").as("shingle_b")),
+            Seq("shingle_b"), "left_anti"))
+    }
+    // identical length + per-posting positional prunes as
+    // [[containmentPairs]] (the cross shape changes nothing in the
+    // bound: a still needs ceil(t·sa) common elements inside b)
+    val cand = pra
+      .join(prb,
+        col("shingle") === col("shingle_b") && col("a") =!= col("b") &&
+          col("sb").cast("double") >= lit(t) * col("sa").cast("double") - lit(1e-9) &&
+          (col("sb") - col("pb")).cast("double") >=
+            lit(t) * col("sa").cast("double") - lit(1e-9))
+      .groupBy("a", "b")
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        min("sa").as("sa"), min("sb").as("sb"))
+      .filter(
+        (lit(1L) + least(col("sa") - col("pa") - 1L,
+          col("sb") - col("pb") - 1L)).cast("double") >=
+          lit(t) * col("sa").cast("double") - lit(1e-9))
+      .select("a", "b")
+    val out = verifyPairsExact2(newDocs, histDocs, cand, idCol) { v =>
+      v.withColumn("containment",
+          col("n_common").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= minContainment)
+        .select(col("a").as("new_id"), col("b").as("hist_id"),
+          col("n_common"), col("n_a"), col("n_b"), col("containment"))
+    }
+    hot.foreach(_.unpersist())
+    newDocs.unpersist()
+    histDocs.unpersist()
+    out
+  }
+
   def containmentDedup(
       df: DataFrame,
       idCol: String,

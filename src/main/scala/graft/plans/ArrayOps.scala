@@ -146,8 +146,82 @@ object WadaSnrExpr {
   }
 }
 
+/** Count of common elements of two SORTED array<long> columns — the
+  * exact-verify core of the prefix-filtered pair joins
+  * ([[graft.dedup.Dedup.ngramJaccardPairsPrefix]] /
+  * `containmentPairs`). As a Scala UDF this boxed every element of
+  * both shingle arrays per candidate pair (sf10 containment: 31M
+  * candidates × ~300 longs ≈ 10¹⁰ boxed-Long allocations — measured
+  * as ~80% of the operator's wall); as a native expression the merge
+  * loop runs on primitive `ArrayData.getLong` inside WholeStageCodegen
+  * with zero allocation. Inputs MUST be sorted ascending (the shingle
+  * arrays are by construction); unsorted inputs silently undercount.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count needs array<long> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object ArrayOps {
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
 
   def array_dot(a: Column, b: Column): Column =
     toColumn(ArrayDotProduct(toExpr(a), toExpr(b)))
@@ -178,5 +252,8 @@ object ArrayOps {
       "script_counts", exprs => ScriptCountsExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fold_diacritics", exprs => FoldDiacriticsExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

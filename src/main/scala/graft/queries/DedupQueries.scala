@@ -390,6 +390,56 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_containment_incremental",
+      covers = "dedup-containment,T2",
+      fn = (s, dir) => {
+        // refresh shape: the new batch (docs %3==0) is containment-
+        // checked against the standing history (%3!=0) — no history-
+        // internal and no batch-internal pairwork
+        val d = table(s, dir, "documents")
+        Dedup
+          .containmentPairsAgainst(
+            d.filter(col("doc_id") % 3L === 0L),
+            d.filter(col("doc_id") % 3L =!= 0L),
+            "doc_id", "text",
+            n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+          .orderBy("new_id", "hist_id")
+      },
+      // brute-force asymmetric truth restricted to the new×history
+      // cross: C(new→hist) = |∩| / |sh(new)| — proves the one-sided
+      // prefix + length + positional prunes lossless in the
+      // incremental shape too
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+          |  GROUP BY x.doc_id, y.doc_id)
+          |SELECT p.a AS new_id, p.b AS hist_id, p.n_common,
+          |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+          |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+          |FROM pairs p
+          |JOIN sizes sa ON sa.doc_id = p.a
+          |JOIN sizes sb ON sb.doc_id = p.b
+          |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8
+          |ORDER BY new_id, hist_id""".stripMargin
+      ),
+      doc = "Incremental containment (refresh shape): each new-crawl " +
+        "doc checked for >= 0.8 containment IN a standing-corpus doc " +
+        "— the curation question an ingest actually asks (drop the " +
+        "fresh quote of a page we already have). Index = history's " +
+        "full postings, probe = new docs' prefixes; the brute-force " +
+        "cross oracle proves the prunes lossless in this shape too"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       covers = "dedup-clusters",
       fn = (s, dir) =>

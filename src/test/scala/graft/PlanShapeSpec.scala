@@ -285,4 +285,77 @@ class PlanShapeSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     out.unpersist()
   }
+
+  /** Flatten a physical plan through AQE wrappers and query stages. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q) ++ allNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(r) ++ allNodes(r.child)
+    case other => Seq(other) ++ other.children.flatMap(allNodes)
+  }
+
+  test("containment + jaccard verify ABOVE the broadcast bound: bucketed " +
+    "docs co-location, identical pairs, both array scans exchange-free, " +
+    "at most one array-bearing exchange (the irreducible per-candidate ship)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val docs = graft.core.Graft.table(spark, dir, "documents")
+    def runContain() = graft.dedup.Dedup.containmentPairs(
+      docs, "doc_id", "text", n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+    def runJaccard() = graft.dedup.Dedup.ngramJaccardPairsPrefix(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.8, maxDf = Long.MaxValue)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.get(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val baseC = runContain(); val wantC = rows(baseC); baseC.unpersist()
+    val baseJ = runJaccard(); val wantJ = rows(baseJ); baseJ.unpersist()
+    val prevBound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.verify.broadcastMaxDocs", "10")
+    // keep the planner honest: without this the tiny bucketed table
+    // would be broadcast anyway and the co-location path would go
+    // untested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((run, want, label) <- Seq(
+          (() => runContain(), wantC, "containment"),
+          (() => runJaccard(), wantJ, "jaccard"))) {
+        graft.dedup.Dedup.lastVerifyPlan = None
+        val out = run()
+        assert(rows(out) == want, s"$label pairs differ above the bound")
+        val nodes = graft.dedup.Dedup.lastVerifyPlan match {
+          case Some(p) => allNodes(p)
+          case None => fail(s"$label did not take the above-bound path")
+        }
+        val bucketedScans = nodes.collect {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }
+        assert(bucketedScans.size >= 2,
+          s"$label: expected both verify sides on bucketed scans:\n" +
+            nodes.map(_.nodeName).mkString(", "))
+        // the docs arrays never cross a shuffle from their scans: the
+        // only exchange allowed to carry an array column is the single
+        // candidate-side intermediate (one array per candidate pair)
+        val arrayExchanges = nodes.collect {
+          case e: ShuffleExchangeExec
+              if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+        }
+        assert(arrayExchanges.size <= 1,
+          s"$label: ${arrayExchanges.size} array-bearing exchanges:\n" +
+            arrayExchanges.mkString("\n"))
+        out.unpersist()
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevBound match {
+        case Some(v) => spark.conf.set("spark.graft.verify.broadcastMaxDocs", v)
+        case None => spark.conf.unset("spark.graft.verify.broadcastMaxDocs")
+      }
+    }
+  }
 }

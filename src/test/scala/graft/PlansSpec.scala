@@ -121,4 +121,53 @@ class PlansSpec extends SparkTestBase {
       "SELECT count_min(k, 2, 8) FROM plans_cms").head().getSeq[Long](0)
     assert(viaSql == grid)
   }
+
+  test("sorted_intersect_count: codegen parity with a reference merge, " +
+    "null propagation, SQL registration, and a non-codegen (interpreted) " +
+    "eval check") {
+    import graft.plans.SortedIntersectCount
+    import org.apache.spark.sql.graft.bridge.toExpr
+    val rnd = new scala.util.Random(7)
+    def sortedArr(n: Int): Array[Long] =
+      Array.fill(n)(rnd.nextLong() % 1000).distinct.sorted
+    val rows = (0 until 50).map { i =>
+      (i.toLong, sortedArr(rnd.nextInt(40)), sortedArr(rnd.nextInt(40)))
+    }
+    def refCount(x: Array[Long], y: Array[Long]): Long =
+      x.toSet.intersect(y.toSet).size.toLong
+    val df = rows.toDF("id", "xa", "xb")
+    val got = df
+      .select($"id", ArrayOps.sorted_intersect_count($"xa", $"xb").as("c"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, x, y) =>
+      assert(got(i) == refCount(x, y), s"row $i")
+    }
+    // interpreted eval (nullSafeEval) must agree with codegen
+    val expr = SortedIntersectCount(toExpr($"xa"), toExpr($"xb"))
+    rows.take(5).foreach { case (_, x, y) =>
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x)
+      val bd = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(y)
+      assert(expr.nullSafeEval(ad, bd) == refCount(x, y))
+    }
+    // null propagation
+    val withNull = Seq(
+      (1L, Array(1L, 2L), null.asInstanceOf[Array[Long]])
+    ).toDF("id", "xa", "xb")
+    assert(withNull
+      .select(ArrayOps.sorted_intersect_count($"xa", $"xb"))
+      .head().isNullAt(0))
+    // SQL registration
+    ArrayOps.register(spark)
+    df.createOrReplaceTempView("plans_sic")
+    val viaSql = spark.sql(
+      "SELECT id, sorted_intersect_count(xa, xb) AS c FROM plans_sic")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == got)
+    // type check failure is loud
+    val err = intercept[Exception] {
+      df.select(ArrayOps.sorted_intersect_count($"id", $"xa")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("sorted_intersect_count") ||
+      err.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -190,6 +190,35 @@ class TextDedupSpec extends SparkTestBase {
     assert(capped.subsetOf(exact))
   }
 
+  test("containmentPairsAgainst equals the batch containment join " +
+    "restricted to the new×history cross") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newSide = d.filter(col("doc_id") % 3L === 0L)
+    val histSide = d.filter(col("doc_id") % 3L =!= 0L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val inc = graft.dedup.Dedup
+      .containmentPairsAgainst(newSide, histSide, "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+      .collect().map(key).toSet
+    // batch face over the union, filtered to the cross — the pair sets
+    // must coincide (both are the exact asymmetric predicate)
+    val batch = graft.dedup.Dedup
+      .containmentPairs(d, "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+      .filter(col("a") % 3L === 0L && col("b") % 3L =!= 0L)
+      .collect().map(key).toSet
+    assert(inc == batch)
+    assert(inc.nonEmpty) // fixture sanity: the cross face has hits
+    // finite maxDf still runs and only ever subtracts pairs
+    val capped = graft.dedup.Dedup
+      .containmentPairsAgainst(newSide, histSide, "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = 50L)
+      .collect().map(key).toSet
+    assert(capped.subsetOf(inc))
+  }
+
   test("hammingPairs64 with a cap bounds exact-duplicate groups to a " +
     "linear star that preserves connected components") {
     import spark.implicits._
