@@ -47,7 +47,27 @@ object LinkGraph {
       scale: Long = 1000000L,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5): DataFrame =
+    pageRankWithCleanup(edges, iters, scale, dampNum, dampDen,
+      checkpointEvery)._1
+
+  /** [[pageRank]] plus an explicit storage release handle, mirroring
+    * [[graft.dedup.Dedup.connectedComponentsDistributedWithCleanup]]:
+    * the returned frame is backed by the final localCheckpoint, whose
+    * blocks DataFrame.unpersist cannot free (no-op on a
+    * LogicalRDD-backed frame) — callers that materialize a derivative
+    * call `cleanup()` to release them immediately instead of leaking
+    * storage across repeated invocations (RepeatGuardSpec pins this).
+    * Intermediate cadence checkpoints are freed inside the loop as
+    * soon as the next one materializes.
+    */
+  def pageRankWithCleanup(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      checkpointEvery: Int = 5): (DataFrame, () => Unit) = {
     require(iters >= 1, "iters >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -61,6 +81,13 @@ object LinkGraph {
 
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var prevCheckpoint: Option[org.apache.spark.rdd.RDD[_]] = None
+    def releasePrev(next: DataFrame): Unit = {
+      // the new checkpoint is eager, so the previous cadence
+      // checkpoint has no readers left — free its blocks now
+      prevCheckpoint.foreach(_.unpersist(blocking = false))
+      prevCheckpoint = graft.core.Graft.checkpointRdd(next)
+    }
     for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -72,14 +99,17 @@ object LinkGraph {
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         ranks = ranks.localCheckpoint()
+        releasePrev(ranks)
+      }
     }
     // materialize before dropping the shared caches (localCheckpoint is
     // eager) so the returned frame never recomputes the edge build
     val out = ranks.localCheckpoint()
+    releasePrev(out)
     eo.unpersist()
     nodes.unpersist()
-    out
+    (out, () => prevCheckpoint.foreach(_.unpersist(blocking = false)))
   }
 }
