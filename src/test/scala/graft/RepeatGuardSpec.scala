@@ -16,9 +16,26 @@ import org.apache.spark.sql.functions._
 class RepeatGuardSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def persistedCount(): Int = {
+  /** Ids of currently-persisted RDDs. The guard asserts on the SET
+    * DIFFERENCE against a pre-run baseline, not the global count: the
+    * test session is shared across suites, and the ContextCleaner may
+    * garbage-collect ANOTHER suite's stale blocks mid-test (count
+    * drops — a false failure under `==`), while a genuine leak from
+    * the face under test always shows up as a NEW persisted id that
+    * survives the face's own cleanup.
+    */
+  private def persistedIds(): Set[Int] = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.size
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  }
+
+  private def assertNoNewPersisted(baseline: Set[Int], label: String): Unit = {
+    val leaked = persistedIds() -- baseline
+    assert(leaked.isEmpty,
+      s"$label leaked storage: " + leaked.map { id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .map(_.toString).getOrElse(s"rdd#$id")
+      }.mkString(", "))
   }
 
   test("mergeUpsert 5x: checkpoint blocks are released every run") {
@@ -29,13 +46,10 @@ class RepeatGuardSpec extends SparkTestBase {
     graft.layout.Layout.writePartitioned(base, path, "part")
     val batch = (1L to 50L).map(k => (k, s"p${k % 3}", k * 2.0, k % 7 == 0))
       .toDF("k", "part", "v", "__deleted")
-    val baseline = persistedCount()
+    val baseline = persistedIds()
     (1 to 5).foreach { i =>
       graft.layout.Layout.mergeUpsert(spark, path, "part", "k", batch)
-      assert(persistedCount() == baseline,
-        s"mergeUpsert leaked storage on run $i: " +
-          spark.sparkContext.getPersistentRDDs.values
-            .map(_.toString).mkString(", "))
+      assertNoNewPersisted(baseline, s"mergeUpsert run $i")
     }
   }
 
@@ -44,22 +58,19 @@ class RepeatGuardSpec extends SparkTestBase {
     // localThreshold = 0 forces the distributed star-contraction tier
     // (the driver union-find tier persists nothing)
     val pairs = (0L until 300L).map(i => (i, i + 1L)).toDF("a", "b")
-    val baseline = persistedCount()
+    val baseline = persistedIds()
     (1 to 5).foreach { i =>
       val out = graft.dedup.Dedup.clusterize(pairs, "id", localThreshold = 0L)
       out.count()
       out.unpersist(blocking = true)
-      assert(persistedCount() == baseline,
-        s"clusterize(distributed) leaked storage on run $i: " +
-          spark.sparkContext.getPersistentRDDs.values
-            .map(_.toString).mkString(", "))
+      assertNoNewPersisted(baseline, s"clusterize(distributed) run $i")
     }
   }
 
   test("pageRank 5x: cadence + final checkpoints are released every run") {
     val edges = (0L until 400L).map(i => (i % 97L, (i * 31L) % 97L))
       .toDF("src", "dst").distinct()
-    val baseline = persistedCount()
+    val baseline = persistedIds()
     (1 to 5).foreach { i =>
       // 12 iters with the default cadence (5) exercises BOTH the
       // intermediate-checkpoint release and the final cleanup handle
@@ -67,10 +78,7 @@ class RepeatGuardSpec extends SparkTestBase {
         graft.ops.LinkGraph.pageRankWithCleanup(edges, iters = 12)
       ranks.count()
       cleanup()
-      assert(persistedCount() == baseline,
-        s"pageRank leaked storage on run $i: " +
-          spark.sparkContext.getPersistentRDDs.values
-            .map(_.toString).mkString(", "))
+      assertNoNewPersisted(baseline, s"pageRank run $i")
     }
   }
 }
