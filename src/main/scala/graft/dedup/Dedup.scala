@@ -1281,7 +1281,11 @@ object Dedup {
     val verified = cand
       .join(base.select(col(idCol).as("a"), col("xs").as("xs_a")), Seq("a"))
       .join(base.select(col(idCol).as("b"), col("xs").as("xs_b")), Seq("b"))
-      .withColumn("n_common", size(array_intersect(col("xs_a"), col("xs_b"))).cast("long"))
+      // xs is sorted+distinct, so the native count equals
+      // size(array_intersect(..)) without materializing the
+      // intersection array per candidate pair
+      .withColumn("n_common", graft.plans.ArrayOps
+        .sorted_intersect_count(col("xs_a"), col("xs_b")))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") /
@@ -1347,8 +1351,10 @@ object Dedup {
     val verified = cand
       .join(nb.select(col(idCol).as("new_id"), col("xs").as("xs_n")), Seq("new_id"))
       .join(hb.select(col(idCol).as("hist_id"), col("xs").as("xs_h")), Seq("hist_id"))
-      .withColumn("n_common",
-        size(array_intersect(col("xs_n"), col("xs_h"))).cast("long"))
+      // sorted+distinct arrays — native merge count, no per-pair
+      // intersection array (see [[minHashLshPairs]])
+      .withColumn("n_common", graft.plans.ArrayOps
+        .sorted_intersect_count(col("xs_n"), col("xs_h")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("xs_n")) + size(col("xs_h")) - col("n_common")).cast("double"))
