@@ -34,6 +34,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Dead plans' broadcast/cache blocks are reaped by the
+      // ContextCleaner only after a JVM GC notices the weak refs — at
+      // big SFs a session running the whole catalog back-to-back
+      // (several ~0.8 GB verify broadcasts among them) can exhaust
+      // driver storage memory before any full GC happens ("Not enough
+      // memory to build and broadcast", seen at sf10). Verify is
+      // untimed, so nudge the reaper between queries.
+      spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -842,24 +842,36 @@ object Dedup {
     val same = docsA eq docsB
     val bound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
       .map(_.toLong).getOrElse(VerifyBroadcastMaxDocs)
+    // Both array sides project to the SAME column names over the same
+    // child, so in the (common) self-join shape the two builds
+    // canonicalize identically and ReuseExchange materializes ONE
+    // physical broadcast instead of two — at sf10 that halves ~1.6 GB
+    // of verify broadcast to 0.8 GB (a whole-catalog Verify session at
+    // sf10 OOM'd on the accumulation before this).
     def verified(sideA: DataFrame, sideB: DataFrame): DataFrame =
       cand
-        .join(sideA, Seq("a"))
-        .join(sideB, Seq("b"))
-        // counts computed IN the post-join projection: the arrays are
+        .join(sideA, col("a") === sideA("__vid"))
+        // counts computed IN the post-join projections: the arrays are
         // consumed and dropped inside the join stage, never
         // materialized into downstream rows
+        .select(col("a"), col("b"), sideA("__vxs").as("__xs_a"))
+        .join(sideB, col("b") === sideB("__vid"))
         .select(col("a"), col("b"),
-          sorted_intersect_count(col("xs_a"), col("xs_b")).as("n_common"),
-          size(col("xs_a")).cast("long").as("n_a"),
-          size(col("xs_b")).cast("long").as("n_b"))
+          sorted_intersect_count(col("__xs_a"), sideB("__vxs")).as("n_common"),
+          size(col("__xs_a")).cast("long").as("n_a"),
+          size(sideB("__vxs")).cast("long").as("n_b"))
+    // the explicit isNotNull pair pins BOTH sides' scan predicates to
+    // the same set in the same order — without it each join infers its
+    // own isnotnull constraints in a different order, the canonical
+    // plans diverge, and ReuseExchange silently builds two broadcasts
+    def proj(d: DataFrame) =
+      d.select(col(idCol).as("__vid"), col("xs").as("__vxs"))
+        .where(col("__vid").isNotNull && col("__vxs").isNotNull)
     val nDocs =
       if (same) docsA.count() else math.max(docsA.count(), docsB.count())
     if (nDocs <= bound) {
-      def side(d: DataFrame, alias: String) = broadcast(
-        d.select(col(idCol).as(alias), col("xs").as(s"xs_$alias")))
-      val out =
-        finish(verified(side(docsA, "a"), side(docsB, "b"))).cache()
+      val out = finish(
+        verified(broadcast(proj(docsA)), broadcast(proj(docsB)))).cache()
       out.count()
       out
     } else {
@@ -874,10 +886,9 @@ object Dedup {
       if (!same) graft.layout.Layout.writeBucketed(
         docsB.select(col(idCol), col("xs")), tblB, idCol, buckets)
       try {
-        def side(tbl: String, alias: String) = spark.table(tbl)
-          .select(col(idCol).as(alias), col("xs").as(s"xs_$alias"))
         val res = finish(verified(
-          side(tblA, "a"), side(if (same) tblA else tblB, "b")))
+          proj(spark.table(tblA)),
+          proj(spark.table(if (same) tblA else tblB))))
         lastVerifyPlan = Some(res.queryExecution.executedPlan)
         // The verified-and-filtered output is PAIR-LIST sized (the
         // dedup hits, not the corpus) — materialize it to a temp

@@ -269,6 +269,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(cached.nonEmpty, out.queryExecution.optimizedPlan.toString)
     val p = cached.mkString("\n")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // Both verify sides project to identical columns/constraints so
+    // the two broadcast subtrees CANONICALIZE equal — under AQE's
+    // TableCacheQueryStage wrapping the stages still materialize
+    // separately (no ReusedExchange), so the session-memory story for
+    // whole-catalog runs is Verify's between-query GC nudge, not
+    // reuse. Guard the count at ≤3 exchanges (posting index + two
+    // verify sides) so a refactor can't quietly add more.
+    val nodes2 = out.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        im.cachedPlan
+    }.flatMap(allNodes)
+    val bx = nodes2.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bx.map(System.identityHashCode).distinct.size <= 3,
+      s"verify plan grew extra broadcasts (${bx.size}):\n$p")
     out.unpersist()
   }
 
