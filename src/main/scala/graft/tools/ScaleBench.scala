@@ -51,6 +51,12 @@ object ScaleBench {
     val results = defs.map { q =>
       def once(): Double = {
         spark.catalog.clearCache()
+        // big-SF sessions accumulate dead plans' broadcast blocks
+        // (reaped only after a JVM GC notices the weak refs — the
+        // same failure Verify hit at sf10: heap OOM mid-aggregation
+        // with several ~0.8 GB dead verify broadcasts still resident).
+        // The nudge runs OUTSIDE the timed region.
+        System.gc()
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).count() catch {
           case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
