@@ -842,12 +842,14 @@ object Dedup {
     val same = docsA eq docsB
     val bound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
       .map(_.toLong).getOrElse(VerifyBroadcastMaxDocs)
-    // Both array sides project to the SAME column names over the same
-    // child, so in the (common) self-join shape the two builds
-    // canonicalize identically and ReuseExchange materializes ONE
-    // physical broadcast instead of two — at sf10 that halves ~1.6 GB
-    // of verify broadcast to 0.8 GB (a whole-catalog Verify session at
-    // sf10 OOM'd on the accumulation before this).
+    // Both array sides project to the SAME column shape/constraints so
+    // their broadcast subtrees canonicalize equal — a prerequisite for
+    // exchange reuse, though AQE's TableCacheQueryStage wrapping still
+    // materializes the two stages separately today (PlanShapeSpec pins
+    // the exchange count). The session-memory story for whole-catalog
+    // big-SF runs is therefore the GC nudge in Verify/ScaleBench: dead
+    // plans' ~0.8 GB broadcasts are only reaped once a JVM GC notices
+    // the weak refs.
     def verified(sideA: DataFrame, sideB: DataFrame): DataFrame =
       cand
         .join(sideA, col("a") === sideA("__vid"))
