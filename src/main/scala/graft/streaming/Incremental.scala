@@ -350,6 +350,48 @@ object Incremental {
       .as[(String, String, Double)]
   }
 
+  /** Streaming CONTAINMENT front door — each micro-batch of crawled
+    * docs is containment-checked against the STATIC standing corpus
+    * ([[graft.dedup.Dedup.containmentPairsAgainst]]: index = history's
+    * full postings, probe = the batch's prefixes), the refresh-time
+    * form of the quotation/boilerplate-wrap question ("is this crawl
+    * doc a ≥t quote of a page we already have?"). Because every pair
+    * couples a batch doc with a STATIC history doc, micro-batching
+    * cannot change the pair set: the union of per-batch outputs equals
+    * the one-shot batch join over the accumulated new docs, under ANY
+    * batching (StreamBatchParitySpec proves it, including a
+    * kill+resume from the checkpoint).
+    *
+    * Each batch's pairs land in a batchId-keyed subdirectory written
+    * with Overwrite, so an at-least-once replay of a committed
+    * micro-batch (crash between write and checkpoint commit) rewrites
+    * the same rows instead of double-appending — read the result as
+    * one partitioned relation at `outPath`.
+    */
+  def containmentStream(
+      docs: DataFrame, // streaming; (idCol, textCol)
+      history: DataFrame, // static standing corpus
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      checkpointDir: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Long = 1000L): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = graft.dedup.Dedup.containmentPairsAgainst(
+          batch, history, idCol, textCol, n, minContainment, maxDf)
+        pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outPath/batch=$batchId")
+        pairs.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the
     * lowest (salted-md5, id) pairs, folded across micro-batches and

@@ -1088,4 +1088,54 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(got.toMap == expect)
     assert(expect.nonEmpty)
   }
+
+  test("containment stream: per-batch union equals the one-shot batch " +
+    "cross join; kill+resume re-processes nothing and replays are " +
+    "idempotent") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // static standing corpus vs a two-drop "crawl" of new docs
+    val history = all.filter(col("doc_id") % 3L =!= 0L)
+    val newDocs = all.filter(col("doc_id") % 3L === 0L)
+    val loBatch = newDocs.filter(col("doc_id") < 250L)
+    val hiBatch = newDocs.filter(col("doc_id") >= 250L)
+    val root = Files.createTempDirectory("graftcontainstream")
+    val inDir = root.resolve("in")
+    val outPath = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(newDocs.schema)
+        .parquet(inDir.toString + "/*")
+      Incremental.containmentStream(stream, history, "doc_id", "text",
+        outPath, ckpt, n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+        .awaitTermination()
+    }
+    def got() = spark.read.parquet(outPath)
+      .select(col("new_id"), col("hist_id"), col("n_common"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // run 1: first crawl drop
+    loBatch.write.parquet(inDir.resolve("a").toString)
+    runOnce()
+    val r1 = got()
+    // run 2, SAME checkpoint: second drop — only it is processed
+    hiBatch.write.parquet(inDir.resolve("b").toString)
+    runOnce()
+    val r2 = got()
+    assert(r1.toSet.subsetOf(r2.toSet))
+    assert(r2.size == r2.distinct.size, "a replayed batch double-appended")
+    // run 3, no new input: nothing changes (restart idempotency)
+    runOnce()
+    assert(got().toSet == r2.toSet)
+    // parity: union of per-batch outputs == one-shot batch operator
+    val want = graft.dedup.Dedup
+      .containmentPairsAgainst(newDocs, history, "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+      .select(col("new_id"), col("hist_id"), col("n_common"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture sanity: the cross face has hits")
+    assert(r2.toSet == want,
+      s"stream ${r2.size} vs batch ${want.size}: " +
+        s"missing=${(want -- r2.toSet).take(3)} extra=${(r2.toSet -- want).take(3)}")
+  }
 }
