@@ -1156,6 +1156,30 @@ object Dedup {
     out
   }
 
+  /** The ACTION face of [[containmentPairsAgainst]] — the ingest
+    * filter itself: drop every NEW doc that is ≥ t contained in ANY
+    * standing-corpus doc, keep the rest. Unlike the batch
+    * [[containmentDedup]] there is no size tie-break: the standing
+    * corpus always wins (its copy is already curated/indexed), so a
+    * new doc dies on any qualifying hit regardless of relative
+    * length. New docs with no shingles pass through (no containment
+    * signal; exact dedup owns empties).
+    */
+  def containmentDedupAgainst(
+      newDf: DataFrame,
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    val pairs = containmentPairsAgainst(
+      newDf, histDf, idCol, textCol, n, minContainment, maxDf)
+    val doomed = pairs.select(col("new_id").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
+  }
+
   def containmentDedup(
       df: DataFrame,
       idCol: String,

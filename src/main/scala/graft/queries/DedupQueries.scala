@@ -440,6 +440,52 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_containment_drop_incremental",
+      covers = "dedup-containment,anti-join,T2",
+      fn = (s, dir) => {
+        val d = table(s, dir, "documents")
+        Dedup
+          .containmentDedupAgainst(
+            d.filter(col("doc_id") % 3L === 0L),
+            d.filter(col("doc_id") % 3L =!= 0L),
+            "doc_id", "text",
+            n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      // the surviving-batch replay: new docs (%3==0) minus those with
+      // ANY qualifying cross pair — no size tie-break (the standing
+      // corpus always wins at ingest)
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+          |  GROUP BY x.doc_id, y.doc_id),
+          |doomed AS (
+          |  SELECT DISTINCT p.a FROM pairs p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8)
+          |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          |FROM documents d
+          |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT a FROM doomed)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "The ingest filter itself: drop every new-crawl doc >= 0.8 " +
+        "contained in ANY standing-corpus doc (no size tie-break — " +
+        "the curated standing copy always wins), keep the rest. " +
+        "Left-anti over the incremental containment pairs"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       covers = "dedup-clusters",
       fn = (s, dir) =>
