@@ -896,7 +896,7 @@ object Dedup {
       out
     } else if (bucketedById(docsA) && (same || bucketedById(docsB))) {
       val res = finish(verified(proj(docsA), proj(docsB)))
-      lastVerifyPlan = Some(res.queryExecution.executedPlan)
+      captureVerifyPlan(spark, res)
       val out = res.cache()
       out.count()
       out
@@ -915,7 +915,7 @@ object Dedup {
         val res = finish(verified(
           proj(spark.table(tblA)),
           proj(spark.table(if (same) tblA else tblB))))
-        lastVerifyPlan = Some(res.queryExecution.executedPlan)
+        captureVerifyPlan(spark, res)
         // The verified-and-filtered output is PAIR-LIST sized (the
         // dedup hits, not the corpus) — materialize it to a temp
         // parquet before dropping the docs table. cache() alone is NOT
@@ -925,6 +925,7 @@ object Dedup {
         val outDir = new java.io.File(
           sys.props("java.io.tmpdir"), s"graft_verify_out_$nonce").getPath
         res.write.mode("overwrite").parquet(outDir)
+        registerVerifyOutputDir(outDir)
         val back = spark.read.parquet(outDir).cache()
         back.count()
         back
@@ -940,9 +941,67 @@ object Dedup {
     * frame reads the materialized pair list, so the verify plan is
     * not reachable from it (PlanShapeSpec asserts the bucketed scans
     * and the single array-bearing exchange here instead).
+    *
+    * Capture is OFF unless `spark.graft.verify.capturePlan=true`
+    * (PlanShapeSpec sets it): an executed plan pins exchanges/metrics
+    * for the session lifetime, and the object-level var is not safe
+    * under concurrent queries — production runs never populate it.
     */
   private[graft] var lastVerifyPlan
       : Option[org.apache.spark.sql.execution.SparkPlan] = None
+
+  private def captureVerifyPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      res: DataFrame): Unit =
+    if (spark.conf.getOption("spark.graft.verify.capturePlan")
+          .contains("true"))
+      lastVerifyPlan = Some(res.queryExecution.executedPlan)
+
+  // --- above-bound verify output lifecycle -------------------------
+  // The materialized pair-list dirs (graft_verify_out_*) must outlive
+  // the DROP TABLE of the bucketed docs temp tables (see the cascade-
+  // uncache note above), so they cannot be deleted inside the verify
+  // call — but a long-running ingest session that calls the above-
+  // bound path repeatedly would otherwise grow java.io.tmpdir without
+  // bound (ADVICE r12). Every created dir is registered here; a JVM
+  // shutdown hook sweeps whatever is left, and callers that have
+  // released all returned frames (end of an ingest run, between
+  // Verify/ScaleBench catalogs) can reclaim eagerly via
+  // [[cleanupVerifyOutputs]].
+  private val verifyOutputDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val verifyShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      verifyOutputDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
+
+  private def registerVerifyOutputDir(dir: String): Unit = {
+    verifyShutdownHook
+    verifyOutputDirs.add(dir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
+
+  /** Delete every above-bound verify output dir this JVM has
+    * materialized so far. Safe ONLY once all DataFrames returned by
+    * above-bound [[containmentPairs]]/[[minHashLshPairs]]/… calls have
+    * been fully consumed or written out — the returned frames READ
+    * these dirs (their cache can be evicted and recomputed from them).
+    * Verify/ScaleBench call this between catalog runs; unswept dirs
+    * are also reaped by the shutdown hook.
+    */
+  def cleanupVerifyOutputs(): Unit = {
+    var d = verifyOutputDirs.poll()
+    while (d != null) {
+      deleteRecursively(new java.io.File(d))
+      d = verifyOutputDirs.poll()
+    }
+  }
 
   /** ASYMMETRIC containment pairs: (a, b) where C(a→b) =
     * |sh(a) ∩ sh(b)| / |sh(a)| >= t, a != b (mutual containment emits

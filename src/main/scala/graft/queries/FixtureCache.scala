@@ -16,10 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the first cached payload forever while the builders below read the
   * real table through the same `$dir/documents.parquet` path — they
   * would fail or, worse, silently serve stale doc_ids). The marker is
-  * written via temp-file + atomic rename so a concurrent suite sharing
-  * java.io.tmpdir can never observe a half-written signature; the rare
-  * double-build race is idempotent (both writers produce identical
-  * deterministic payloads).
+  * written via temp-file + atomic rename so a half-written signature
+  * is never observable, and the whole check-and-build runs under a
+  * per-fixture cross-process file lock (plus an in-JVM mutex — two
+  * threads of one JVM would otherwise trip
+  * OverlappingFileLockException): two JVMs sharing java.io.tmpdir that
+  * both observe a stale marker would otherwise race
+  * `write.mode(Overwrite)` into the same directory, and Overwrite
+  * DELETES the dir while the loser's job is mid-commit (ADVICE r12 —
+  * the payloads are deterministic, the write mechanics are not
+  * idempotent).
   *
   * `fn` callers remain self-preparing (build-if-stale on first read),
   * so Verify/IsoBench stay correct standalone; Bench additionally runs
@@ -54,17 +60,37 @@ object FixtureCache {
         "signature would degenerate to a constant and never invalidate " +
         "a regenerated corpus")
     val want = sig(src)
-    val fresh = marker.exists &&
+    def fresh = marker.exists &&
       java.nio.file.Files.readString(marker.toPath) == want
-    if (!fresh) {
-      build.write.mode("overwrite").parquet(path)
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(path), "_GRAFT_READY_", ".tmp")
-      java.nio.file.Files.writeString(tmp, want)
-      java.nio.file.Files.move(tmp, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!fresh) buildLock.synchronized {
+      // cross-process: exclusive-lock a sibling lockfile for the whole
+      // re-check + build, so only one JVM ever writes `path` at a time
+      // (the loser re-checks under the lock and finds the marker fresh)
+      val lockPath = java.nio.file.Paths.get(path + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!fresh) {
+            build.write.mode("overwrite").parquet(path)
+            val tmp = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(path), "_GRAFT_READY_", ".tmp")
+            java.nio.file.Files.writeString(tmp, want)
+            java.nio.file.Files.move(tmp, marker.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     path
   }
+
+  /** In-JVM serialization of the locked section: JVM-internal file
+    * locks are not reentrant across threads (OverlappingFileLockException),
+    * and parallel suites within one sbt JVM may race the same fixture.
+    */
+  private val buildLock = new Object
 }

@@ -333,6 +333,9 @@ class PlanShapeSpec extends SparkTestBase {
     val prevBound = spark.conf.getOption("spark.graft.verify.broadcastMaxDocs")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.graft.verify.broadcastMaxDocs", "10")
+    // plan capture is off by default (production runs must not pin
+    // dead executed plans) — this spec is its one consumer
+    spark.conf.set("spark.graft.verify.capturePlan", "true")
     // keep the planner honest: without this the tiny bucketed table
     // would be broadcast anyway and the co-location path would go
     // untested
@@ -367,6 +370,8 @@ class PlanShapeSpec extends SparkTestBase {
         out.unpersist()
       }
     } finally {
+      graft.dedup.Dedup.lastVerifyPlan = None
+      spark.conf.unset("spark.graft.verify.capturePlan")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       prevBound match {
         case Some(v) => spark.conf.set("spark.graft.verify.broadcastMaxDocs", v)
@@ -393,6 +398,7 @@ class PlanShapeSpec extends SparkTestBase {
     val prevAuto = spark.conf
       .getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.graft.verify.broadcastMaxDocs", "10")
+    spark.conf.set("spark.graft.verify.capturePlan", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // the engine session (Graft.session / Bench / Verify) sets this
     // false; the shared test session must match or the scan hides its
@@ -420,6 +426,8 @@ class PlanShapeSpec extends SparkTestBase {
         "pre-bucketed corpus still paid the temp-table write")
       out.unpersist()
     } finally {
+      graft.dedup.Dedup.lastVerifyPlan = None
+      spark.conf.unset("spark.graft.verify.capturePlan")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       prevBound match {
         case Some(v) => spark.conf.set("spark.graft.verify.broadcastMaxDocs", v)
