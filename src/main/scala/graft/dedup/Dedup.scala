@@ -2096,28 +2096,44 @@ object Dedup {
     * key still contributes its first cap prints' pairs instead of
     * vanishing; leave None on oracle-checked faces (exact cover).
     *
-    * AUTO-ESCALATION (round 11): any fixed 64-bit banding has a
-    * random-collision floor ∝ n²/2^w (SCALE.md) — measured 12.9×/decade
-    * at sf10 (500k docs), past the ~12× near-linear bar. So when the
-    * caller passes no explicit cap and the tokenful corpus exceeds
-    * `autoCapDocs` DISTINCT-fingerprint-bearing docs, the bucket cap
-    * defaults to `autoCap` instead of unbounded: below the threshold
-    * the cover is exact (every oracle face — sf0.001…sf1 — is), above
-    * it the candidate count is hard-bounded and the engine does not
-    * quietly cross its banding floor. Pass `maxPerBucket =
-    * Some(Int.MaxValue)` to force the exact cover at any size, or
-    * migrate to [[simHashPairs128]] (the committed ≥10⁸-doc
-    * configuration — wider keys move the floor itself).
+    * AUTO-ESCALATION (round 11, re-measured round 13): any fixed
+    * 64-bit banding has a random-collision floor ∝ n²/2^w (SCALE.md).
+    * Round 11 answered it by auto-capping band buckets above 200k
+    * docs; round 13's SimHashStageProbe measured that posture against
+    * the exact cover it replaced at sf10 (500k docs) and found the
+    * cap GUARDING THE WRONG STAGE there: the per-bucket row_number
+    * window costs 12.9 s while the uncapped band join it protects
+    * costs 7.7 s — and canonical-cover emission (hammingPairs64 r13)
+    * removes the exact path's distinct() on top. A 3-chunk C(k+3,3)
+    * cover (lower collision floor, 120 bands) was also measured and
+    * LOST at this scale — 65.7 s vs 17.4 s — because this corpus's
+    * band collisions are near-dup-structure-dominated, not
+    * key-width-dominated (570M candidates of the 2-chunk's 1.1B
+    * remain), so tripling the band rows just triples the join input.
     *
-    * MEASURED recall of the capped posture (round 12,
-    * tools/SimHashRecallProbe, capped-vs-forced-exact at maxHamming=7,
-    * cap=512): 99.33% at sf1 (659,626 / 664,080 pairs) and 99.09% at
-    * sf10 (7,025,433 / 7,090,044), the capped set a strict subset of
-    * the exact one both times. The adversarial floor — every pair
-    * reachable through ONE hot over-cap bucket only — measures 27.4%
-    * (219/800 planted pairs, pinned by SimHashRecallSpec); realistic
-    * corpora sit near the 99% end because near-dup pairs share several
-    * bands and hot buckets are boilerplate-dominated.
+    * The posture is therefore: EXACT 2-chunk cover up to `autoCapDocs`
+    * = 1M docs (raised from 200k — recall 100% where r12 had 99.1%,
+    * and faster), bucket cap `autoCap` above it (the n²-growth guard
+    * the next decade genuinely needs: ~4.4B raw candidates at 1M docs
+    * is the handoff point where the linear window undercuts the
+    * quadratic join). Pass `maxPerBucket = Some(Int.MaxValue)` to
+    * force the exact cover at any size, or migrate to
+    * [[simHashPairs128]] (the committed ≥10⁸-doc configuration —
+    * wider fingerprints move the floor itself).
+    *
+    * MEASURED recall of the capped posture (tools/SimHashRecallProbe,
+    * capped-vs-forced-exact at maxHamming=7, cap=512): 99.33% at sf1,
+    * 99.09% at sf10, strict subset both times; adversarial
+    * one-hot-bucket floor 27.4% (SimHashRecallSpec). Under the r13
+    * bound both those corpora are now EXACT; the capped numbers
+    * describe the >1M-doc tier and the explicit-cap contract.
+    *
+    * CAP OUTPUT CONTRACT (r12, restated for pair-relation consumers):
+    * with any cap in effect, identical-fingerprint groups larger than
+    * the cap emit a linear min-id rep→member STAR instead of the full
+    * hamming-0 clique — connected components (what clusterize/drop
+    * consume) are preserved exactly, but edge multiplicity/coverage
+    * semantics over the raw pair list are not; see [[hammingPairs64]].
     */
   def simHashPairs(
       df: DataFrame,
@@ -2125,7 +2141,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxPerBucket: Option[Int] = None,
-      autoCapDocs: Long = 200000L,
+      autoCapDocs: Long = 1000000L,
       autoCap: Int = 512
   ): DataFrame = {
     // Token-less docs (null/empty/space-only text) all fingerprint to
@@ -2183,8 +2199,12 @@ object Dedup {
     * banding core of [[simHashPairs]], factored out so non-text
     * fingerprints (image dHash, audio energy hashes) reuse the exact
     * same complete-cover machinery. Returns (a, b, hamming) with
-    * a < b and hamming ≤ maxHamming; the C(m,2) two-chunk cover is
-    * complete, so the pair set equals the all-pairs predicate.
+    * a < b and hamming ≤ maxHamming; the C(m, c) c-chunk cover
+    * (m = maxHamming + `bandChunks`) is complete for any c, so the
+    * UNCAPPED pair set equals the all-pairs predicate regardless of
+    * `bandChunks` — c only moves the random-collision floor vs band
+    * count trade (capped output IS banding-relative; callers that cap
+    * must pin their c).
     *
     * `maxPerBucket` bounds BOTH candidate and output volume: band
     * buckets rank-limit to the first `cap` distinct prints, and
@@ -2198,9 +2218,17 @@ object Dedup {
       idCol: String,
       fpCol: String,
       maxHamming: Int,
-      maxPerBucket: Option[Int] = None
+      maxPerBucket: Option[Int] = None,
+      bandChunks: Int = 2
   ): DataFrame = {
-    val m = maxHamming + 2
+    // GENERALIZED cover (round 13): m = k + c chunks, band = every
+    // C(m, c) c-chunk combination. A pair within hamming k dirties ≤ k
+    // chunks, so ≥ c are clean, and the clean set contains (at least)
+    // one full band — completeness holds for any c ≥ 1; c picks the
+    // collision-floor/band-count trade (see the simHashPairs ladder).
+    require(bandChunks >= 1 && bandChunks <= 3,
+      s"bandChunks=$bandChunks out of range (1..3 supported)")
+    val m = maxHamming + bandChunks
     require(m <= 64, s"maxHamming=$maxHamming too large for a 64-bit fingerprint")
     // chunk i covers fingerprint bits [starts(i), starts(i+1))
     val starts = (0 to m).map(i => i * 64 / m)
@@ -2228,20 +2256,26 @@ object Dedup {
     // PRINTS — on a corpus where every payload occurs c times, a c²
     // join reduction (measured on the stripe-PNG image face at sf0.1:
     // 19.1M → ~0.2M band candidates, 5.1 s → sub-second).
-    val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
-    val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
-      val wi = starts(i + 1) - starts(i)
-      struct(
-        lit(idx).as("band"),
-        chunk(col("simhash"), i)
-          .bitwiseOR(shiftleft(chunk(col("simhash"), j), wi))
-          .as("key")
-      )
+    val combos = (0 until m).combinations(bandChunks).map(_.toSeq).toSeq
+    val bandCols = combos.zipWithIndex.map { case (cs, idx) =>
+      // band key = the combo's chunks packed little-endian; total
+      // width ≤ c·ceil(64/m) ≤ 64 bits for every supported (k, c).
+      // `prior` is the canonical-cover mask: the chunks that would
+      // have to be DIRTY for this combo to be the lexicographically
+      // first all-clean one (every chunk below the combo's last,
+      // minus the combo's own) — see the uncapped join below.
+      val (key, _) = cs.foldLeft((lit(0L), 0)) { case ((acc, off), i) =>
+        val w = starts(i + 1) - starts(i)
+        (acc.bitwiseOR(shiftleft(chunk(col("simhash"), i), off)), off + w)
+      }
+      val prior = ((1L << cs.last) - 1L) & ~cs.map(1L << _).reduce(_ | _)
+      struct(lit(idx).as("band"), key.as("key"), lit(prior).as("prior"))
     }
     val bandedAll = fp
       .select(col("simhash")).distinct()
       .select(col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.prior").as("prior"))
     val banded = maxPerBucket match {
       case None => bandedAll
       case Some(cap) =>
@@ -2261,15 +2295,55 @@ object Dedup {
           .filter(col("__bn") <= cap)
           .drop("__bn")
     }
-    val l = banded.select(col("simhash").as("fa"), col("band"), col("key"))
+    // NEVER let the static planner broadcast a band side: Generate
+    // (the explode) keeps its CHILD's size estimate, so the banded
+    // relation looks ~8 MB when it is actually |prints|·C(m,c) rows —
+    // at 500k prints × 120 bands that is a 6 GiB broadcast build (OOM,
+    // found by SimHashStageProbe at sf10). The hint pins a shuffle
+    // merge join; AQE still re-plans splits/skew from runtime stats.
+    val l = banded.select(col("simhash").as("fa"), col("band"),
+      col("key"), col("prior"))
     val r = banded.select(col("simhash").as("fb"), col("band"), col("key"))
-    val fpPairs = l.join(r, Seq("band", "key"))
+    val joined = l.hint("shuffle_merge").join(r, Seq("band", "key"))
       .filter(col("fa") < col("fb"))
-      .select(col("fa"), col("fb"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
+    val fpPairs = maxPerBucket match {
+      case None =>
+        // CANONICAL-COVER EMISSION (round 13): a ≤k pair with clean
+        // chunk set S collides in C(|S|, c) bands — near-dup-dense
+        // corpora emit each surviving pair up to C(k+c-1, c) times and
+        // the distinct() that crunched them was the measured wall
+        // (~4 s of the 17.4 s exact sf10 run, over 1.1e9 raw rows,
+        // SimHashStageProbe). Instead each pair is kept ONLY in its
+        // canonical band — the lexicographically first all-clean
+        // combo, tested per row as "every chunk below the combo's
+        // last, minus the combo's own, is dirty" against the xor's
+        // clean-chunk bitmask. Pure bitops inside the join's codegen
+        // stage: the duplicates die before any exchange, the pair set
+        // is emitted exactly once, and no distinct runs at all.
+        val xorC = col("fa").bitwiseXOR(col("fb"))
+        val cleanMask = (0 until m).map { lch =>
+          val lo = starts(lch)
+          val w = starts(lch + 1) - lo
+          val mask = if (w >= 64) -1L else (1L << w) - 1
+          when(shiftright(xorC, lo).bitwiseAND(mask) === 0L,
+            lit(1L << lch)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _)
+        joined
+          .withColumn("hamming", bit_count(xorC).cast("long"))
+          .filter(col("hamming") <= maxHamming)
+          .filter(cleanMask.bitwiseAND(col("prior")) === 0L)
+          .select(col("fa"), col("fb"), col("hamming"))
+      case Some(_) =>
+        // capped buckets prune prints PER BAND, so a pair's canonical
+        // band may be the pruned one while a later band keeps both —
+        // the capped path must keep the distinct
+        joined
+          .select(col("fa"), col("fb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+          .filter(col("hamming") <= maxHamming)
+    }
     val xa = fp.select(col(idCol).as("__xa"), col("simhash").as("fa"))
     val xb = fp.select(col(idCol).as("__xb"), col("simhash").as("fb"))
     val cross = fpPairs.join(xa, "fa").join(xb, "fb")
@@ -2356,29 +2430,50 @@ object Dedup {
     def banded(df: DataFrame): DataFrame = {
       val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
         val wi = starts(i + 1) - starts(i)
+        // canonical-cover mask, as in [[hammingPairs64]] (r13): the
+        // chunks that must be dirty for (i, j) to be the pair's
+        // lexicographically first all-clean combo
+        val prior = ((1L << j) - 1L) & ~(1L << i)
         struct(
           lit(idx).as("band"),
           chunk(col("fp"), i)
             .bitwiseOR(shiftleft(chunk(col("fp"), j), wi))
-            .as("key")
+            .as("key"),
+          lit(prior).as("prior")
         )
       }
       df.select(col(fpCol).as("fp")).distinct()
         .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .select(col("fp"), col("bk.band").as("band"),
+          col("bk.key").as("key"), col("bk.prior").as("prior"))
     }
     val newC = newFp.select(col(idCol), col(fpCol)).cache()
     val histC = histFp.select(col(idCol), col(fpCol)).cache()
+    // canonical-cover emission instead of distinct() — each surviving
+    // (fa, fb) pair (INCLUDING fa = fb, whose clean set is everything
+    // and whose canonical band is combo 0) is kept only in the band of
+    // its first two clean chunks; duplicates die inside the join's
+    // codegen stage before any exchange (see hammingPairs64 r13). The
+    // static planner must also never broadcast an exploded band side
+    // (Generate keeps its child's size estimate) — hint as there.
+    val xorC = col("fa").bitwiseXOR(col("fb"))
+    val cleanMask = (0 until m).map { lch =>
+      val lo = starts(lch)
+      val w = starts(lch + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      when(shiftright(xorC, lo).bitwiseAND(mask) === 0L,
+        lit(1L << lch)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     val fpPairs = banded(newC)
-      .select(col("fp").as("fa"), col("band"), col("key"))
+      .select(col("fp").as("fa"), col("band"), col("key"), col("prior"))
+      .hint("shuffle_merge")
       .join(
         banded(histC).select(col("fp").as("fb"), col("band"), col("key")),
         Seq("band", "key"))
-      .select(col("fa"), col("fb"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .withColumn("hamming", bit_count(xorC).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .filter(cleanMask.bitwiseAND(col("prior")) === 0L)
+      .select(col("fa"), col("fb"), col("hamming"))
     val out = fpPairs
       .join(newC.select(col(idCol).as("new_id"), col(fpCol).as("fa")), "fa")
       .join(histC.select(col(idCol).as("hist_id"), col(fpCol).as("fb")), "fb")

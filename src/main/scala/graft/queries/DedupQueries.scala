@@ -734,12 +734,17 @@ object DedupQueries {
       // the replay is exact on ALL text including supplementary-plane
       // characters (TextDedupSpec has a non-BMP fixture case).
       //
-      // ORACLE VALIDITY BOUND: above autoCapDocs = 200k docs the
-      // engine auto-caps band buckets (bounded recall past the 64-bit
-      // banding floor — see simHashPairs scaladoc), so this exact
-      // complete-cover replay is only valid below that threshold
-      // (true at sf0.001–sf1; the sf10 gate excludes it by design,
-      // see tools/check_sf10_dedup.sh).
+      // ORACLE VALIDITY BOUND: the engine emits the exact pair set up
+      // to autoCapDocs = 1M docs (r13 — canonical-cover emission made
+      // the exact cover cheaper than the old 200k auto-cap posture,
+      // so sf0.001…sf10 are ALL exact and the sf10 gate includes this
+      // face again); above 1M docs the auto-cap bounds recall and the
+      // replay no longer applies. The replay bands on its own C(9,2)
+      // two-chunk cover — any complete cover yields the same distinct
+      // pairs — because the ~14-bit two-chunk keys keep the DuckDB
+      // join tractable at 500k docs (measured 36 s at sf10; the old
+      // 8×8-bit single-chunk cover's 2^8 buckets would need ~10^10
+      // comparisons there).
       oracle = Some(
         """WITH d AS (
           |  SELECT doc_id, text FROM documents
@@ -769,12 +774,19 @@ object DedupQueries {
           |    CAST(CASE WHEN fpu >= CAST(1 AS HUGEINT) << 63
           |         THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fps
           |  FROM fp),
+          |starts AS (
+          |  SELECT c, CAST(c * 64 / 9 AS INTEGER) AS lo,
+          |    CAST((c + 1) * 64 / 9 AS INTEGER) - CAST(c * 64 / 9 AS INTEGER) AS w
+          |  FROM range(0, 9) r(c)),
           |banded AS (
-          |  SELECT doc_id, fps, c, CAST((fpu >> CAST(c * 8 AS INTEGER)) & 255 AS BIGINT) AS key
-          |  FROM fps CROSS JOIN range(0, 8) r(c))
+          |  SELECT doc_id, fps, si.c * 9 + sj.c AS band,
+          |    CAST(((fpu >> si.lo) & ((CAST(1 AS HUGEINT) << si.w) - 1))
+          |      | (((fpu >> sj.lo) & ((CAST(1 AS HUGEINT) << sj.w) - 1)) << si.w)
+          |      AS BIGINT) AS key
+          |  FROM fps, starts si, starts sj WHERE sj.c > si.c)
           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
           |  CAST(bit_count(xor(x.fps, y.fps)) AS BIGINT) AS hamming
-          |FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
+          |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
           |  AND x.doc_id < y.doc_id
           |WHERE bit_count(xor(x.fps, y.fps)) <= 7
           |ORDER BY a, b""".stripMargin

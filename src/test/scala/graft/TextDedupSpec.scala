@@ -259,13 +259,39 @@ class TextDedupSpec extends SparkTestBase {
       .simHashPairs(corpus, "doc_id", "text", maxHamming = 7,
         maxPerBucket = cap, autoCapDocs = autoDocs, autoCap = autoCap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(None, 200000L, 512) // 60 docs < threshold: exact
+    val exact = pairs(None, 1000000L, 512) // 60 docs < threshold: exact
     // threshold crossed with a generous cap: identical pair set
     assert(pairs(None, 10L, 1000) == exact)
     // threshold crossed with a tight cap: only ever SUBTRACTS pairs
     assert(pairs(None, 10L, 2).subsetOf(exact))
     // the explicit exact-cover escape hatch ignores the threshold
     assert(pairs(Some(Int.MaxValue), 10L, 2) == exact)
+  }
+
+  test("hammingPairs64 bandChunks tiers all emit the identical exact " +
+    "pair set (complete covers), capped output is banding-relative " +
+    "but still a subset") {
+    import spark.implicits._
+    // adversarial spread: clustered near-dups + random far prints
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val fps = (0 until 90).map { i =>
+      val b = bases(i % bases.length)
+      // flip up to 5 bits deterministically
+      val flipped = (0 until (i % 6)).foldLeft(b)((acc, j) =>
+        acc ^ (1L << ((i * 11 + j * 7) % 64)))
+      (i.toLong, flipped)
+    }.toDF("id", "fp")
+    def run(c: Int, cap: Option[Int]) = graft.dedup.Dedup
+      .hammingPairs64(fps, "id", "fp", maxHamming = 5,
+        maxPerBucket = cap, bandChunks = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val two = run(2, None)
+    assert(run(1, None) == two, "1-chunk cover diverged")
+    assert(run(3, None) == two, "3-chunk cover diverged")
+    assert(two.nonEmpty)
+    // capped 3-chunk: a subset of exact (recall bounded, never wrong)
+    assert(run(3, Some(2)).subsetOf(two))
   }
 
   test("algebraic invariants: dedup partitions rows, jaccard bounded, simhash reflexive") {

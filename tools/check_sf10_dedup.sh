@@ -18,16 +18,13 @@ SUBSET=$(grep -v '^#' tools/sf10_dedup_subset.txt | paste -sd, -)
 # recursive CTE over the full pair set, which exceeds DuckDB's temp
 # spill at this scale (measured: >78 GB of duckdb_temp before ENOSPC).
 # It stays rows+schema-checked at sf1 and hash-checked at sf0.01.
-# q_dedup_simhash also leaves the ORACLE subset at sf10 (r11): above
-# 200k docs simHashPairs auto-caps band buckets (the documented
-# bounded-recall posture past the 64-bit banding floor), so the
-# exact-complete-cover DuckDB replay is only valid below the
-# threshold — it stays hash-checked at sf0.001..sf1 where the cover
-# is exact. The TIMED subset keeps it: the capped posture is exactly
-# what must be benched at 500k docs.
+# q_dedup_simhash REJOINED the oracle subset in r13: the engine's
+# exact tier now extends to 1M docs (canonical-cover emission beat
+# the old 200k auto-cap posture outright), so the sf10 output is the
+# exact pair set again, and the replay's new two-chunk banding keeps
+# DuckDB tractable at 500k docs (~36 s).
 ORACLE_SUBSET=$(grep -v '^#' tools/sf10_dedup_subset.txt \
-  | grep -v '^q_dedup_clusters_dist$' \
-  | grep -v '^q_dedup_simhash$' | paste -sd, -)
+  | grep -v '^q_dedup_clusters_dist$' | paste -sd, -)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch \
   "runMain graft.tools.ScaleBench testdata/sf1 BENCH_sf1_dedup.json $SUBSET" \
   "runMain graft.tools.ScaleBench testdata/sf10 BENCH_sf10_dedup.json $SUBSET" \
