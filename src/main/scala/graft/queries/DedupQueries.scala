@@ -486,6 +486,80 @@ object DedupQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_containment_filter_stream",
+      covers = "dedup-containment,T1,T2",
+      fn = (s, dir) => {
+        // the STREAMING front door of the ingest filter, driven for
+        // real: the new-crawl split lands as two drops in a temp in-
+        // dir, Structured Streaming consumes them as separate micro-
+        // batches (maxFilesPerTrigger=1 under AvailableNow), each
+        // batch is containment-filtered against the STATIC history,
+        // and survivors land batchId-keyed. Because survival is a
+        // per-doc function of (doc, static history), the union read
+        // back here equals the one-shot batch filter under ANY
+        // batching — so the drop_incremental oracle applies verbatim
+        // (StreamBatchParitySpec additionally proves kill+resume and
+        // replay idempotence for this sink).
+        val d = table(s, dir, "documents").select("doc_id", "text")
+        val newDocs = d.filter(col("doc_id") % 3L === 0L)
+        val history = d.filter(col("doc_id") % 3L =!= 0L)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q_containfilter")
+        val inDir = root.resolve("in")
+        val outPath = root.resolve("clean").toString
+        val half = newDocs.agg(
+          org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+          .head().getDouble(0)
+        newDocs.filter(col("doc_id") <= half)
+          .write.parquet(inDir.resolve("a").toString)
+        newDocs.filter(col("doc_id") > half)
+          .write.parquet(inDir.resolve("b").toString)
+        graft.streaming.Incremental.containmentFilterStream(
+          s.readStream.schema(newDocs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toString + "/*"),
+          history, "doc_id", "text",
+          outPath, root.resolve("ckpt").toString,
+          n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+          .awaitTermination()
+        s.read.parquet(outPath)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      // identical replay to q_dedup_containment_drop_incremental: the
+      // stream's accumulated survivors ARE that batch filter's output
+      oracle = Some(
+        """WITH sh0 AS (
+          |  SELECT doc_id,
+          |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                   FOR i IN range(1, len(t) - 1)]) AS shs
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+          |  GROUP BY x.doc_id, y.doc_id),
+          |doomed AS (
+          |  SELECT DISTINCT p.a FROM pairs p
+          |  JOIN sizes sa ON sa.doc_id = p.a
+          |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8)
+          |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          |FROM documents d
+          |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT a FROM doomed)
+          |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Streaming containment DROP front door (the r12 pairs " +
+        "face's action): micro-batched new docs filtered against the " +
+        "static standing corpus via containmentFilterStream, " +
+        "batchId-keyed idempotent sink, survivors read back as one " +
+        "relation — order-free by construction, so the batch drop " +
+        "oracle replays it exactly"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       covers = "dedup-clusters",
       fn = (s, dir) =>

@@ -392,6 +392,48 @@ object Incremental {
       }
       .start()
 
+  /** The DROP action of [[containmentStream]] — what a real ingest
+    * wants from the containment front door: each micro-batch's output
+    * is the batch's SURVIVING docs (those NOT ≥ t contained in any
+    * standing-corpus doc; [[graft.dedup.Dedup.containmentDedupAgainst]]
+    * semantics — the curated standing copy always wins, no size
+    * tie-break), not the pair list. Survival of a doc depends only on
+    * (doc, STATIC history), so the union of per-batch survivors equals
+    * the one-shot batch filter over the accumulated input under ANY
+    * batching — StreamBatchParitySpec proves it, including kill+resume.
+    * Same idempotent batchId-keyed Overwrite sink as the pairs face:
+    * an at-least-once replay rewrites the same rows. Read the clean
+    * corpus as one partitioned relation at `outPath`.
+    */
+  def containmentFilterStream(
+      docs: DataFrame, // streaming; (idCol, textCol, ...) — rows pass through
+      history: DataFrame, // static standing corpus
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      checkpointDir: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Long = 1000L): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // inline containmentDedupAgainst, holding the pair frame so
+        // its cache can be released after the write — a long-running
+        // ingest would otherwise pin one pair-list cache per batch
+        val pairs = graft.dedup.Dedup.containmentPairsAgainst(
+          batch, history, idCol, textCol, n, minContainment, maxDf)
+        val doomed = pairs.select(col("new_id").as(idCol)).distinct()
+        batch.join(doomed, Seq(idCol), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outPath/batch=$batchId")
+        pairs.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the
     * lowest (salted-md5, id) pairs, folded across micro-batches and

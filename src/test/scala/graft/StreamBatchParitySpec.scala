@@ -1138,4 +1138,53 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"stream ${r2.size} vs batch ${want.size}: " +
         s"missing=${(want -- r2.toSet).take(3)} extra=${(r2.toSet -- want).take(3)}")
   }
+
+  test("containment FILTER stream: union of per-batch survivors equals " +
+    "the one-shot containmentDedupAgainst over the accumulated input; " +
+    "kill+resume re-processes nothing and replays are idempotent") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val history = all.filter(col("doc_id") % 3L =!= 0L)
+    val newDocs = all.filter(col("doc_id") % 3L === 0L)
+    val loBatch = newDocs.filter(col("doc_id") < 250L)
+    val hiBatch = newDocs.filter(col("doc_id") >= 250L)
+    val root = Files.createTempDirectory("graftcontainfilter")
+    val inDir = root.resolve("in")
+    val outPath = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(newDocs.schema)
+        .parquet(inDir.toString + "/*")
+      Incremental.containmentFilterStream(stream, history, "doc_id",
+        "text", outPath, ckpt, n = 3, minContainment = 0.8,
+        maxDf = Long.MaxValue)
+        .awaitTermination()
+    }
+    def got() = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSeq
+    // run 1: first crawl drop
+    loBatch.write.parquet(inDir.resolve("a").toString)
+    runOnce()
+    val r1 = got()
+    // run 2, SAME checkpoint: only the second drop is processed
+    hiBatch.write.parquet(inDir.resolve("b").toString)
+    runOnce()
+    val r2 = got()
+    assert(r1.toSet.subsetOf(r2.toSet))
+    assert(r2.size == r2.distinct.size, "a replayed batch double-appended")
+    // run 3, no new input: nothing changes (restart idempotency)
+    runOnce()
+    assert(got().toSet == r2.toSet)
+    // parity: union of per-batch survivors == one-shot batch filter
+    val want = graft.dedup.Dedup
+      .containmentDedupAgainst(newDocs, history, "doc_id", "text",
+        n = 3, minContainment = 0.8, maxDf = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(want.nonEmpty && want.size < newDocs.count(),
+      "fixture sanity: the filter must keep some docs and drop some")
+    assert(r2.toSet == want,
+      s"stream ${r2.size} vs batch ${want.size}: " +
+        s"missing=${(want -- r2.toSet).take(3)} extra=${(r2.toSet -- want).take(3)}")
+  }
 }
