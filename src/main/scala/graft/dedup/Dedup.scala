@@ -2518,19 +2518,43 @@ object Dedup {
       maxPerBucket: Option[Int] = None,
       localThreshold: Long = 500000L): DataFrame = {
     val fp = fpDf.select(col(idCol).as("__id"), col(fpCol).as("__fp")).cache()
-    val reps = fp.groupBy("__fp").agg(min("__id").as("__rep")).cache()
-    // linear star: every non-rep member attaches to its group's rep —
-    // one groupBy + one co-keyed join, no pairwork
-    val stars = fp.join(reps, "__fp")
-      .filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("__id").as("b"))
+    val groups = fp.groupBy("__fp")
+      .agg(min("__id").as("__rep"), count(lit(1)).as("__gn")).cache()
     // near-dup connectivity between exact groups: distinct prints only
     val repPairs = hammingPairs64(
-      reps.select(col("__rep").as("__id"), col("__fp")),
+      groups.select(col("__rep").as("__id"), col("__fp")),
       "__id", "__fp", maxHamming, maxPerBucket)
       .select(col("a"), col("b"))
-    val out = clusterize(stars.unionByName(repPairs), idCol, localThreshold)
-    reps.unpersist()
+    // Components are computed at the REP level only (one node per
+    // distinct fingerprint — DhashGraphProbe r13: 579 reps for 500k
+    // images), then every member INHERITS its rep's label through one
+    // linear join. The pre-r13 formulation unioned the ~corpus-sized
+    // member→rep star edges into the generic clusterize, which (a)
+    // collected them all to the driver in the local tier and (b)
+    // tipped the 500k-image corpus over localThreshold into iterated
+    // distributed star-contraction for a graph whose contraction is
+    // already known — 28 s of CC for 579 real nodes (5.2x/decade on
+    // linear data). Label equality is exact: a component's min id is
+    // its min rep (each rep is its group's min), members never lower
+    // it, so rep-graph labels ARE the member-graph labels.
+    val repComp = clusterize(repPairs, "__rep", localThreshold)
+      .select(col("__rep"), col("component").as("__comp"))
+    // node set preserved exactly: docs in exact groups >= 2 (they had
+    // star edges) plus members of singleton groups whose rep is
+    // near-dup connected (they appeared via repPairs)
+    val out = fp.join(groups, "__fp")
+      .join(repComp, Seq("__rep"), "left")
+      .filter(col("__gn") >= 2L || col("__comp").isNotNull)
+      .select(col("__id"),
+        coalesce(col("__comp"), col("__rep")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("__id").as(idCol), col("component"),
+        col("cluster_size"),
+        (col("__id") === col("component")).as("is_canonical"))
+      .cache()
+    out.count()
+    groups.unpersist()
     fp.unpersist()
     out
   }

@@ -38,7 +38,7 @@ object PerceptualQueries {
     * signature = documents.parquet listing, stale fixture rebuilt,
     * `fn` self-prepares so Verify/IsoBench stay correct standalone.
     */
-  private[queries] def payloadFixture(
+  private[graft] def payloadFixture(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     FixtureCache.payloadParquet(s, dir, "stripepng") {
       table(s, dir, "documents")
