@@ -2655,14 +2655,19 @@ object Dedup {
       .cache()
     val combos = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
     val bandCols = combos.zipWithIndex.map { case ((i, j), idx) =>
+      // canonical-cover prior mask, as in [[hammingPairs64]] (r13) —
+      // m = k+2(+1) stays ≤ 64 for any sane k, so one long covers it
+      val prior = ((1L << j) - 1L) & ~(1L << i)
       struct(
         lit(idx).as("band"),
-        chunk(i).bitwiseOR(shiftleft(chunk(j), chunkWidth(i))).as("key"))
+        chunk(i).bitwiseOR(shiftleft(chunk(j), chunkWidth(i))).as("key"),
+        lit(prior).as("prior"))
     }
     val bandedAll = fp
       .select(col(idCol), col("f1"), col("f2"), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("f1"), col("f2"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        col("bk.band").as("band"), col("bk.key").as("key"),
+        col("bk.prior").as("prior"))
     val banded = maxPerBucket match {
       case None => bandedAll
       case Some(cap) =>
@@ -2675,16 +2680,43 @@ object Dedup {
           .drop("__bn")
     }
     val l = banded.select(col(idCol).as("a"), col("f1").as("a1"), col("f2").as("a2"),
-      col("band"), col("key"))
+      col("band"), col("key"), col("prior"))
     val r = banded.select(col(idCol).as("b"), col("f1").as("b1"), col("f2").as("b2"),
       col("band"), col("key"))
-    val pairs = l.join(r, Seq("band", "key"))
+    // shuffle_merge: the exploded band relation's static size estimate
+    // is its (small, cached) child's — see the hammingPairs64 note on
+    // Generate fooling the broadcast planner (r13, found live at sf10)
+    val joined = l.hint("shuffle_merge").join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
+      .withColumn("hamming",
         (bit_count(col("a1").bitwiseXOR(col("b1"))) +
-          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
-      .distinct()
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+    val pairs = maxPerBucket match {
+      case None =>
+        // canonical-cover emission (r13, same algebra as
+        // hammingPairs64): keep each pair only in the band of its
+        // first two clean chunks — a per-row bitmask test replaces
+        // the distinct over every duplicate band hit. Identical
+        // fingerprints (both xors zero, all chunks clean) survive
+        // exactly in band 0.
+        val cleanMask = (0 until m).map { c =>
+          val w = c / mw
+          val lo = starts(c % mw)
+          val width = starts(c % mw + 1) - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          val xorW = col(s"a${w + 1}").bitwiseXOR(col(s"b${w + 1}"))
+          when(shiftright(xorW, lo).bitwiseAND(mask) === 0L,
+            lit(1L << c)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _)
+        joined
+          .filter(cleanMask.bitwiseAND(col("prior")) === 0L)
+          .select(col("a"), col("b"), col("hamming"))
+      case Some(_) =>
+        // capped buckets prune per band — the canonical band may be
+        // the pruned one, so the capped path keeps the distinct
+        joined.select(col("a"), col("b"), col("hamming")).distinct()
+    }
     val out = pairs.cache()
     out.count()
     fp.unpersist()
