@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Ann {
 
+  private lazy val log =
+    org.apache.logging.log4j.LogManager.getLogger("graft.similarity.Ann")
+
   /** Embedding component quantized to an exact integer grid (×2^20,
     * rounded): float→double is exact, ×2^20 is exact scaling, products
     * stay below 2^42 and 64-term sums below 2^48 — exact in LONG and
@@ -662,7 +665,15 @@ object Ann {
     * driver metadata, k×dim); the pair join shuffles (id, quantized
     * vec) on list_id once. Cluster-size skew is the knob: nLists
     * should grow with corpus size to keep E[cluster] ≈ corpus/nLists
-    * bounded (SemDeDup used 50k clusters for LAION-440M).
+    * bounded (SemDeDup used 50k clusters for LAION-440M) — and since
+    * r13 it DOES: above `autoScaleDocs` vectors, nLists auto-raises to
+    * ceil(n / targetCluster) (measured 27×/decade at sf10 with the
+    * fixed 16 lists — 200k²/16 within-cluster dots — vs near-linear
+    * scaled). The clustering, and therefore the drop set, changes
+    * with k: that is SemDeDup's own contract (cluster count is the
+    * method's recall/cost knob, k-dependent by design); every emitted
+    * drop still carries an exactly-verified cos ≥ minCos witness.
+    * Below the bound nothing changes (every oracle face).
     */
   def semanticDedup(
       df: DataFrame,
@@ -670,9 +681,21 @@ object Ann {
       vecCol: String,
       minCos: Double,
       nLists: Int = 16,
-      iters: Int = 2
+      iters: Int = 2,
+      autoScaleDocs: Long = 50000L,
+      targetCluster: Int = 2048
   ): DataFrame = {
-    val idx = ivfBuild(df, idCol, vecCol, nLists, iters)
+    val n = df.count()
+    val effLists =
+      if (n <= autoScaleDocs) nLists
+      else {
+        val e = math.max(nLists,
+          math.ceil(n.toDouble / targetCluster).toInt)
+        log.warn(s"semanticDedup: corpus has $n vectors — raising " +
+          s"nLists $nLists -> $e (cluster-bounded pairwork; see scaladoc)")
+        e
+      }
+    val idx = ivfBuild(df, idCol, vecCol, effLists, iters)
     val b = idx.assignments
       .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"), col("list_id"))
       .withColumn("nsq", quantDot(col("qv"), col("qv")))
@@ -751,9 +774,35 @@ object Ann {
       idCol: String,
       vecCol: String,
       minCos: Double,
-      bits: Int = 6
+      bits: Int = 6,
+      autoScaleDocs: Long = 50000L,
+      targetBucket: Int = 2048
   ): DataFrame = {
-    val b = signLshBuckets(df, idCol, vecCol, bits)
+    // AUTO-SCALED BUCKET GRANULARITY (r13, the simHashPairs precedent):
+    // a FIXED bit width has an n²/2^bits candidate floor — measured
+    // 64×/decade at sf10 (200k vectors / 2⁴ buckets = 1.25e9 in-bucket
+    // dots AND only 16 parallel join groups; 90.5 s wall, the first
+    // similarity decade pair caught it). Above `autoScaleDocs` vectors
+    // the bit width grows to keep the expected bucket near
+    // `targetBucket` (more sign planes = strictly FINER buckets: the
+    // plane sequence is a prefix, so the scaled pair set is a PROVABLE
+    // SUBSET of the requested-bits set — precision stays exact, every
+    // emitted pair is verified cos ≥ minCos; recall of
+    // threshold-grazing pairs drops, which is the inherent
+    // single-table sign-LSH trade — AnnSpec pins the subset). Below
+    // the bound nothing changes (every oracle face: sf0.001…sf1).
+    val n = df.count()
+    val effBits =
+      if (n <= autoScaleDocs) bits
+      else {
+        val needed = math.ceil(
+          math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+        val e = math.max(bits, needed)
+        log.warn(s"cosineNearDupPairs: corpus has $n vectors — raising " +
+          s"sign-LSH bits $bits -> $e (bounded recall; see scaladoc)")
+        e
+      }
+    val b = signLshBuckets(df, idCol, vecCol, effBits)
       .select(col(idCol), quantizeUdf(col(vecCol)).as("qv"), col("bucket"))
       .withColumn("nsq", quantDot(col("qv"), col("qv")))
     val l = b.select(col(idCol).as("a"), col("qv").as("qva"), col("nsq").as("na"), col("bucket"))

@@ -81,4 +81,44 @@ class AnnLshSpec extends SparkTestBase {
       assert(exact(pair) == cos, s"$pair: lsh=$cos exact=${exact(pair)}")
     }
   }
+
+  test("cosineNearDupPairs auto-scaled bits: a PROVABLE SUBSET of the " +
+    "requested-bits pair set (prefix planes), precision stays exact") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(auto: Long) = Ann
+      .cosineNearDupPairs(e, "vec_id", "embedding", minCos = 0.3,
+        bits = 2, autoScaleDocs = auto, targetBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs(Long.MaxValue).toSet // bound never crossed
+    val scaled = pairs(1L) // bound always crossed: bits auto-raise
+    assert(scaled.nonEmpty && exact.nonEmpty)
+    assert(scaled.toSet.subsetOf(exact),
+      s"scaled emitted pairs outside the requested-bits set: " +
+        s"${(scaled.toSet -- exact).take(3)}")
+    // precision: every surviving pair carries the same exact cosine
+    val exactByKey = exact.map(t => (t._1, t._2) -> t._3).toMap
+    scaled.foreach { case (a, b, cos) =>
+      assert(exactByKey((a, b)) == cos)
+    }
+  }
+
+  test("semanticDedup auto-scaled nLists: every emitted drop still " +
+    "carries an exactly-verified qualifying witness (precision exact " +
+    "under any clustering)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val scaled = Ann.semanticDedup(e, "vec_id", "embedding",
+      minCos = 0.3, nLists = 4, iters = 2,
+      autoScaleDocs = 1L, targetCluster = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(scaled.nonEmpty)
+    // brute-force all-pairs truth: the witness must be a real >= 0.3
+    // lower-id partner with the exact quantized cosine
+    val truth = Ann.cosineExactPairs(e, "vec_id", "embedding", minCos = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    scaled.foreach { case (dropId, keeperId, cos) =>
+      assert(keeperId < dropId)
+      assert(truth((keeperId, dropId)) == cos,
+        s"($keeperId,$dropId): engine cos $cos vs truth ${truth.get((keeperId, dropId))}")
+    }
+  }
 }

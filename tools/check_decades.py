@@ -38,6 +38,12 @@ PAIRS = [
     # honestly linear work (measured 6.4x), dhash_clusters 1.9x,
     # merge_upsert 2.0x — the 12x near-linear bar covers all three
     ("BENCH_sf1_r13.json", "BENCH_sf10_r13.json", 12.0),
+    # similarity family (first decade pair, r13): adding it immediately
+    # caught two fixed-granularity blockers crossing their n² floors —
+    # embedding_cosine 64x (2^4 sign-LSH buckets) and semantic 27x
+    # (16 k-means lists) — both now auto-scale granularity above 50k
+    # vectors (exact below; every oracle face is). Post-fix max 4.6x.
+    ("BENCH_sf1_sim.json", "BENCH_sf10_sim.json", 12.0),
 ]
 
 # query -> (budget, documented reason). Keep entries RARE and REASONED.
