@@ -163,7 +163,11 @@ object WebQueries {
         val o = table(s, dir, "orders")
         val l = table(s, dir, "lineitem")
         val even = col("l_orderkey") % 2 === 0
-        val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        // pin the fact-dim preamble join to shuffled-hash: sort-merge
+        // would sort all 6|orders| lineitem rows just to throw the
+        // order away in the distinct (probed: 32 s vs 7 s at sf10)
+        val e = o.hint("shuffle_hash")
+          .join(l, col("o_orderkey") === col("l_orderkey"))
           .select(
             when(even, col("o_custkey") * 2)
               .otherwise(col("l_suppkey") * 2 + 1).cast("long").as("src"),

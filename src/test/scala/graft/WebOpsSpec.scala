@@ -98,6 +98,62 @@ class WebOpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("pageRank: broadcast and shuffle postures emit identical ranks") {
+    // 40-node deterministic graph with cycles, a dangling sink, fan-in
+    // and fan-out — enough structure that a posture bug would show
+    val e = (0L until 40L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 1) % 40)) ++
+        (if (i % 5 == 0) Seq((i, 39L)) else Nil)
+    }.distinct.filter { case (s, d) => s != d && s != 39L }
+      .toDF("src", "dst")
+    def run(bound: String) = {
+      spark.conf.set("spark.graft.pagerank.broadcastMaxNodes", bound)
+      try LinkGraph.pageRank(e, iters = 4, checkpointEvery = 2).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
+    }
+    val viaShuffle = run("0")
+    val viaBroadcast = run("1000000")
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle.size == 40)
+  }
+
+  test("pageRank broadcast posture: the whole iteration plan is " +
+    "exchange-free (ranks broadcast into the dst-partitioned edge cache)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
+      case r: ReusedExchangeExec => Seq(r) ++ allNodes(r.child)
+      case other => Seq(other) ++ other.children.flatMap(allNodes)
+    }
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    spark.conf.set("spark.graft.pagerank.capturePlan", "true")
+    try {
+      LinkGraph.lastRanksPlan = None
+      LinkGraph.pageRank(e, iters = 2).collect()
+      val plan = LinkGraph.lastRanksPlan.getOrElse(
+        fail("capturePlan=true but no plan captured"))
+      val nodes = allNodes(plan)
+      // every exchange in the round plan would be edge- or node-sized
+      // work repeated per iteration; the broadcast posture needs none —
+      // the caches were built partitioned (dst for edges, node for the
+      // node table) and the rank table ships as a broadcast
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"broadcast-posture iteration plan has shuffles:\n" +
+          shuffles.mkString("\n"))
+      assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+        nodes.map(_.nodeName).mkString(", "))
+    } finally {
+      LinkGraph.lastRanksPlan = None
+      spark.conf.unset("spark.graft.pagerank.capturePlan")
+    }
+  }
+
   // ------------------------------------------------------------------
 
   test("topDuplicatedNgrams counts occurrences and distinct docs, min exemplar") {
