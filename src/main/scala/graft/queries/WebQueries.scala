@@ -210,7 +210,8 @@ object WebQueries {
       doc = "most-duplicated token 3-grams corpus-wide (Lee et al. " +
         "'22's dedup audit — the boilerplate-family exposure run " +
         "before picking dedup thresholds): per-row gram generation " +
-        "(no self-join), one count shuffle keyed on 16-byte digests " +
+        "in one compiled loop per doc (no self-join, no interpreted " +
+        "HOF lambdas), one count shuffle keyed on 16-byte digests " +
         "with a min-exemplar gram, TakeOrderedAndProject top-k"
     ),
     // ----------------------------------------------------------------

@@ -49,7 +49,31 @@ object NgramProbe {
     val nGrams = time("gram generation (count only)") { grams.count() }
     println(s"[ngprobe] grams=$nGrams")
 
-    time("current operator end-to-end") {
+    // interleaved generation-only A/B (count(gram) forces the strings)
+    def genHof() = grams.select(count(col("gram"))).collect()(0).getLong(0)
+    def genUdf() = docs.select(col("doc_id"),
+        explode(graft.text.CorpusAudit.gramsUdf(n)(col("text"))).as("gram"))
+      .where(length(col("gram")) > 0)
+      .select(count(col("gram"))).collect()(0).getLong(0)
+    for (rep <- 1 to 3) {
+      time(s"gen HOF run$rep") { genHof() }
+      time(s"gen UDF run$rep") { genUdf() }
+    }
+
+    for (rep <- 1 to 2) time(s"r13-pre one-pass md5 agg (old shape) run$rep") {
+      grams.select(col("doc_id"), md5(col("gram")).as("g"), col("gram"))
+        .groupBy("g")
+        .agg(min("gram").as("gram"),
+          count(lit(1)).as("occurrences"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("example_doc"))
+        .where(col("occurrences") > 1)
+        .select("gram", "occurrences", "n_docs", "example_doc")
+        .orderBy(col("occurrences").desc, col("gram").asc)
+        .limit(100).count()
+    }
+
+    for (rep <- 1 to 2) time(s"operator (compiled-loop generation) run$rep") {
       graft.text.CorpusAudit.topDuplicatedNgrams(
         docs, "doc_id", "text", n = 3, k = 100).count()
     }

@@ -170,6 +170,27 @@ class WebOpsSpec extends SparkTestBase {
     assert(!out.exists(_._1.startsWith("x")))
   }
 
+  test("gramsUdf matches the HOF transform/slice/concat_ws pipeline, " +
+    "including empty-token and short-doc edges") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "x  y z"), // double space: empty token kept
+      (3L, " lead"), (4L, "trail "), (5L, "ab"), (6L, ""), (7L, "a b c")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val viaHof = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val viaUdf = docs.select(col("doc_id"),
+          explode(CorpusAudit.gramsUdf(n)(col("text"))).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(viaUdf == viaHof, s"n=$n")
+    }
+  }
+
   test("madLengthGate: exact lower medians and integer keep decision") {
     // group g: lens 1, 5, 9, 100 (even count → lower median = 5)
     // adevs: 4, 0, 4, 95 → lower-median MAD = 4 → keep iff |len-5| <= 12
