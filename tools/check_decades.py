@@ -34,9 +34,10 @@ PAIRS = [
     # broad operator sweep: near-linear bar
     ("BENCH_sf1_newops.json", "BENCH_sf10_newops.json", 12.0),
     # iterative / graph faces re-probed r13 (post pageRankWithCleanup,
-    # post rep-level clusterizeHamming64): pagerank is edges x iters =
-    # honestly linear work (measured 6.4x), dhash_clusters 1.9x,
-    # merge_upsert 2.0x — the 12x near-linear bar covers all three
+    # post rep-level clusterizeHamming64, post the broadcast-ranks
+    # posture + compiled gram loop): pagerank 3.2x (was 7.8x before the
+    # posture work), top_ngrams ~5x ambient-band (was 8.3x),
+    # dhash_clusters 2.4x, merge_upsert 2.5x — all under the 12x bar
     ("BENCH_sf1_r13.json", "BENCH_sf10_r13.json", 12.0),
     # similarity family (first decade pair, r13): adding it immediately
     # caught two fixed-granularity blockers crossing their n² floors —
