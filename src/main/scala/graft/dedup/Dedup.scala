@@ -439,6 +439,156 @@ object Dedup {
       windowRebuildUdf(wordsPerPara))
   }
 
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al. '22,
+    * "Deduplicating Training Data Makes Language Models Better" §3.1:
+    * remove the repeated substring itself, everywhere past its first
+    * occurrence, rather than dropping or keeping whole documents —
+    * their suffix-array ExactSubstr tool, here as the standard
+    * distributed sliding-window approximation at token granularity).
+    *
+    * Contract: every `windowTokens`-token sliding window that occurs
+    * more than once in the corpus (any doc, any alignment — including
+    * a second occurrence inside the SAME doc) keeps its globally first
+    * occurrence (lexicographic (id, pos)) and is removed everywhere
+    * else; removed windows union into maximal spans per doc (token-set
+    * semantics, so overlapping windows merge for free). A duplicated
+    * span of length L ≥ windowTokens is covered end-to-end by its own
+    * sliding windows, so the whole span disappears — contrast
+    * [[windowDedup]], whose NON-overlapping chunks miss any duplicate
+    * shifted off chunk alignment. Returns (id, clean_text, n_tokens,
+    * n_removed); docs shorter than the window pass through untouched.
+    * Known ExactSubstr edge (documented, spec-pinned): a doc can win
+    * one window and lose an overlapping one, leaving sub-window
+    * fragments at span borders — exactly the reference tool's
+    * behavior.
+    *
+    * Scale shape (the [[paragraphDedup]] discipline, token-granular):
+    * the first-occurrence rank shuffles ONLY (16-byte digest, id,
+    * pos) triples — one row per corpus token, never the text; the
+    * removal relation is duplication-bound and id-keyed; text moves
+    * once, and each doc is rebuilt by one compiled pass. Window
+    * generation is one compiled loop per doc
+    * ([[graft.text.CorpusAudit.gramsUdf]]).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    require(windowTokens >= 1, "windowTokens >= 1")
+    val wins = df
+      .select(col(idCol),
+        posexplode(
+          graft.text.CorpusAudit.gramsUdf(windowTokens)(col(textCol)))
+          .as(Seq("pos", "__win")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        unhex(md5(col("__win"))).as("__digest"))
+    val w = Window.partitionBy("__digest")
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val drops = wins
+      .withColumn("__occ", row_number().over(w))
+      .filter(col("__occ") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+    val nToks = when(col(textCol).isNotNull,
+      size(split(col(textCol), " ")).cast("long")).otherwise(0L)
+    df.select(col(idCol), col(textCol), nToks.as("n_tokens"))
+      .join(drops, Seq(idCol), "left")
+      .withColumn("__r",
+        spanRemoveUdf(windowTokens)(col(textCol), col("__drop_pos")))
+      .select(col(idCol), col("__r._1").as("clean_text"), col("n_tokens"),
+        (col("n_tokens") - col("__r._2")).as("n_removed"))
+  }
+
+  /** Incremental [[removeDuplicateSpans]] — the refresh/ingest shape:
+    * scrub from each NEW document every `windowTokens`-token window
+    * that occurs anywhere in the STANDING corpus (the curated history
+    * always wins — no rank, its copy is by definition first), plus any
+    * window already seen EARLIER in the new batch itself ((id, pos)
+    * order, so batch-internal duplication collapses exactly as the
+    * batch version would). History documents are never rewritten.
+    *
+    * Scale shape: the history side reduces to its DISTINCT window
+    * digests (16 bytes per distinct window, built once per refresh —
+    * at a standing 100 TB corpus this is the persisted window index a
+    * refresh loop maintains incrementally, the same posture as
+    * [[containmentPairsAgainst]]'s history postings); the join keys
+    * new-batch digests against it — batch-sized, not corpus-sized —
+    * and the rebuild is the batch-only compiled pass.
+    */
+  def removeDuplicateSpansAgainst(
+      newDf: DataFrame,
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    require(windowTokens >= 1, "windowTokens >= 1")
+    def windows(df: DataFrame) = df
+      .select(col(idCol),
+        posexplode(
+          graft.text.CorpusAudit.gramsUdf(windowTokens)(col(textCol)))
+          .as(Seq("pos", "__win")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        unhex(md5(col("__win"))).as("__digest"))
+    val histIdx = windows(histDf).select("__digest").distinct()
+    val newWins = windows(newDf)
+    // batch-internal first-occurrence rank (same rule as the batch op)
+    val w = Window.partitionBy("__digest")
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val ranked = newWins.withColumn("__occ", row_number().over(w))
+    // drop: window known to history (semi) OR repeated within the batch
+    val inHist = ranked
+      .join(histIdx, Seq("__digest"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val inBatch = ranked.filter(col("__occ") > 1).select(col(idCol), col("pos"))
+    val drops = inHist.union(inBatch).distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+    val nToks = when(col(textCol).isNotNull,
+      size(split(col(textCol), " ")).cast("long")).otherwise(0L)
+    newDf.select(col(idCol), col(textCol), nToks.as("n_tokens"))
+      .join(drops, Seq(idCol), "left")
+      .withColumn("__r",
+        spanRemoveUdf(windowTokens)(col(textCol), col("__drop_pos")))
+      .select(col(idCol), col("__r._1").as("clean_text"), col("n_tokens"),
+        (col("n_tokens") - col("__r._2")).as("n_removed"))
+  }
+
+  /** In-row span scrub for [[removeDuplicateSpans]]: union the dropped
+    * windows' [pos, pos+w) token ranges, emit surviving tokens joined
+    * by single spaces (identity when nothing is dropped — split on
+    * ' ' keeps empty tokens, so rejoining reproduces the original
+    * byte-for-byte), and report the kept count.
+    */
+  private def spanRemoveUdf(w: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, drops: Seq[Long]) =>
+      if (text == null) ("", 0L)
+      else if (drops == null || drops.isEmpty)
+        (text, text.split(" ", -1).length.toLong)
+      else {
+        val toks = text.split(" ", -1)
+        val covered = new Array[Boolean](toks.length)
+        drops.foreach { p =>
+          var i = p.toInt
+          val end = math.min(toks.length, p.toInt + w)
+          while (i < end) { covered(i) = true; i += 1 }
+        }
+        val sb = new java.lang.StringBuilder(text.length)
+        var kept = 0L; var first = true; var i = 0
+        while (i < toks.length) {
+          if (!covered(i)) {
+            if (first) first = false else sb.append(' ')
+            sb.append(toks(i)); kept += 1
+          }
+          i += 1
+        }
+        (sb.toString, kept)
+      }
+    }
+
   /** Letter histogram (a-z counts) in ONE compiled pass over the text
     * — the edit-distance prefilter's per-doc feature. (An expression
     * formulation would scan the text 26 times via replace().)

@@ -149,6 +149,113 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_span_removal",
+      covers = "dedup-exact-substring,paragraph-dedup",
+      fn = (s, dir) =>
+        graft.dedup.Dedup
+          .removeDuplicateSpans(table(s, dir, "documents"), "doc_id",
+            "text", windowTokens = 8)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .select("doc_id", "clean_md5", "n_tokens", "n_removed")
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+          |        md5(array_to_string(toks[p:p+7], ' ')) AS d
+          |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(p)
+          |      WHERE len(toks) >= 8),
+          |r AS (SELECT doc_id, pos,
+          |        row_number() OVER (PARTITION BY d ORDER BY doc_id, pos) AS occ
+          |      FROM w),
+          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
+          |          FROM r, UNNEST(generate_series(0, 7)) AS g(i)
+          |          WHERE occ > 1),
+          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
+          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)),
+          |kept AS (SELECT k.doc_id, k.idx, k.tok
+          |         FROM tok k LEFT JOIN cover c
+          |           ON c.doc_id = k.doc_id AND c.idx = k.idx
+          |         WHERE c.idx IS NULL),
+          |rb AS (SELECT doc_id,
+          |         string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+          |         CAST(count(*) AS BIGINT) AS n_kept
+          |       FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |  md5(coalesce(rb.clean_text, '')) AS clean_md5,
+          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
+          |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "ExactSubstr-style duplicated-span removal (Lee et al. " +
+        "'22 §3.1 as the sliding-window approximation): every 8-token " +
+        "window occurring twice anywhere in the corpus keeps only its " +
+        "globally-first (doc_id, pos) occurrence; removed windows " +
+        "union into maximal spans and each doc is rebuilt from " +
+        "surviving tokens (digest-compared). The rank shuffle carries " +
+        "(16-byte digest, id, pos) — one row per corpus token, never " +
+        "text; catches duplicates at ANY alignment, unlike the " +
+        "non-overlapping q_text_window_dedup chunks"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q_dedup_span_removal_incremental",
+      covers = "dedup-exact-substring,T2",
+      fn = (s, dir) => {
+        // refresh shape: scrub the new batch (%3==0) against the
+        // standing history's window index (%3!=0); history docs are
+        // never rewritten, batch-internal dups collapse to their first
+        val d = table(s, dir, "documents")
+        graft.dedup.Dedup
+          .removeDuplicateSpansAgainst(
+            d.filter(col("doc_id") % 3L === 0L),
+            d.filter(col("doc_id") % 3L =!= 0L),
+            "doc_id", "text", windowTokens = 8)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .select("doc_id", "clean_md5", "n_tokens", "n_removed")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+          |        md5(array_to_string(toks[p:p+7], ' ')) AS d
+          |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(p)
+          |      WHERE len(toks) >= 8),
+          |hist AS (SELECT DISTINCT d FROM w WHERE doc_id % 3 <> 0),
+          |nw AS (SELECT doc_id, pos, d,
+          |         row_number() OVER (PARTITION BY d ORDER BY doc_id, pos) AS occ
+          |       FROM w WHERE doc_id % 3 = 0),
+          |dropw AS (
+          |  SELECT doc_id, pos FROM nw WHERE occ > 1
+          |  UNION
+          |  SELECT nw.doc_id, nw.pos FROM nw JOIN hist USING (d)),
+          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
+          |          FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)),
+          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
+          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
+          |        WHERE doc_id % 3 = 0),
+          |kept AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
+          |         LEFT JOIN cover c ON c.doc_id = k.doc_id AND c.idx = k.idx
+          |         WHERE c.idx IS NULL),
+          |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+          |         CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, md5(coalesce(rb.clean_text, '')) AS clean_md5,
+          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
+          |WHERE t.doc_id % 3 = 0
+          |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "incremental ExactSubstr span scrub (refresh shape): new " +
+        "docs lose every 8-token window present in the standing " +
+        "corpus's distinct-digest window index (history always wins, " +
+        "never rewritten) or seen earlier in the batch; equals the " +
+        "batch op on hist ∪ new restricted to new docs (spec-proven). " +
+        "History side reduces to 16-byte distinct digests — the " +
+        "persisted window index a refresh loop maintains"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_paragraph_dedup",
       covers = "paragraph-dedup,D1",
       fn = (s, dir) => {

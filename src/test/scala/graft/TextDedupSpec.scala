@@ -918,4 +918,83 @@ class TextDedupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L, 4L, 7L))
   }
+
+  // ------------------------------------------------------------------
+
+  private def spansOf(corpus: Seq[(Long, String)], w: Int) =
+    Dedup.removeDuplicateSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("removeDuplicateSpans: cross-doc span removed past its first " +
+    "occurrence; overlapping windows merge to the maximal span") {
+    val out = spansOf(Seq(
+      (1L, "a b c d e f"),          // every window first-seen → intact
+      (2L, "x y a b c d e z w"),    // shares the 5-token span a..e
+      (5L, "k l")                   // shorter than the window → intact
+    ), w = 3)
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+    // dup windows at pos 2,3,4 cover tokens 2..6 — one maximal span
+    assert(out(2L) == (("x y z w", 9L, 5L)))
+    assert(out(5L) == (("k l", 2L, 0L)))
+  }
+
+  test("removeDuplicateSpans: within-doc repetition loses its second " +
+    "occurrence; an exact-duplicate doc is scrubbed to empty") {
+    val out = spansOf(Seq(
+      (1L, "a b c d e f"),
+      (3L, "p q r s p q r s"),      // self-repeat: second half covered
+      (4L, "a b c d e f")           // exact dup of doc 1 → emptied
+    ), w = 3)
+    assert(out(3L) == (("p q r s", 8L, 4L)))
+    assert(out(4L) == (("", 6L, 6L)))
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+  }
+
+  test("removeDuplicateSpans: border fragments below the window size " +
+    "survive (the documented ExactSubstr edge)") {
+    val out = spansOf(Seq(
+      (1L, "a b c d e f"),
+      (6L, "m n a b c d q")         // only windows (a b c),(b c d) dup
+    ), w = 3)
+    // covered tokens 2..5 — 'm n' and the trailing fragment 'q' stay
+    assert(out(6L) == (("m n q", 7L, 4L)))
+  }
+
+  test("removeDuplicateSpansAgainst: history always wins, batch-internal " +
+    "dups collapse, and the result equals the batch op on hist ∪ new") {
+    val hist = Seq(
+      (1L, "a b c d e f"),
+      (2L, "s t u v w")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "x y a b c d e z"),      // span a..e known to history
+      (11L, "p q r p q r s t u o"),  // self-repeat + history span s t u
+      (12L, "p q r fresh stuff here")// p q r seen FIRST in doc 11
+    ).toDF("doc_id", "text")
+    val inc = Dedup
+      .removeDuplicateSpansAgainst(fresh, hist, "doc_id", "text",
+        windowTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // hand checks: 10 loses tokens 2..6; 11 loses its second p-q-r
+    // (pos 3..5) and s-t-u (pos 6..8); 12 keeps its p q r? NO — doc 11
+    // holds the batch-first occurrence (id 11 < 12), so 12's is removed
+    assert(inc(10L) == (("x y z", 8L, 5L)))
+    assert(inc(11L) == (("p q r o", 10L, 6L)))
+    assert(inc(12L) == (("fresh stuff here", 6L, 3L)))
+    // parity with the batch op over hist ∪ new (hist ids all smaller,
+    // so the global rank agrees with "history wins")
+    val batch = Dedup
+      .removeDuplicateSpans(hist.unionByName(fresh), "doc_id", "text",
+        windowTokens = 3)
+      .filter(col("doc_id") >= 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(inc == batch)
+  }
 }

@@ -39,6 +39,22 @@ PAIRS = [
     # posture work), top_ngrams ~5x ambient-band (was 8.3x),
     # dhash_clusters 2.4x, merge_upsert 2.5x — all under the 12x bar
     ("BENCH_sf1_r13.json", "BENCH_sf10_r13.json", 12.0),
+    # e2e composites + heavy text/multimodal faces (r13, second half):
+    # the two flagship funnels are FLAT across the decade (curation
+    # 0.8x, refresh 1.1x — state rebuild and funnel cost are
+    # corpus-fraction-bound, not corpus-bound); the top ratios are the
+    # per-row codec face (mm_resize ~9x: wall tracks rows 1:1, the
+    # honest floor for a CPU-saturated per-row op) and
+    # audio_fingerprint_pairs 9.7x (fixture-dense pair output; the
+    # heaviest gated wall at 34.7s — first candidate for a stage
+    # probe). q_mm_dhash_neardup was measured and EXCLUDED: the cyclic
+    # stripe-PNG fixture repeats print patterns every ~7.4k groups, so
+    # copies-per-print grow linearly with corpus and the TRUE pair set
+    # quadratically (>15 min at sf10) — output-bound by construction,
+    # the same adjudication as the brute-force audit faces; its linear
+    # decision-level face (q_mm_dhash_clusters, rep-level CC) stays
+    # gated in the r13 pair above.
+    ("BENCH_sf1_e2e.json", "BENCH_sf10_e2e.json", 12.0),
     # similarity family (first decade pair, r13): adding it immediately
     # caught two fixed-granularity blockers crossing their n² floors —
     # embedding_cosine 64x (2^4 sign-LSH buckets) and semantic 27x
