@@ -504,10 +504,15 @@ object Dedup {
   /** Incremental [[removeDuplicateSpans]] — the refresh/ingest shape:
     * scrub from each NEW document every `windowTokens`-token window
     * that occurs anywhere in the STANDING corpus (the curated history
-    * always wins — no rank, its copy is by definition first), plus any
-    * window already seen EARLIER in the new batch itself ((id, pos)
-    * order, so batch-internal duplication collapses exactly as the
-    * batch version would). History documents are never rewritten.
+    * always wins — no rank, its copy is by definition first), plus —
+    * when `batchInternal` (default) — any window already seen EARLIER
+    * in the new batch itself ((id, pos) order, so batch-internal
+    * duplication collapses exactly as the batch version would).
+    * History documents are never rewritten. `batchInternal = false` is
+    * the order-free posture
+    * [[graft.streaming.Incremental.spanScrubStream]] runs: the scrub
+    * is then a pure function of (doc, history), invariant under any
+    * micro-batching, and the rank shuffle is skipped entirely.
     *
     * Scale shape: the history side reduces to its DISTINCT window
     * digests (16 bytes per distinct window, built once per refresh —
@@ -522,7 +527,8 @@ object Dedup {
       histDf: DataFrame,
       idCol: String,
       textCol: String,
-      windowTokens: Int = 50
+      windowTokens: Int = 50,
+      batchInternal: Boolean = true
   ): DataFrame = {
     require(windowTokens >= 1, "windowTokens >= 1")
     def windows(df: DataFrame) = df
@@ -534,16 +540,26 @@ object Dedup {
         unhex(md5(col("__win"))).as("__digest"))
     val histIdx = windows(histDf).select("__digest").distinct()
     val newWins = windows(newDf)
-    // batch-internal first-occurrence rank (same rule as the batch op)
-    val w = Window.partitionBy("__digest")
-      .orderBy(col(idCol).asc, col("pos").asc)
-    val ranked = newWins.withColumn("__occ", row_number().over(w))
-    // drop: window known to history (semi) OR repeated within the batch
-    val inHist = ranked
+    // window known to history (semi-join on 16-byte digests)
+    val inHist = newWins
       .join(histIdx, Seq("__digest"), "left_semi")
       .select(col(idCol), col("pos"))
-    val inBatch = ranked.filter(col("__occ") > 1).select(col(idCol), col("pos"))
-    val drops = inHist.union(inBatch).distinct()
+    // `batchInternal = false` is the STREAMING posture: each doc's
+    // scrub is then a pure function of (doc, static history), so any
+    // micro-batching of the input emits the same rows — the rank
+    // window (and its shuffle) is skipped entirely
+    val dropRows =
+      if (!batchInternal) inHist
+      else {
+        val w = Window.partitionBy("__digest")
+          .orderBy(col(idCol).asc, col("pos").asc)
+        val inBatch = newWins
+          .withColumn("__occ", row_number().over(w))
+          .filter(col("__occ") > 1)
+          .select(col(idCol), col("pos"))
+        inHist.union(inBatch).distinct()
+      }
+    val drops = dropRows
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
     val nToks = when(col(textCol).isNotNull,

@@ -256,6 +256,82 @@ object CurationOpsQueries {
     ),
     // ----------------------------------------------------------------
     QueryDef(
+      "q_dedup_span_scrub_stream",
+      covers = "dedup-exact-substring,T1,T2",
+      fn = (s, dir) => {
+        // the STREAMING span scrub, driven for real: the new-crawl
+        // split lands as two drops, Structured Streaming consumes them
+        // as separate micro-batches (maxFilesPerTrigger=1 under
+        // AvailableNow), each batch is scrubbed against the STATIC
+        // history in the order-free posture (batchInternal=false), and
+        // the rewrites land batchId-keyed. Scrub = f(doc, history), so
+        // the union read back equals the one-shot history-only scrub
+        // under ANY batching — the oracle replays exactly that
+        // (StreamBatchParitySpec adds kill+resume and replay
+        // idempotence for this sink).
+        val d = table(s, dir, "documents").select("doc_id", "text")
+        val newDocs = d.filter(col("doc_id") % 3L === 0L)
+        val history = d.filter(col("doc_id") % 3L =!= 0L)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q_spanscrub")
+        val inDir = root.resolve("in")
+        val outPath = root.resolve("clean").toString
+        val half = newDocs.agg(
+          org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+          .head().getDouble(0)
+        newDocs.filter(col("doc_id") <= half)
+          .write.parquet(inDir.resolve("a").toString)
+        newDocs.filter(col("doc_id") > half)
+          .write.parquet(inDir.resolve("b").toString)
+        graft.streaming.Incremental.spanScrubStream(
+          s.readStream.schema(newDocs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toString + "/*"),
+          history, "doc_id", "text",
+          outPath, root.resolve("ckpt").toString, windowTokens = 8)
+          .awaitTermination()
+        s.read.parquet(outPath)
+          .withColumn("clean_md5", md5(col("clean_text")))
+          .select("doc_id", "clean_md5", "n_tokens", "n_removed")
+          .orderBy("doc_id")
+      },
+      // the history-only scrub replay (the incremental oracle WITHOUT
+      // its batch-internal rank branch)
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+          |        md5(array_to_string(toks[p:p+7], ' ')) AS d
+          |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(p)
+          |      WHERE len(toks) >= 8),
+          |hist AS (SELECT DISTINCT d FROM w WHERE doc_id % 3 <> 0),
+          |nw AS (SELECT doc_id, pos, d FROM w WHERE doc_id % 3 = 0),
+          |dropw AS (SELECT nw.doc_id, nw.pos FROM nw JOIN hist USING (d)),
+          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
+          |          FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)),
+          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
+          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
+          |        WHERE doc_id % 3 = 0),
+          |kept AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
+          |         LEFT JOIN cover c ON c.doc_id = k.doc_id AND c.idx = k.idx
+          |         WHERE c.idx IS NULL),
+          |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+          |         CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, md5(coalesce(rb.clean_text, '')) AS clean_md5,
+          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
+          |WHERE t.doc_id % 3 = 0
+          |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "streaming ExactSubstr span scrub driven for real (two " +
+        "micro-batches via maxFilesPerTrigger=1, batchId-keyed " +
+        "idempotent sink): each batch rewritten against the static " +
+        "history's window index in the order-free posture, so the " +
+        "accumulated output hash-matches the one-shot history-only " +
+        "scrub replay"
+    ),
+    // ----------------------------------------------------------------
+    QueryDef(
       "q_text_paragraph_dedup",
       covers = "paragraph-dedup,D1",
       fn = (s, dir) => {

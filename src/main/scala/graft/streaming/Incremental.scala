@@ -434,6 +434,41 @@ object Incremental {
       }
       .start()
 
+  /** Streaming ExactSubstr span scrub — the ingest-time face of
+    * [[graft.dedup.Dedup.removeDuplicateSpansAgainst]]: each
+    * micro-batch's docs are rewritten with every window already present
+    * in the STATIC standing corpus removed (history always wins). The
+    * stream runs the history-only posture (`batchInternal = false`):
+    * each doc's scrub is a pure function of (doc, history), so the
+    * union of per-batch outputs equals the one-shot history-only scrub
+    * of the accumulated input under ANY batching — batch-internal
+    * ranking would make a doc's output depend on which batch its
+    * duplicate landed in (StreamBatchParitySpec proves the parity,
+    * kill+resume, and replay idempotence). Same batchId-keyed
+    * Overwrite sink as the containment faces.
+    */
+  def spanScrubStream(
+      docs: DataFrame, // streaming; (idCol, textCol)
+      history: DataFrame, // static standing corpus
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      checkpointDir: String,
+      windowTokens: Int = 50): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Dedup
+          .removeDuplicateSpansAgainst(batch, history, idCol, textCol,
+            windowTokens, batchInternal = false)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the
     * lowest (salted-md5, id) pairs, folded across micro-batches and

@@ -156,6 +156,24 @@ class RepeatGuardSpec extends SparkTestBase {
     }
   }
 
+  test("spanScrubStream 5x: no persisted state outlives a drain, idle " +
+    "drains leave the checkpoint untouched") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val history = all.filter(col("doc_id") % 3L =!= 0L)
+    val newDocs = all.filter(col("doc_id") % 3L === 0L).limit(120)
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft_repeat_spanscrub_in")
+    newDocs.write.mode("overwrite").parquet(inDir.resolve("a").toString)
+    streamGuard("spanscrub") { (out, ckpt) =>
+      graft.streaming.Incremental.spanScrubStream(
+        spark.readStream.schema(newDocs.schema)
+          .parquet(inDir.toString + "/*"),
+        history, "doc_id", "text", out, ckpt, windowTokens = 8)
+        .awaitTermination()
+    }
+  }
+
   test("refreshStream 5x: Bloom rebuild + bucketed appends leave no " +
     "persisted state, idle drains leave the checkpoint untouched") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

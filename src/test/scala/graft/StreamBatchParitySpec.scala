@@ -1187,4 +1187,53 @@ class StreamBatchParitySpec extends SparkTestBase {
       s"stream ${r2.size} vs batch ${want.size}: " +
         s"missing=${(want -- r2.toSet).take(3)} extra=${(r2.toSet -- want).take(3)}")
   }
+
+  test("span-scrub stream: union of per-batch rewrites equals the " +
+    "one-shot history-only scrub of the accumulated input; kill+resume " +
+    "re-processes nothing and replays are idempotent") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val history = all.filter(col("doc_id") % 3L =!= 0L)
+    val newDocs = all.filter(col("doc_id") % 3L === 0L)
+    val loBatch = newDocs.filter(col("doc_id") < 250L)
+    val hiBatch = newDocs.filter(col("doc_id") >= 250L)
+    val root = Files.createTempDirectory("graftspanscrub")
+    val inDir = root.resolve("in")
+    val outPath = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(newDocs.schema)
+        .parquet(inDir.toString + "/*")
+      Incremental.spanScrubStream(stream, history, "doc_id", "text",
+        outPath, ckpt, windowTokens = 8)
+        .awaitTermination()
+    }
+    def got() = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      .as[(Long, String, Long)].collect().toSeq
+    loBatch.write.parquet(inDir.resolve("a").toString)
+    runOnce()
+    val r1 = got()
+    hiBatch.write.parquet(inDir.resolve("b").toString)
+    runOnce()
+    val r2 = got()
+    assert(r1.toSet.subsetOf(r2.toSet))
+    assert(r2.map(_._1).distinct.size == r2.size,
+      "a replayed batch double-appended")
+    // run 3, no new input: nothing changes (restart idempotency)
+    runOnce()
+    assert(got().toSet == r2.toSet)
+    // parity: per-doc output is a pure function of (doc, history), so
+    // any batching yields the one-shot history-only scrub
+    val want = graft.dedup.Dedup
+      .removeDuplicateSpansAgainst(newDocs, history, "doc_id", "text",
+        windowTokens = 8, batchInternal = false)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(want.exists(_._3 > 0), "fixture sanity: some doc is scrubbed")
+    assert(want.exists(_._3 == 0), "fixture sanity: some doc is untouched")
+    assert(r2.toSet == want,
+      s"stream ${r2.size} vs batch ${want.size}")
+  }
 }
