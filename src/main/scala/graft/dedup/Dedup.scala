@@ -694,19 +694,18 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, shingle). The
     * exploded relation is the common substrate for Jaccard and MinHash.
+    * Generation is one compiled loop per doc
+    * ([[graft.text.CorpusAudit.gramsUdf]], spec-pinned equal to the
+    * transform/slice/concat_ws HOF pipeline it replaced — interpreted
+    * lambda trees, measured ~10× slower); a doc with fewer than n
+    * tokens yields none, and shingle STRINGS are byte-identical, so
+    * every downstream hash (xxhash64-mod-P minhash, oracle replays)
+    * is unchanged.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // only full n-grams: doc with fewer than n tokens yields none
-    val sh = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - n + 1),
-        i => concat_ws(" ", slice(toks, i, lit(n)))
-      )
-    ).otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
-  }
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        graft.text.CorpusAudit.gramsUdf(n)(col(textCol)))).as("shingle"))
 
   /** Distinct hashed word n-gram shingles of one document as a sorted
     * primitive array — ONE compiled loop per row. This replaces the
@@ -1428,17 +1427,11 @@ object Dedup {
     * the MinHash path. Collisions (~2^-64) only affect candidate
     * generation, which exact verification absorbs.
     */
-  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - n + 1),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
-      )
-    ).otherwise(array().cast("array<long>"))
-    df.select(col(idCol), explode(array_distinct(sh)).as("xh"))
-  }
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        transform(graft.text.CorpusAudit.gramsUdf(n)(col(textCol)),
+          g => xxhash64(g)))).as("xh"))
 
   /** MinHash signature columns: h_i(doc) = min over shingles of
     * ((a_i·x + b_i) mod p) where x = xxhash64(shingle). Permutation
