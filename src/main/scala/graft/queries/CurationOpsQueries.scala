@@ -158,6 +158,11 @@ object CurationOpsQueries {
           .withColumn("clean_md5", md5(col("clean_text")))
           .select("doc_id", "clean_md5", "n_tokens", "n_removed")
           .orderBy("doc_id"),
+      // Rebuild is LIST-LOCAL per doc (list_filter over the doc's own
+      // token array against its covered-index list) — the exploded
+      // token relation + ordered string_agg formulation needed ~100 GB
+      // at 500k docs (ordered aggregates materialize), this shape
+      // replays the same bytes in a few GB.
       oracle = Some(
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
@@ -167,25 +172,21 @@ object CurationOpsQueries {
           |r AS (SELECT doc_id, pos,
           |        row_number() OVER (PARTITION BY d ORDER BY doc_id, pos) AS occ
           |      FROM w),
-          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
-          |          FROM r, UNNEST(generate_series(0, 7)) AS g(i)
-          |          WHERE occ > 1),
-          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
-          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)),
-          |kept AS (SELECT k.doc_id, k.idx, k.tok
-          |         FROM tok k LEFT JOIN cover c
-          |           ON c.doc_id = k.doc_id AND c.idx = k.idx
-          |         WHERE c.idx IS NULL),
-          |rb AS (SELECT doc_id,
-          |         string_agg(tok, ' ' ORDER BY idx) AS clean_text,
-          |         CAST(count(*) AS BIGINT) AS n_kept
-          |       FROM kept GROUP BY doc_id)
-          |SELECT t.doc_id,
-          |  md5(coalesce(rb.clean_text, '')) AS clean_md5,
-          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
-          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
-          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
-          |ORDER BY t.doc_id""".stripMargin
+          |cov AS (SELECT doc_id, list(DISTINCT pos + i) AS cov
+          |        FROM r, UNNEST(generate_series(0, 7)) AS g(i)
+          |        WHERE occ > 1
+          |        GROUP BY doc_id),
+          |k AS (SELECT t.doc_id, t.toks,
+          |        CASE WHEN c.cov IS NULL THEN t.toks
+          |             ELSE list_filter(t.toks,
+          |                    (x, i) -> NOT list_contains(c.cov, CAST(i - 1 AS BIGINT)))
+          |        END AS kept
+          |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id)
+          |SELECT doc_id,
+          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+          |FROM k ORDER BY doc_id""".stripMargin
       ),
       doc = "ExactSubstr-style duplicated-span removal (Lee et al. " +
         "'22 §3.1 as the sliding-window approximation): every 8-token " +
@@ -215,6 +216,7 @@ object CurationOpsQueries {
           .select("doc_id", "clean_md5", "n_tokens", "n_removed")
           .orderBy("doc_id")
       },
+      // same list-local rebuild shape as q_dedup_span_removal's oracle
       oracle = Some(
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
@@ -229,22 +231,21 @@ object CurationOpsQueries {
           |  SELECT doc_id, pos FROM nw WHERE occ > 1
           |  UNION
           |  SELECT nw.doc_id, nw.pos FROM nw JOIN hist USING (d)),
-          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
-          |          FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)),
-          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
-          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
-          |        WHERE doc_id % 3 = 0),
-          |kept AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
-          |         LEFT JOIN cover c ON c.doc_id = k.doc_id AND c.idx = k.idx
-          |         WHERE c.idx IS NULL),
-          |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
-          |         CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
-          |SELECT t.doc_id, md5(coalesce(rb.clean_text, '')) AS clean_md5,
-          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
-          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
-          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
-          |WHERE t.doc_id % 3 = 0
-          |ORDER BY t.doc_id""".stripMargin
+          |cov AS (SELECT doc_id, list(DISTINCT pos + i) AS cov
+          |        FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)
+          |        GROUP BY doc_id),
+          |k AS (SELECT t.doc_id, t.toks,
+          |        CASE WHEN c.cov IS NULL THEN t.toks
+          |             ELSE list_filter(t.toks,
+          |                    (x, i) -> NOT list_contains(c.cov, CAST(i - 1 AS BIGINT)))
+          |        END AS kept
+          |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+          |      WHERE t.doc_id % 3 = 0)
+          |SELECT doc_id,
+          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+          |FROM k ORDER BY doc_id""".stripMargin
       ),
       doc = "incremental ExactSubstr span scrub (refresh shape): new " +
         "docs lose every 8-token window present in the standing " +
@@ -296,7 +297,7 @@ object CurationOpsQueries {
           .orderBy("doc_id")
       },
       // the history-only scrub replay (the incremental oracle WITHOUT
-      // its batch-internal rank branch)
+      // its batch-internal rank branch), list-local rebuild shape
       oracle = Some(
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           |w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
@@ -306,22 +307,21 @@ object CurationOpsQueries {
           |hist AS (SELECT DISTINCT d FROM w WHERE doc_id % 3 <> 0),
           |nw AS (SELECT doc_id, pos, d FROM w WHERE doc_id % 3 = 0),
           |dropw AS (SELECT nw.doc_id, nw.pos FROM nw JOIN hist USING (d)),
-          |cover AS (SELECT DISTINCT doc_id, pos + i AS idx
-          |          FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)),
-          |tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS idx, toks[p] AS tok
-          |        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
-          |        WHERE doc_id % 3 = 0),
-          |kept AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
-          |         LEFT JOIN cover c ON c.doc_id = k.doc_id AND c.idx = k.idx
-          |         WHERE c.idx IS NULL),
-          |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
-          |         CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
-          |SELECT t.doc_id, md5(coalesce(rb.clean_text, '')) AS clean_md5,
-          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
-          |  CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
-          |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id
-          |WHERE t.doc_id % 3 = 0
-          |ORDER BY t.doc_id""".stripMargin
+          |cov AS (SELECT doc_id, list(DISTINCT pos + i) AS cov
+          |        FROM dropw, UNNEST(generate_series(0, 7)) AS g(i)
+          |        GROUP BY doc_id),
+          |k AS (SELECT t.doc_id, t.toks,
+          |        CASE WHEN c.cov IS NULL THEN t.toks
+          |             ELSE list_filter(t.toks,
+          |                    (x, i) -> NOT list_contains(c.cov, CAST(i - 1 AS BIGINT)))
+          |        END AS kept
+          |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+          |      WHERE t.doc_id % 3 = 0)
+          |SELECT doc_id,
+          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+          |FROM k ORDER BY doc_id""".stripMargin
       ),
       doc = "streaming ExactSubstr span scrub driven for real (two " +
         "micro-batches via maxFilesPerTrigger=1, batchId-keyed " +
