@@ -395,6 +395,38 @@ object Dedup {
     * SAME join that computes the dedup instead of paying a second
     * corpus join to graft `clean_text` back on.
     */
+  /** Global first-occurrence rank WITHOUT a per-digest sort: annotate
+    * each `(__digest, id, pos)` occurrence with the digest's global
+    * minimum `(id, pos)` so callers keep (`__k === __first`) or drop
+    * (`__k =!= __first`) — exactly `row_number() over
+    * (partitionBy(__digest) orderBy(id, pos)) === 1`, but skew-proof.
+    *
+    * Why not the window: `row_number` materializes EVERY occurrence of
+    * a digest in one sort reducer — at the design point, one
+    * boilerplate paragraph/window repeated across 10⁷–10⁸ documents is
+    * a single skewed sort partition (the classic hot-n-gram failure).
+    * Only the global minimum is needed to rank the rest: a two-phase
+    * `min(struct(id, pos))` aggregate is map-side combinable (each map
+    * task emits ONE row per distinct digest, so the hot key's reduce
+    * input is bounded by the task count), and the join back is a
+    * shuffled HASH join whose build side holds one row per distinct
+    * digest in the partition while the hot probe side STREAMS — no
+    * sort buffer, no spill, and AQE's skew-join splitting still
+    * applies. Returns the input columns plus `__k`
+    * (= struct(id, pos)) and `__first`.
+    */
+  private def firstOccurrenceRank(
+      occ: DataFrame,
+      idCol: String,
+      posCol: String
+  ): DataFrame = {
+    val withKey = occ.withColumn("__k", struct(col(idCol), col(posCol)))
+    val firsts = withKey
+      .groupBy(col("__digest"))
+      .agg(min(col("__k")).as("__first"))
+    withKey.join(firsts.hint("shuffle_hash"), Seq("__digest"))
+  }
+
   private def firstOccurrenceCore(
       df: DataFrame,
       paras: DataFrame,
@@ -402,13 +434,11 @@ object Dedup {
       textCol: String,
       rebuild: org.apache.spark.sql.expressions.UserDefinedFunction
   ): DataFrame = {
-    val w = Window
-      .partitionBy(col("__digest"))
-      .orderBy(col(idCol).asc, col("para_idx").asc)
-    val keptIdx = paras
-      .select(col(idCol), col("para_idx"), md5(col("para")).as("__digest"))
-      .withColumn("__occ", row_number().over(w))
-      .filter(col("__occ") === 1)
+    val keptIdx = firstOccurrenceRank(
+      paras.select(col(idCol), col("para_idx"),
+        md5(col("para")).as("__digest")),
+      idCol, "para_idx")
+      .filter(col("__k") === col("__first"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("para_idx"))).as("__kept_idx"))
     df.join(keptIdx, Seq(idCol), "left")
@@ -456,7 +486,8 @@ object Dedup {
     * sliding windows, so the whole span disappears — contrast
     * [[windowDedup]], whose NON-overlapping chunks miss any duplicate
     * shifted off chunk alignment. Returns (id, clean_text, n_tokens,
-    * n_removed); docs shorter than the window pass through untouched.
+    * n_removed); docs shorter than the window pass through untouched;
+    * NULL text passes through as NULL on all three output columns.
     * Known ExactSubstr edge (documented, spec-pinned): a doc can win
     * one window and lose an overlapping one, leaving sub-window
     * fragments at span borders — exactly the reference tool's
@@ -464,7 +495,10 @@ object Dedup {
     *
     * Scale shape (the [[paragraphDedup]] discipline, token-granular):
     * the first-occurrence rank shuffles ONLY (16-byte digest, id,
-    * pos) triples — one row per corpus token, never the text; the
+    * pos) triples — one row per corpus token, never the text — and is
+    * the sort-free two-phase min of [[firstOccurrenceRank]], so a hot
+    * boilerplate window repeated across 10⁸ docs cannot pin one sort
+    * reducer; the
     * removal relation is duplication-bound and id-keyed; text moves
     * once, and each doc is rebuilt by one compiled pass. Window
     * generation is one compiled loop per doc
@@ -484,20 +518,35 @@ object Dedup {
           .as(Seq("pos", "__win")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         unhex(md5(col("__win"))).as("__digest"))
-    val w = Window.partitionBy("__digest")
-      .orderBy(col(idCol).asc, col("pos").asc)
-    val drops = wins
-      .withColumn("__occ", row_number().over(w))
-      .filter(col("__occ") > 1)
+    val drops = firstOccurrenceRank(wins, idCol, "pos")
+      .filter(col("__k") =!= col("__first"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+    spanRebuild(df, drops, idCol, textCol, windowTokens)
+  }
+
+  /** Shared tail of the span-removal family: graft the id-keyed drop
+    * relation `(id, __drop_pos)` back onto the corpus and rebuild each
+    * doc in one compiled pass. NULL text passes through as NULL
+    * (clean_text/n_tokens/n_removed all NULL — null in, null out),
+    * matching the SQL oracle's semantics instead of coercing to "".
+    */
+  private def spanRebuild(
+      df: DataFrame,
+      drops: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int
+  ): DataFrame = {
     val nToks = when(col(textCol).isNotNull,
-      size(split(col(textCol), " ")).cast("long")).otherwise(0L)
+      size(split(col(textCol), " ")).cast("long"))
     df.select(col(idCol), col(textCol), nToks.as("n_tokens"))
       .join(drops, Seq(idCol), "left")
       .withColumn("__r",
         spanRemoveUdf(windowTokens)(col(textCol), col("__drop_pos")))
-      .select(col(idCol), col("__r._1").as("clean_text"), col("n_tokens"),
+      .select(col(idCol),
+        when(col(textCol).isNotNull, col("__r._1")).as("clean_text"),
+        col("n_tokens"),
         (col("n_tokens") - col("__r._2")).as("n_removed"))
   }
 
@@ -551,25 +600,18 @@ object Dedup {
     val dropRows =
       if (!batchInternal) inHist
       else {
-        val w = Window.partitionBy("__digest")
-          .orderBy(col(idCol).asc, col("pos").asc)
-        val inBatch = newWins
-          .withColumn("__occ", row_number().over(w))
-          .filter(col("__occ") > 1)
+        val inBatch = firstOccurrenceRank(newWins, idCol, "pos")
+          .filter(col("__k") =!= col("__first"))
           .select(col(idCol), col("pos"))
-        inHist.union(inBatch).distinct()
+        // duplicate (id, pos) rows across the two branches are fine —
+        // spanRemoveUdf's coverage-array union is idempotent on
+        // repeated positions, so no distinct (and its shuffle) needed
+        inHist.union(inBatch)
       }
     val drops = dropRows
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
-    val nToks = when(col(textCol).isNotNull,
-      size(split(col(textCol), " ")).cast("long")).otherwise(0L)
-    newDf.select(col(idCol), col(textCol), nToks.as("n_tokens"))
-      .join(drops, Seq(idCol), "left")
-      .withColumn("__r",
-        spanRemoveUdf(windowTokens)(col(textCol), col("__drop_pos")))
-      .select(col(idCol), col("__r._1").as("clean_text"), col("n_tokens"),
-        (col("n_tokens") - col("__r._2")).as("n_removed"))
+    spanRebuild(newDf, drops, idCol, textCol, windowTokens)
   }
 
   /** In-row span scrub for [[removeDuplicateSpans]]: union the dropped

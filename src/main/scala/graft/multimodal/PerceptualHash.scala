@@ -159,6 +159,20 @@ object PerceptualHash {
     val j = (id % 3).toInt
     val w = (9 + Math.floorMod(g, 24L)).toInt
     val h = (8 + Math.floorMod(g, 11L)).toInt
+    // BLOCK TERM (r14): without it the luma pattern is a pure function
+    // of (g*37 mod 224, g mod 24, g mod 11) — period lcm(224,24,11) =
+    // 7392 groups, so beyond ~7.4k groups distinct prints stop growing
+    // and copies-per-print grow LINEARLY with the corpus (the true
+    // near-dup pair set then grows quadratically — the sf10 decade
+    // fixtures measured the fixture, not the engine; VERDICT r13 #5).
+    // Block b = g/7392 adds b·(59·sx + 17·sy + 29·sx·sy) mod 224: b=0
+    // reproduces the old bytes exactly (every committed small-SF
+    // oracle face unchanged — sf0.1 tops out at 1,667 groups), and two
+    // blocks collide only when (b−b')·59 ≡ 0 (mod 224) at (sx,sy) =
+    // (1,0), i.e. b ≡ b' (mod 224) since gcd(59,224)=1 — the print
+    // space now grows with the corpus through ~1.6M groups (≈ sf100),
+    // bounding copies-per-print at every gated decade.
+    val b = g / 7392
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -166,7 +180,9 @@ object PerceptualHash {
       var x = 0
       while (x < w) {
         val sx = x * 8 / w
-        var v = (16 + Math.floorMod(g * 37 + sx * 73L + sy * 41L, 224L)).toInt + j
+        var v = (16 + Math.floorMod(
+          g * 37 + sx * 73L + sy * 41L +
+            b * (sx * 59L + sy * 17L + sx * sy * 29L), 224L)).toInt + j
         if (j == 2 && sx == 3 && sy == 3) v += 5
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1

@@ -95,6 +95,12 @@ object LinkGraph {
       checkpointEvery: Int = 5): (DataFrame, () => Unit) = {
     require(iters >= 1, "iters >= 1")
     val spark = edges.sparkSession
+    // stale-capture guard (ADVICE r13): clear unconditionally at entry
+    // so a failed test that set capturePlan but died before its
+    // clearing read can't leak a pinned executed plan (and its
+    // broadcast references) into the next caller's assertions — or
+    // hold them for the JVM lifetime
+    lastRanksPlan = None
     // the edge input is scanned three times before the rounds even
     // start (out-degrees, sink-node distinct, degree annotation) — an
     // uncached relational preamble would re-execute per scan, so pin
@@ -114,7 +120,14 @@ object LinkGraph {
       .distinct()
       .persist()
     // posture pick: one count over the (cached, needed-anyway) node
-    // table decides whether the per-round rank table broadcasts
+    // table decides whether the per-round rank table broadcasts.
+    // Driver-memory note (ADVICE r13): the broadcast posture collects
+    // the rank table (16 B/row -> ~64 MB at the 4M default) to the
+    // driver EVERY round, and dead rounds' broadcast blocks are only
+    // reaped when GC notices the weak refs — so the default bound
+    // assumes a multi-GB driver heap; size broadcastMaxNodes to
+    // roughly driverHeap / (16 B x a few in-flight rounds) on small
+    // drivers, or the shuffle posture kicks in safely above it
     val broadcastMaxNodes = spark.conf
       .getOption("spark.graft.pagerank.broadcastMaxNodes")
       .map(_.toLong).getOrElse(4000000L)

@@ -183,7 +183,8 @@ object CurationOpsQueries {
           |        END AS kept
           |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id)
           |SELECT doc_id,
-          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  md5(CASE WHEN toks IS NULL THEN NULL
+          |      ELSE coalesce(array_to_string(kept, ' '), '') END) AS clean_md5,
           |  CAST(len(toks) AS BIGINT) AS n_tokens,
           |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
           |FROM k ORDER BY doc_id""".stripMargin
@@ -242,7 +243,8 @@ object CurationOpsQueries {
           |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
           |      WHERE t.doc_id % 3 = 0)
           |SELECT doc_id,
-          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  md5(CASE WHEN toks IS NULL THEN NULL
+          |      ELSE coalesce(array_to_string(kept, ' '), '') END) AS clean_md5,
           |  CAST(len(toks) AS BIGINT) AS n_tokens,
           |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
           |FROM k ORDER BY doc_id""".stripMargin
@@ -273,13 +275,15 @@ object CurationOpsQueries {
         val d = table(s, dir, "documents").select("doc_id", "text")
         val newDocs = d.filter(col("doc_id") % 3L === 0L)
         val history = d.filter(col("doc_id") % 3L =!= 0L)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q_spanscrub")
+        val root = FixtureCache.scratchDir("graft_q_spanscrub")
         val inDir = root.resolve("in")
         val outPath = root.resolve("clean").toString
-        val half = newDocs.agg(
+        // null-safe split point: percentile over an EMPTY new-doc set
+        // is NULL — both drops then write empty (schema-only) parquet
+        val halfRow = newDocs.agg(
           org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
-          .head().getDouble(0)
+          .head()
+        val half = if (halfRow.isNullAt(0)) 0.0 else halfRow.getDouble(0)
         newDocs.filter(col("doc_id") <= half)
           .write.parquet(inDir.resolve("a").toString)
         newDocs.filter(col("doc_id") > half)
@@ -318,7 +322,8 @@ object CurationOpsQueries {
           |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
           |      WHERE t.doc_id % 3 = 0)
           |SELECT doc_id,
-          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+          |  md5(CASE WHEN toks IS NULL THEN NULL
+          |      ELSE coalesce(array_to_string(kept, ' '), '') END) AS clean_md5,
           |  CAST(len(toks) AS BIGINT) AS n_tokens,
           |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
           |FROM k ORDER BY doc_id""".stripMargin

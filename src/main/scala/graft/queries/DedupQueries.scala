@@ -503,13 +503,15 @@ object DedupQueries {
         val d = table(s, dir, "documents").select("doc_id", "text")
         val newDocs = d.filter(col("doc_id") % 3L === 0L)
         val history = d.filter(col("doc_id") % 3L =!= 0L)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q_containfilter")
+        val root = FixtureCache.scratchDir("graft_q_containfilter")
         val inDir = root.resolve("in")
         val outPath = root.resolve("clean").toString
-        val half = newDocs.agg(
+        // null-safe split point: percentile over an EMPTY new-doc set
+        // is NULL — both drops then write empty (schema-only) parquet
+        val halfRow = newDocs.agg(
           org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
-          .head().getDouble(0)
+          .head()
+        val half = if (halfRow.isNullAt(0)) 0.0 else halfRow.getDouble(0)
         newDocs.filter(col("doc_id") <= half)
           .write.parquet(inDir.resolve("a").toString)
         newDocs.filter(col("doc_id") > half)

@@ -33,6 +33,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FixtureCache {
 
+  /** Run-scoped scratch directory for the stream-driving faces (input
+    * drops, checkpoint, sink): created now, recursively deleted at JVM
+    * exit, so repeated Bench/Verify invocations don't leak a re-written
+    * input parquet + checkpoint per run into java.io.tmpdir (ADVICE
+    * r13). Deletion must be deferred to exit because the face RETURNS
+    * a lazy DataFrame over the sink path — the caller reads it after
+    * `fn` returns.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
   /** The one source-table path every builder reads (Graft.table
     * resolves the same `$sfDir/$name.parquet`) — signature and build
     * must agree on it or staleness detection silently dies.

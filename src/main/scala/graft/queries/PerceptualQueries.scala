@@ -94,7 +94,8 @@ object PerceptualQueries {
           |  FROM fx f CROSS JOIN range(0, 8) cy(cy) CROSS JOIN range(0, 9) cx(cx)),
           |v AS (
           |  SELECT doc_id, cy, cx,
-          |    16 + (g * 37 + sx * 73 + sy * 41) % 224 + j
+          |    16 + (g * 37 + sx * 73 + sy * 41
+          |      + (g // 7392) * (sx * 59 + sy * 17 + sx * sy * 29)) % 224 + j
           |      + CASE WHEN j = 2 AND sx = 3 AND sy = 3 THEN 5 ELSE 0 END AS v
           |  FROM samp),
           |bits AS (
@@ -149,7 +150,8 @@ object PerceptualQueries {
           |  FROM fx f CROSS JOIN range(0, 8) cy(cy) CROSS JOIN range(0, 9) cx(cx)),
           |v AS (
           |  SELECT doc_id, cy, cx,
-          |    16 + (g * 37 + sx * 73 + sy * 41) % 224 + j
+          |    16 + (g * 37 + sx * 73 + sy * 41
+          |      + (g // 7392) * (sx * 59 + sy * 17 + sx * sy * 29)) % 224 + j
           |      + CASE WHEN j = 2 AND sx = 3 AND sy = 3 THEN 5 ELSE 0 END AS v
           |  FROM samp),
           |bits AS (
@@ -221,7 +223,8 @@ object PerceptualQueries {
           |  FROM fx f CROSS JOIN range(0, 8) cy(cy) CROSS JOIN range(0, 9) cx(cx)),
           |v AS (
           |  SELECT doc_id, cy, cx,
-          |    16 + (g * 37 + sx * 73 + sy * 41) % 224 + j
+          |    16 + (g * 37 + sx * 73 + sy * 41
+          |      + (g // 7392) * (sx * 59 + sy * 17 + sx * sy * 29)) % 224 + j
           |      + CASE WHEN j = 2 AND sx = 3 AND sy = 3 THEN 5 ELSE 0 END AS v
           |  FROM samp),
           |bits AS (
@@ -563,7 +566,8 @@ object PerceptualQueries {
           |  FROM fx f CROSS JOIN range(0, 8) cy(cy) CROSS JOIN range(0, 9) cx(cx)),
           |v AS (
           |  SELECT doc_id, cy, cx,
-          |    16 + (g * 37 + sx * 73 + sy * 41) % 224 + j
+          |    16 + (g * 37 + sx * 73 + sy * 41
+          |      + (g // 7392) * (sx * 59 + sy * 17 + sx * sy * 29)) % 224 + j
           |      + CASE WHEN j = 2 AND sx = 3 AND sy = 3 THEN 5 ELSE 0 END AS v
           |  FROM samp),
           |bits AS (

@@ -683,9 +683,14 @@ object Ann {
       nLists: Int = 16,
       iters: Int = 2,
       autoScaleDocs: Long = 50000L,
-      targetCluster: Int = 2048
+      targetCluster: Int = 2048,
+      knownCount: Option[Long] = None
   ): DataFrame = {
-    val n = df.count()
+    // the auto-scale pick needs |df| — an eager count is one full pass
+    // over the vectors relation, so composed pipelines that already
+    // counted the stage pass it via knownCount instead of re-scanning
+    // (ADVICE r13; AnnLshSpec pins plan equality)
+    val n = knownCount.getOrElse(df.count())
     val effLists =
       if (n <= autoScaleDocs) nLists
       else {
@@ -776,7 +781,8 @@ object Ann {
       minCos: Double,
       bits: Int = 6,
       autoScaleDocs: Long = 50000L,
-      targetBucket: Int = 2048
+      targetBucket: Int = 2048,
+      knownCount: Option[Long] = None
   ): DataFrame = {
     // AUTO-SCALED BUCKET GRANULARITY (r13, the simHashPairs precedent):
     // a FIXED bit width has an n²/2^bits candidate floor — measured
@@ -791,7 +797,9 @@ object Ann {
     // threshold-grazing pairs drops, which is the inherent
     // single-table sign-LSH trade — AnnSpec pins the subset). Below
     // the bound nothing changes (every oracle face: sf0.001…sf1).
-    val n = df.count()
+    // knownCount: see semanticDedup — callers with a counted stage
+    // skip the extra full pass over the vectors relation (ADVICE r13)
+    val n = knownCount.getOrElse(df.count())
     val effBits =
       if (n <= autoScaleDocs) bits
       else {

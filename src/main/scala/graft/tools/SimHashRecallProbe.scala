@@ -11,14 +11,33 @@ import org.apache.spark.sql.functions._
   * given SF and reports pair recall = |capped ∩ exact| / |exact|.
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.SimHashRecallProbe testdata/sf10"
+  *
+  * Optional second arg `copies` (default 1) unions that many DISJOINT
+  * letter-permuted images of the corpus (per-copy Caesar shift — the
+  * tools/gen_scale.py trick, in-engine: a letter permutation preserves
+  * every within-copy shingle/simhash relation exactly while making
+  * cross-copy shingle universes disjoint), re-keyed by a 10M stride.
+  * `testdata/sf10 3` = a 1.5M-doc corpus — past the 1M exact-tier
+  * boundary, where the capped posture is the live plan and needs a
+  * current recall figure (VERDICT r13 #7).
   */
 object SimHashRecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val copies = if (args.length > 1) args(1).toInt else 1
     val spark = graft.core.Graft.session("simhash-recall")
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val base = graft.core.Graft.table(spark, sfDir, "documents")
+    val ab = "abcdefghijklmnopqrstuvwxyz"
+    val docs = (0 until copies).map { i =>
+      if (i == 0) base.select(col("doc_id"), col("text"))
+      else base.select(
+        (col("doc_id") + lit(10000000L * i)).as("doc_id"),
+        translate(col("text"), ab, ab.substring(i % 26) +
+          ab.substring(0, i % 26)).as("text"))
+    }.reduce(_.unionByName(_))
+    println(s"[simhash-recall] corpus=${docs.count()} docs ($copies copies)")
     // the q_dedup_simhash parameters (maxHamming = 7), capped exactly
     // as the auto posture caps (512 prints per band bucket)
     def pairs(cap: Option[Int]) = graft.dedup.Dedup

@@ -102,6 +102,62 @@ class AnnLshSpec extends SparkTestBase {
     }
   }
 
+  test("knownCount skips the eager corpus scan (zero jobs at plan " +
+    "time) and leaves outputs identical — ADVICE r13 / VERDICT #5") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the bus is async and FIFO: a just-registered listener can
+      // still receive QUEUED events from jobs that ran before
+      // registration, and a DataFrame count() under AQE can itself be
+      // >1 job. Flush with an RDD sentinel (exactly one job) and wait
+      // for the counter to go quiescent.
+      def flush(): Unit = {
+        spark.sparkContext.parallelize(Seq(1)).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        while (last != jobs && System.nanoTime() < deadline) {
+          last = jobs; Thread.sleep(400)
+        }
+      }
+      flush(); jobs = 0
+      // with the hint, building the pair plan runs NO job at all —
+      // the composed-pipeline caller's count is reused, the vectors
+      // relation is not re-scanned
+      val hinted = Ann.cosineNearDupPairs(e, "vec_id", "embedding",
+        minCos = 0.3, bits = 2, autoScaleDocs = 1L, targetBucket = 16,
+        knownCount = Some(n))
+      flush()
+      assert(jobs == 1,
+        s"knownCount path still ran ${jobs - 1} eager job(s)")
+      val got = hinted.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val unhinted = Ann.cosineNearDupPairs(e, "vec_id", "embedding",
+          minCos = 0.3, bits = 2, autoScaleDocs = 1L, targetBucket = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == unhinted)
+      // semanticDedup: same hint, same drop set (ivfBuild is eager by
+      // nature — centroids are driver metadata — so assert equality,
+      // not job count)
+      val sd = Ann.semanticDedup(e, "vec_id", "embedding", minCos = 0.3,
+          nLists = 4, iters = 2, autoScaleDocs = 1L, targetCluster = 64,
+          knownCount = Some(n))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sd0 = Ann.semanticDedup(e, "vec_id", "embedding", minCos = 0.3,
+          nLists = 4, iters = 2, autoScaleDocs = 1L, targetCluster = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sd == sd0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semanticDedup auto-scaled nLists: every emitted drop still " +
     "carries an exactly-verified qualifying witness (precision exact " +
     "under any clustering)") {

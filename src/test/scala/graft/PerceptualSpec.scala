@@ -39,12 +39,15 @@ class PerceptualSpec extends SparkTestBase {
     // independently recompute the hash from the RECIPE (not the pixels)
     // and compare against the decode-path hash — a decoder or grid bug
     // would diverge
-    for (id <- Seq(0L, 5L, 17L, 100L, 301L)) {
+    // ids past the 7392-group period exercise the r14 block term
+    for (id <- Seq(0L, 5L, 17L, 100L, 301L, 22177L, 7392L * 3 + 4,
+        7392L * 3 * 50 + 11)) {
       val g = id / 3; val j = (id % 3).toInt
       val w = (9 + g % 24).toInt; val h = (8 + g % 11).toInt
       def v(px: Int, py: Int): Int = {
         val sx = px * 8 / w; val sy = py * 8 / h
-        val base = (16 + Math.floorMod(g * 37 + sx * 73L + sy * 41L, 224L)).toInt + j
+        val base = (16 + Math.floorMod(g * 37 + sx * 73L + sy * 41L +
+          (g / 7392) * (sx * 59L + sy * 17L + sx * sy * 29L), 224L)).toInt + j
         if (j == 2 && sx == 3 && sy == 3) base + 5 else base
       }
       var expect = 0L
@@ -56,6 +59,27 @@ class PerceptualSpec extends SparkTestBase {
       val got = PerceptualHash.dHash64(PerceptualHash.fixtureStripePng(id)).get
       assert(got == expect, s"id=$id: decode-path hash != recipe hash")
     }
+  }
+
+  test("block term breaks the 7392-group print period (copies-per-" +
+    "print stay bounded at the scale fixtures — VERDICT r13 #5)") {
+    // pre-r14, group g and g+7392 produced byte-identical patterns →
+    // identical prints, so sf10's 166k groups folded onto ~7.4k prints
+    // and the true pair set grew quadratically. Same-residue groups in
+    // DIFFERENT blocks must now hash apart (for almost every residue;
+    // a handful of 64-bit collisions would be fine — sample several).
+    val residues = Seq(0L, 1L, 100L, 2048L, 7391L)
+    val differing = residues.count { r =>
+      val a = PerceptualHash.dHash64(
+        PerceptualHash.fixtureStripePng(r * 3)).get
+      val b = PerceptualHash.dHash64(
+        PerceptualHash.fixtureStripePng((r + 7392L) * 3)).get
+      a != b
+    }
+    assert(differing >= 4,
+      s"only $differing/5 sampled cross-block prints differ")
+    // and the committed small-SF bytes are untouched: block 0 has no
+    // term (g/7392 = 0), pinned by the recipe cross-check test above
   }
 
   test("corrupt / non-image payloads are dropped by imageHashes, not fatal") {

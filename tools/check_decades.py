@@ -28,8 +28,9 @@ MIN_WALL_SEC = 2.0
 
 # (sf1 file, sf10 file, default per-query ratio budget)
 PAIRS = [
-    # dedup family: the committed r13 claim is <= 3.1x/decade on every
-    # face (NOTES r13 table); 5.0 = that claim + ambient headroom
+    # dedup family: the committed r14 refresh measures <= ~3.8x/decade
+    # on every face; 5.0 = that + ambient headroom (sub-2 s sf1 walls
+    # make ratios ambient-band — r13's one red row was a fast-sf1 echo)
     ("BENCH_sf1_dedup.json", "BENCH_sf10_dedup.json", 5.0),
     # broad operator sweep: near-linear bar
     ("BENCH_sf1_newops.json", "BENCH_sf10_newops.json", 12.0),
@@ -42,18 +43,20 @@ PAIRS = [
     # e2e composites + heavy text/multimodal faces (r13, second half):
     # the two flagship funnels are FLAT across the decade (curation
     # 0.8x, refresh 1.1x — state rebuild and funnel cost are
-    # corpus-fraction-bound, not corpus-bound); the top ratios are the
+    # corpus-fraction-bound, not corpus-bound); the top ratio is the
     # per-row codec face (mm_resize ~9x: wall tracks rows 1:1, the
-    # honest floor for a CPU-saturated per-row op) and
-    # audio_fingerprint_pairs 9.7x (fixture-dense pair output; the
-    # heaviest gated wall at 34.7s — first candidate for a stage
-    # probe). q_mm_dhash_neardup was measured and EXCLUDED: the cyclic
-    # stripe-PNG fixture repeats print patterns every ~7.4k groups, so
-    # copies-per-print grow linearly with corpus and the TRUE pair set
-    # quadratically (>15 min at sf10) — output-bound by construction,
-    # the same adjudication as the brute-force audit faces; its linear
-    # decision-level face (q_mm_dhash_clusters, rep-level CC) stays
-    # gated in the r13 pair above.
+    # honest floor for a CPU-saturated per-row op).
+    # r14: BOTH previously-adjudicated perceptual faces re-entered the
+    # gate after the fixtures were given bounded copies-per-print
+    # (real corpora duplicate boilerplate at a constant rate, not
+    # 100x/decade per key): the stripe-PNG recipe grew a block term
+    # (PerceptualHash.fixtureStripePng — the luma pattern was periodic
+    # every 7392 groups, so distinct prints stopped growing at ~7.4k
+    # and the TRUE pair set went quadratic) and events.value gained a
+    # per-copy offset in gen_scale.py (verbatim values folded every
+    # copy's waveforms onto sf0.1's ~300 prints — 100x pairs/decade).
+    # q_mm_dhash_neardup is gated for the first time and
+    # q_audio_fingerprint_pairs' 15x override is GONE.
     ("BENCH_sf1_e2e.json", "BENCH_sf10_e2e.json", 12.0),
     # similarity family (first decade pair, r13): adding it immediately
     # caught two fixed-granularity blockers crossing their n² floors —
@@ -64,16 +67,10 @@ PAIRS = [
 ]
 
 # query -> (budget, documented reason). Keep entries RARE and REASONED.
-OVERRIDES = {
-    # tools/AudioPairsProbe at both decades: the cyclic events fixture
-    # folds 60k ids onto 299 distinct fingerprints at sf10, so the TRUE
-    # pair relation is 100.7M rows vs 1.0M at sf1 — 100x output per
-    # decade by construction. The engine's wall grew 9.7x, i.e.
-    # sub-linear IN OUTPUT (~4M pairs/s emission); budget 15x leaves
-    # ambient headroom without masking a real engine regression (which
-    # would show as emission-rate collapse, not a 100x-output echo).
-    "q_audio_fingerprint_pairs": (15.0, "output-bound fixture: 100x pairs/decade, wall 9.7x"),
-}
+# r14: EMPTY again — the two adjudicated perceptual/audio faces
+# re-entered the normal gate once the scale fixtures bounded
+# copies-per-print (see the e2e pair comment above).
+OVERRIDES = {}
 
 def main():
     failures = []

@@ -240,10 +240,26 @@ write_copies("lineitem", lambda t, i: replace(
     l_suppkey=offset(t.column("l_suppkey"), CARD["supplier"], i),
 ))
 
+# events.value per-copy offset (r14, VERDICT r13 #3): a verbatim value
+# column made every copy's per-user waveform IDENTICAL to copy 0's, so
+# audio fingerprints folded K copies onto the sf0.1 print population —
+# copies-per-print grew linearly with K and the TRUE near-dup pair set
+# quadratically (100x/decade at sf10: the decade gate then measured
+# fixture output, not engine work, and needed a 15x override). A
+# deterministic per-copy offset c_i = (161*i) mod 400 (gcd(161,400)=1 →
+# distinct for all i < 400; c_0 = 0 keeps copy 0 byte-identical, and
+# max value stays 560.21+399 < 1000, inside every consumer's /1000
+# normalization) shifts each copy's quantized sample stream, so frame
+# energies — and the comparison-bit prints built from them — form a
+# fresh population per copy: copies-per-print stays ~constant at every
+# decade, the "10x more data of the same kind" model the text/embedding
+# columns already follow.
 write_copies("events", lambda t, i: replace(
     t,
     event_id=offset(t.column("event_id"), CARD["events_id"], i),
     user_id=offset(t.column("user_id"), CARD["events_user"], i),
+    value=pc.add(t.column("value"),
+                 pa.scalar(float((161 * i) % 400), type=pa.float64())),
 ))
 
 write_copies("documents", lambda t, i: replace(
