@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * behind the committed BENCH_sf10_dedup.json evidence (VERDICT r9
   * Next #3: a second scale decade for the dedup family). Same
   * measurement discipline as [[graft.Bench]]: per-query cold cache,
-  * min of two runs, an adaptive third run when the two disagree by
+  * min of three runs, an adaptive fourth when they disagree by
   * >1.3× (ambient-load artifact), prepare hooks untimed.
   *
   * Usage: ScaleBench <sfDir> <outJson> <q1,q2,...>
@@ -66,10 +66,15 @@ object ScaleBench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once(); val b = once()
+      // min-of-3 always, adaptive 4th on >1.3x spread (r14): the
+      // heavy verify-stage faces are bimodal under session GC state —
+      // q_dedup_containment measured 7.9/12.9/17.4 s in one JVM — and
+      // two agreeing SLOW runs (15.5/15.6) sailed past the old
+      // two-run rule and turned a session artifact into a red gate row
+      val rs = Seq(once(), once(), once())
       val best =
-        if (math.max(a, b) > 1.3 * math.min(a, b)) math.min(math.min(a, b), once())
-        else math.min(a, b)
+        if (rs.max > 1.3 * rs.min) math.min(rs.min, once())
+        else rs.min
       println(f"[scalebench] ${q.name} $best%.2f s")
       q.name -> best
     }
