@@ -240,27 +240,43 @@ write_copies("lineitem", lambda t, i: replace(
     l_suppkey=offset(t.column("l_suppkey"), CARD["supplier"], i),
 ))
 
-# events.value per-copy offset (r14, VERDICT r13 #3): a verbatim value
-# column made every copy's per-user waveform IDENTICAL to copy 0's, so
-# audio fingerprints folded K copies onto the sf0.1 print population —
-# copies-per-print grew linearly with K and the TRUE near-dup pair set
-# quadratically (100x/decade at sf10: the decade gate then measured
-# fixture output, not engine work, and needed a 15x override). A
-# deterministic per-copy offset c_i = (161*i) mod 400 (gcd(161,400)=1 →
-# distinct for all i < 400; c_0 = 0 keeps copy 0 byte-identical, and
-# max value stays 560.21+399 < 1000, inside every consumer's /1000
-# normalization) shifts each copy's quantized sample stream, so frame
-# energies — and the comparison-bit prints built from them — form a
-# fresh population per copy: copies-per-print stays ~constant at every
-# decade, the "10x more data of the same kind" model the text/embedding
-# columns already follow.
-write_copies("events", lambda t, i: replace(
-    t,
-    event_id=offset(t.column("event_id"), CARD["events_id"], i),
-    user_id=offset(t.column("user_id"), CARD["events_user"], i),
-    value=pc.add(t.column("value"),
-                 pa.scalar(float((161 * i) % 400), type=pa.float64())),
-))
+# events.value per-copy PER-EVENT jitter (r14, VERDICT r13 #3): a
+# verbatim value column made every copy's per-user waveform IDENTICAL
+# to copy 0's, so audio fingerprints folded K copies onto the sf0.1
+# print population — copies-per-print grew linearly with K and the
+# TRUE near-dup pair set quadratically (100x/decade at sf10: the
+# decade gate then measured fixture output, not engine work, and
+# needed a 15x override). A constant per-copy offset does NOT fix
+# this: for offset c the frame energy is sum((q+c')^2) = 4c'^2 +
+# 2c'*S(f) + sum(q^2), so as c grows the comparison bits converge to
+# the sign pattern of the frame-SUM deltas — the SAME limit print for
+# every copy (measured: 60k ids still folded onto 589 prints). A
+# per-EVENT jitter keyed on the (copy-offset) event_id —
+# (event_id*7919) mod 397, amplitude comparable to the value scale —
+# modulus PRIME and coprime with the 100000 copy stride (mod 400 the
+# stride vanishes: 100000 = 0 (mod 400), giving every copy the SAME
+# jitter pattern — measured before this fix) —
+# makes each copy's waveforms genuinely distinct sample streams, so
+# prints are a fresh pseudorandom population per copy and
+# copies-per-print stays ~constant (the gain-pair hamming-0 relation
+# is untouched: the x3 gain is applied inside the query AFTER
+# quantization). Copy 0 stays byte-identical (jitter gated on i > 0);
+# max value stays 560.21+396 < 1000, inside every consumer's /1000
+# normalization. Deterministic: a pure function of (copy, event_id).
+def _events(t, i):
+    eids = np.asarray(
+        offset(t.column("event_id"), CARD["events_id"], i)
+        .combine_chunks(), dtype=np.int64)
+    jitter = pa.array(((eids * 7919) % 397).astype(np.float64))
+    return replace(
+        t,
+        event_id=offset(t.column("event_id"), CARD["events_id"], i),
+        user_id=offset(t.column("user_id"), CARD["events_user"], i),
+        value=pc.add(t.column("value"), jitter),
+    )
+
+
+write_copies("events", _events)
 
 write_copies("documents", lambda t, i: replace(
     t,
