@@ -653,6 +653,19 @@ object PerceptualQueries {
         // SHARED Manku Hamming machinery — each copy must pair with
         // its original at hamming 0 (gain invariance), plus whatever
         // deterministic cross-user print collisions exist.
+        //
+        // Frame size is 1 SAMPLE (r14): the fixture waveforms are
+        // ~50-90 samples, so 4-sample frames left only ~15 informative
+        // print bits — and hamming ≤ 4 in a 15-bit space is DENSE by
+        // pigeonhole (measured ~1.9k neighbors/word: ~10⁸ true pairs
+        // at 60k ids, quadratic per decade no matter how the fixture
+        // decorrelates copies — the face was measuring pair OUTPUT,
+        // not join machinery). Per-sample energies fill the full
+        // 63-bit capacity the 64-bit print carries, prints go
+        // near-unique, and the pair set is the linear gain-pair
+        // relation + rare true collisions. The general lesson is the
+        // simhash64→128 one: print width must cover ~2·log2(corpus).
+        // Gain invariance is untouched: (3q)² ordering ≡ q² ordering.
         val e = table(s, dir, "events")
           .filter(col("user_id") % 5 === 0)
           .groupBy("user_id")
@@ -662,10 +675,7 @@ object PerceptualQueries {
             expr("transform(evs, e -> CAST(floor(e.value / 1000.0 * 32767.0 + 0.5) AS BIGINT))")
               .as("q"))
         def energies(scale: Int) =
-          s"""CASE WHEN size(q) div 4 < 1 THEN CAST(array() AS ARRAY<BIGINT>)
-             |ELSE transform(sequence(1, size(q) div 4),
-             |  f -> aggregate(slice(q, (f - 1) * 4 + 1, 4), 0L,
-             |         (a, x) -> a + (x * $scale) * (x * $scale))) END""".stripMargin
+          s"transform(q, x -> (x * $scale) * (x * $scale))"
         def fp(eCol: String) =
           s"""CASE WHEN size($eCol) < 2 THEN 0L
              |ELSE aggregate(sequence(0, least(size($eCol) - 2, 63)), 0L,
@@ -688,13 +698,11 @@ object PerceptualQueries {
           |    CAST(floor(value / 1000.0 * 32767.0 + 0.5) AS BIGINT) AS q,
           |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
           |  FROM events WHERE user_id % 5 = 0),
-          |n AS (SELECT user_id, count(*) // 4 AS nf FROM e GROUP BY user_id),
+          |n AS (SELECT user_id, count(*) AS nf FROM e GROUP BY user_id),
           |fr AS (
-          |  SELECT e.user_id, e.rn // 4 AS f,
-          |    sum(e.q * e.q) AS en1, sum((3 * e.q) * (3 * e.q)) AS en3
-          |  FROM e JOIN n ON e.user_id = n.user_id
-          |  WHERE e.rn // 4 < n.nf
-          |  GROUP BY e.user_id, e.rn // 4),
+          |  SELECT user_id, rn AS f,
+          |    q * q AS en1, (3 * q) * (3 * q) AS en3
+          |  FROM e),
           |bits AS (
           |  SELECT user_id, f,
           |    CASE WHEN lead(en1) OVER (PARTITION BY user_id ORDER BY f) > en1

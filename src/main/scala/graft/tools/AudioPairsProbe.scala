@@ -44,11 +44,11 @@ object AudioPairsProbe {
     val nUsers = time("preamble: events -> per-user waveform") { e.count() }
     println(s"[aprobe] users=$nUsers")
 
+    // frame = 1 sample since r14 (matches the face): per-sample
+    // energies fill the full 63-bit print capacity — see the face's
+    // doc for why 4-sample frames made the pair set quadratic
     def energies(scale: Int) =
-      s"""CASE WHEN size(q) div 4 < 1 THEN CAST(array() AS ARRAY<BIGINT>)
-         |ELSE transform(sequence(1, size(q) div 4),
-         |  f -> aggregate(slice(q, (f - 1) * 4 + 1, 4), 0L,
-         |         (a, x) -> a + (x * $scale) * (x * $scale))) END""".stripMargin
+      s"transform(q, x -> (x * $scale) * (x * $scale))"
     def fp(eCol: String) =
       s"""CASE WHEN size($eCol) < 2 THEN 0L
          |ELSE aggregate(sequence(0, least(size($eCol) - 2, 63)), 0L,
