@@ -267,12 +267,15 @@ object AggWindowQueries {
       covers = "O5,S6",
       fn = (s, dir) => {
         // 50-ids-per-API-call batching key. Positional batching needs a
-        // global order; the per-batch rollup keeps the output tiny. At
-        // cluster scale the same op runs per-partition (connector-side
-        // grouped(50)) — this is the SQL-checkable formulation.
-        val w = Window.orderBy(col("event_id").asc)
-        table(s, dir, "events")
-          .withColumn("batch_id", ((row_number().over(w) - 1) / 50).cast("long"))
+        // global order — r14: via GlobalSeq (range exchange +
+        // shuffle-reused zipWithIndex), never the single-reducer
+        // Window.orderBy the old formulation paid; the per-batch
+        // rollup keeps the output tiny. At cluster scale the same op
+        // also runs per-partition (connector-side grouped(50)).
+        graft.ops.GlobalSeq
+          .withGlobalSeq(table(s, dir, "events").select("event_id"),
+            Seq(col("event_id").asc), "__seq")
+          .withColumn("batch_id", ((col("__seq") - 1L) / 50L).cast("long"))
           .groupBy("batch_id")
           .agg(
             count(lit(1)).as("n"),

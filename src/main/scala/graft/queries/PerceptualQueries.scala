@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *  - Unicode-script histograms (native codegen expression) for
   *    multilingual routing ahead of langid;
   *  - curriculum ordering (stage by quality, deterministic shuffle
-  *    within stage — one range exchange at any scale);
+  *    within stage — two GlobalSeq range exchanges at any scale,
+  *    never a single-reducer window);
   *  - the MinHash-LSH banding planner (threshold → (bands, rows)).
   *
   * Every face is integer/string-exact end to end, so all five are
@@ -446,20 +447,26 @@ object PerceptualQueries {
         // Curriculum construction: stage by a quality proxy (quartiles
         // of n_chars — unique (n_chars, doc_id) order so ntile is
         // deterministic), deterministic salted shuffle WITHIN each
-        // stage, one global sequence. At 100 TB this is exactly one
-        // range exchange (the final ORDER BY); the stage and shuffle
-        // keys are per-row codegen'd expressions.
+        // stage, one global sequence. r14: both global ranks ride
+        // GlobalSeq (range exchange + shuffle-reused zipWithIndex) —
+        // the former Window.orderBy formulation moved the WHOLE corpus
+        // into one sort reducer (Spark's own "No Partition Defined"
+        // warning), the classic 100 TB failure; ntile derives
+        // arithmetically from the rank (GlobalSeqSpec pins equality
+        // with the window formulation, the SQL oracle pins it here).
         val d = table(s, dir, "documents")
-        val wStage = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-        val keyed = d
-          .withColumn("stage", ntile(4).over(wStage).cast("long"))
+        val n = d.count()
+        val staged = graft.ops.GlobalSeq
+          .withGlobalSeq(d.select(col("doc_id"), col("n_chars")),
+            Seq(col("n_chars").asc, col("doc_id").asc), "__qrank")
+          .withColumn("stage",
+            graft.ops.GlobalSeq.ntileCol(col("__qrank"), n, 4))
           .withColumn("shuffle_key",
             graft.text.Sampling.shuffleKey("curr1", col("doc_id")))
-        keyed
-          .withColumn("seq",
-            row_number().over(
-              Window.orderBy(col("stage").asc, col("shuffle_key").asc,
-                col("doc_id").asc)).cast("long"))
+        graft.ops.GlobalSeq
+          .withGlobalSeq(staged,
+            Seq(col("stage").asc, col("shuffle_key").asc,
+              col("doc_id").asc), "seq")
           .select(col("doc_id"), col("stage"), col("shuffle_key"), col("seq"))
           .orderBy("doc_id")
       },
@@ -477,7 +484,7 @@ object PerceptualQueries {
       ),
       doc = "Curriculum ordering: quality-quartile stages, " +
         "deterministic salted shuffle within stage, global training " +
-        "sequence — reproducible on any engine/layout, one range " +
+        "sequence — reproducible on any engine/layout, two range " +
         "exchange at scale"
     ),
     // ----------------------------------------------------------------
@@ -760,12 +767,17 @@ object PerceptualQueries {
           expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
         val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt")).cast("long").as("tot"))
-        counts
+        // top-50 via TakeOrderedAndProject (per-partition heaps), THEN
+        // rank the 50 survivors — the old global row_number sorted the
+        // ENTIRE vocabulary in one reducer before its rank<=50 filter
+        val top = counts
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(50)
+        top
           .crossJoin(broadcast(total))
           .withColumn("rank",
             row_number().over(
               Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
-          .filter(col("rank") <= 50)
           .select(col("rank"), col("tok"), col("cnt"),
             expr("cnt * 1000000L div tot").as("ppm"))
           .orderBy("rank")
