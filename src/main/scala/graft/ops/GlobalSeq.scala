@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SortOrder}
+import org.apache.spark.sql.graft.bridge.{ofRows, toExprEager}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed global row numbering — `row_number() OVER (ORDER BY
@@ -10,25 +12,20 @@ import org.apache.spark.sql.types.LongType
   * ENTIRE relation into one partition (Spark itself warns "No
   * Partition Defined for Window operation") — at the 100 TB design
   * point that is one task sorting the corpus. But a global SEQUENCE
-  * only needs a total order plus per-partition offsets:
-  *
-  *   1. `repartitionByRange(order)` — the scalable range exchange a
-  *      global ORDER BY uses (sampled boundaries, all parallel);
-  *   2. `sortWithinPartitions(order)` — parallel per-partition sorts;
-  *   3. `RDD.zipWithIndex` — Spark's two-job per-partition-count +
-  *      offset pass. Both jobs run on the SAME materialized RDD, so
-  *      the range exchange's shuffle files are written once and
-  *      REUSED by the second job (no recompute, and the sampled
-  *      boundaries cannot diverge between the count pass and the
-  *      numbering pass — the hazard a naive two-DataFrame-actions
-  *      formulation has).
+  * only needs a total order plus per-partition offsets, which is what
+  * the native [[graft.plans.GlobalSeqExec]] computes: Catalyst inserts
+  * a range exchange (sampled boundaries, all partitions sort in
+  * parallel) and per-partition sorts via the operator's required
+  * distribution/ordering, then one counting job + one numbering pass
+  * run over the SAME child RDD — the exchange's shuffle files are
+  * written once and reused, and the numbering appends the sequence in
+  * `InternalRow` space (no Row round-trip; the r14 formulation's
+  * `rdd.zipWithIndex` + `createDataFrame` paid an encoder conversion
+  * per corpus row and broke codegen at the seam).
   *
   * Output is EXACTLY `row_number` over the same order provided the
   * order keys are a total order (callers append a unique id — range
-  * boundaries may split ties across partitions otherwise). The one
-  * trade: the numbering map runs outside whole-stage codegen (a
-  * Row-append per row) — the honest cost of a global sequence, paid
-  * once, after which downstream plans are columnar again.
+  * boundaries may split ties across partitions otherwise).
   */
 object GlobalSeq {
 
@@ -40,13 +37,25 @@ object GlobalSeq {
       order: Seq[Column],
       seqName: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    graft.plans.GlobalSeqPlan.ensureRegistered(spark)
+    val plan = df.queryExecution.analyzed
+    def resolve(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+      val e = toExprEager(spark, c)
+      e.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          plan.output.find(a => spark.sessionState.conf.resolver(a.name, u.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"column ${u.name} not in ${plan.output.map(_.name).mkString(",")}"))
+      }
     }
-    spark.createDataFrame(indexed, sorted.schema.add(seqName, LongType))
+    val sortOrders = order.map { c =>
+      resolve(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    val seqAttr = AttributeReference(seqName, LongType, nullable = false)()
+    ofRows(spark, graft.plans.GlobalSeqNode(sortOrders, seqAttr, plan))
   }
 
   /** SQL `ntile(k)` tile of 1-based rank `r` among `n` rows — the

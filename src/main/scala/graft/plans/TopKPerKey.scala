@@ -35,17 +35,30 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+/** Physical top-k-per-key. Runs in TWO phases like an aggregate:
+  * a `partial = true` instance applies the bounded heaps map-side
+  * (no distribution requirement — each task emits at most k rows per
+  * key it saw), then the `partial = false` instance above the
+  * key-clustered exchange merges them. Top-k is a semigroup
+  * (topK(topK(A) ∪ topK(B)) = topK(A ∪ B)), so the split is lossless;
+  * the exchange carries at most tasks·k rows per key instead of the
+  * full scored stream — the difference between shuffling heap output
+  * and shuffling the corpus when keys are few (8 ANN probes) and the
+  * scored relation is corpus-sized.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -92,7 +105,8 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

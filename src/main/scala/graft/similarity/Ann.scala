@@ -24,6 +24,33 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Ann {
 
+  /** Shared ranking tail of every ANN face: top `k` rows per `keyCol`
+    * by `order`, plus the 1-based `rank` column the faces emit. Rides
+    * the native [[graft.plans.TopKPerKey]] operator — per-partition
+    * partial heaps map-side, so the keyed exchange carries at most
+    * tasks·k rows per key, and NO per-key sort of the scored stream
+    * ever runs (a `row_number` window partitioned by a handful of
+    * probe ids sorts a corpus-sized partition per probe — the exact
+    * single-reducer shape the r14 GlobalSeq work shed elsewhere). The
+    * ranking window after it touches ≤ k rows per key by construction
+    * (the Search.scala post-limit argument) and reuses the exchange's
+    * partitioning. Output is row-for-row the window+filter
+    * formulation's: the heap keeps exactly the rows row_number would
+    * rank ≤ k under the same total order (unique id tiebreak).
+    */
+  private[similarity] def rankTopK(
+      scored: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    val top = graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq(col(keyCol)), order, k)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+
   private lazy val log =
     org.apache.logging.log4j.LogManager.getLogger("graft.similarity.Ann")
 
@@ -95,10 +122,7 @@ object Ann {
         "cos",
         quantDot(col("qa"), col("qb")) /
           (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
-    cos
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(cos, idA, Seq(col("cos").desc, col(idB).asc), k)
       .select(col(idA), col("rank"), col(idB), col("cos"))
   }
 
@@ -183,10 +207,7 @@ object Ann {
         "cos",
         quantDot(col("qa"), col("qb")) /
           (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
-    cos
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(cos, idA, Seq(col("cos").desc, col(idB).asc), k)
       .select(col(idA), col("rank"), col(idB), col("la").as("probe_label"),
         col("lb").as("neg_label"), col("cos"))
   }
@@ -227,10 +248,7 @@ object Ann {
       .crossJoin(broadcast(p))
       .filter(col(idA) =!= col(idB))
       .withColumn("cos", cosineFast(col("va"), col("vb")))
-    val w = Window.partitionBy(idA).orderBy(col("cos").desc, col(idB).asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, idA, Seq(col("cos").desc, col(idB).asc), k)
       .select(col(idA), col("rank"), col(idB), col("cos"))
   }
 
@@ -380,10 +398,7 @@ object Ann {
       .withColumn(
         "cos",
         quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "probe_id", Seq(col("cos").desc, col("cand_id").asc), k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
@@ -497,10 +512,7 @@ object Ann {
       .withColumn(
         "cos",
         quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "probe_id", Seq(col("cos").desc, col("cand_id").asc), k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 

@@ -165,10 +165,7 @@ object Pq {
       .crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dist", distUdf(col("t"), col("codes")))
-    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kNn)
+    Ann.rankTopK(scored, "probe_id", Seq(col("dist").asc, col("cand_id").asc), kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
   }
 
@@ -229,10 +226,7 @@ object Pq {
       .withColumn(
         "cos",
         Ann.quantDot(col("qa"), col("qb")) / (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
-    rescored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kNn)
+    Ann.rankTopK(rescored, "probe_id", Seq(col("cos").desc, col("cand_id").asc), kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
@@ -301,10 +295,7 @@ object Pq {
       .join(broadcast(p), Seq("list_id"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dist", distUdf(col("t"), col("codes")))
-    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kNn)
+    Ann.rankTopK(scored, "probe_id", Seq(col("dist").asc, col("cand_id").asc), kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
   }
 }

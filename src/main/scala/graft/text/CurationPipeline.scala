@@ -124,14 +124,16 @@ object CurationPipeline {
         // rank (canonical-url, id) ONLY — the full rows (text included)
         // must not ride the rank exchange; survivors come back via an
         // id semi-join (column pruning keeps the rank branch's scan to
-        // two columns, and the text side moves at most once, id-keyed)
-        val wUrl = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__cu"))
-          .orderBy(col(idCol).asc)
+        // two columns, and the text side moves at most once, id-keyed).
+        // min(id) per canonical url IS row_number()===1 over (url, id)
+        // — as a hash aggregate it is map-side combinable (a hot
+        // boilerplate URL reduces to one row per map task) and never
+        // sorts, where the window form pins every occurrence of a hot
+        // key in one sort reducer (the r14 paragraph-dedup lesson).
         val keepIds = input
           .select(col(idCol), UrlOps.canonicalizeUrl(col(u)).as("__cu"))
-          .withColumn("__rn", row_number().over(wUrl))
-          .filter(col("__rn") === 1)
+          .groupBy(col("__cu"))
+          .agg(min(col(idCol)).as(idCol))
           .select(col(idCol))
         // cached before its eager funnel count — otherwise the
         // corpus-wide dedup recomputes when the next stage (gated)
@@ -191,13 +193,15 @@ object CurationPipeline {
     // digests and the survivors come back via an id semi-join
     // (broadcast at small survivor counts, id-keyed shuffle at scale —
     // the text moves at most once either way).
-    val wDigest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__dg"))
-      .orderBy(col(idCol).asc)
+    // min(id) per digest ≡ row_number()===1 over (digest, id): hash
+    // aggregate, map-side combinable, no sort — a corpus-duplicated
+    // boilerplate digest cannot pin one sort reducer (same rewrite as
+    // the url front door above; the keep RULE is unchanged and stays
+    // oracled by q_text_curation_e2e's exact-dedup stage count)
     val keepExact = lmGated
       .select(col(idCol), md5(col(textCol)).as("__dg"))
-      .withColumn("__rn", row_number().over(wDigest))
-      .filter(col("__rn") === 1)
+      .groupBy(col("__dg"))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exactDeduped = lmGated.join(keepExact, Seq(idCol), "left_semi").cache()
     val n2 = exactDeduped.count()

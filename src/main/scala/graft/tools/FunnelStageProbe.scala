@@ -38,11 +38,11 @@ object FunnelStageProbe {
       g.count(); g
     }
     val exactDeduped = t("exact_dedup") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__dg")).orderBy(col("doc_id").asc)
+      // mirrors CurationPipeline's r15 form: min(id) per digest (hash
+      // agg), not a row_number window (sort per digest partition)
       val keep = gated.select(col("doc_id"), md5(col("text")).as("__dg"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select("doc_id")
+        .groupBy(col("__dg")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
       val e = gated.join(keep, Seq("doc_id"), "left_semi").cache()
       e.count(); e
     }

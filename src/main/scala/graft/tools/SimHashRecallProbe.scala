@@ -29,6 +29,14 @@ object SimHashRecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val base = graft.core.Graft.table(spark, sfDir, "documents")
+    // copy i Caesar-shifts by i % 26, so copy 26 would be the IDENTITY
+    // permutation — byte-identical text under different doc_ids makes
+    // cross-copy shingle universes non-disjoint and distorts the
+    // recall figure (ADVICE r14; gen_scale.py composes a TAU
+    // permutation past the same exhaustion point — this probe does not)
+    require(copies <= 26,
+      s"copies=$copies exhausts the Caesar group (26 shifts); compose " +
+        "a second permutation as tools/gen_scale.py does before going past it")
     val ab = "abcdefghijklmnopqrstuvwxyz"
     val docs = (0 until copies).map { i =>
       if (i == 0) base.select(col("doc_id"), col("text"))

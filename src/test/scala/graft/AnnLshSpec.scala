@@ -106,11 +106,14 @@ class AnnLshSpec extends SparkTestBase {
     "time) and leaves outputs identical — ADVICE r13 / VERDICT #5") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = e.count()
-    var jobs = 0
+    // AtomicInteger: incremented on the listener-bus thread, read on
+    // the test thread — a plain var can read stale under the JMM and
+    // flake the quiescence poll (ADVICE r14)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -123,11 +126,11 @@ class AnnLshSpec extends SparkTestBase {
         spark.sparkContext.parallelize(Seq(1)).count()
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         var last = -1
-        while (last != jobs && System.nanoTime() < deadline) {
-          last = jobs; Thread.sleep(400)
+        while (last != jobs.get() && System.nanoTime() < deadline) {
+          last = jobs.get(); Thread.sleep(400)
         }
       }
-      flush(); jobs = 0
+      flush(); jobs.set(0)
       // with the hint, building the pair plan runs NO job at all —
       // the composed-pipeline caller's count is reused, the vectors
       // relation is not re-scanned
@@ -135,8 +138,8 @@ class AnnLshSpec extends SparkTestBase {
         minCos = 0.3, bits = 2, autoScaleDocs = 1L, targetBucket = 16,
         knownCount = Some(n))
       flush()
-      assert(jobs == 1,
-        s"knownCount path still ran ${jobs - 1} eager job(s)")
+      assert(jobs.get() == 1,
+        s"knownCount path still ran ${jobs.get() - 1} eager job(s)")
       val got = hinted.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val unhinted = Ann.cosineNearDupPairs(e, "vec_id", "embedding",

@@ -55,6 +55,32 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("exec runs two-phase: partial heaps below the exchange, final " +
+    "above — the shuffle carries heap output, not the full stream") {
+    val df = TopKPerKey.topKPerKey(
+      orders,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 2
+    )
+    val plan = df.queryExecution.executedPlan.toString
+    // both instances present, with the keyed exchange between them
+    val first = plan.indexOf("TopKPerKey")
+    val second = plan.indexOf("TopKPerKey", first + 1)
+    assert(second > first, s"expected partial+final TopKPerKeyExec:\n$plan")
+    val between = plan.substring(first, second)
+    assert(between.contains("Exchange") || plan.contains("ShuffleQueryStage"),
+      s"expected the key exchange between final and partial:\n$plan")
+    // parity with the stock formulation is already pinned above; here
+    // assert the row COUNT a partial-only pass would inflate
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).count()
+    assert(df.count() == expected)
+  }
+
   test("descending order picks the highest-price orders") {
     val got = TopKPerKey
       .topKPerKey(

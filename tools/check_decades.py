@@ -75,6 +75,7 @@ OVERRIDES = {}
 def main():
     failures = []
     checked = 0
+    exempt = 0
     for sf1f, sf10f, budget in PAIRS:
         if not (os.path.exists(sf1f) and os.path.exists(sf10f)):
             failures.append(f"missing pair: {sf1f} / {sf10f}")
@@ -91,7 +92,13 @@ def main():
             cap, why = OVERRIDES.get(q, (budget, None))
             tag = f" [{why}]" if why else ""
             line = f"{q:44s} {a[q]:7.2f} -> {b[q]:7.2f} s  {ratio:5.1f}x (budget {cap}x){tag}"
-            if b[q] >= MIN_WALL_SEC and ratio > cap:
+            if b[q] < MIN_WALL_SEC:
+                # ratio-blind by design; print DISTINCTLY so the share
+                # of the gate running exempt stays visible (r14 verdict
+                # #4: 19/81 faces read "ok" while never ratio-checked)
+                exempt += 1
+                print("exmp " + line)
+            elif ratio > cap:
                 failures.append("OVER BUDGET: " + line)
                 print("FAIL " + line)
             else:
@@ -102,7 +109,9 @@ def main():
         for f in failures:
             print("  " + f)
         return 1
-    print(f"all {checked} faces within decade budgets")
+    print(f"all {checked} faces within decade budgets "
+          f"({checked - exempt} ratio-gated, {exempt} exempt: "
+          f"sf10 wall < {MIN_WALL_SEC} s)")
     return 0
 
 if __name__ == "__main__":

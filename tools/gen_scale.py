@@ -48,8 +48,11 @@ DISJOINT image:
 - region/nation: fixed dimension tables (TPC-H semantics), copied
   verbatim once.
 
-Usage: python3 tools/gen_scale.py [K] [src_dir] [dst_dir]
-defaults:                          10  /root/testdata/sf0.1  testdata/sf1
+Usage: python3 tools/gen_scale.py [K] [src_dir] [dst_dir] [tables]
+defaults:                          10  /root/testdata/sf0.1  testdata/sf1  all
+[tables]: comma-separated subset (e.g. "documents") for probe fixtures
+that only need one table — a K=1000 documents-only dir is ~5M docs and
+seconds to build, where a full K=1000 build would be 100M+ event rows.
 """
 import os
 import sys
@@ -64,6 +67,12 @@ SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "testdata", "sf1")
+TABLES = (set(sys.argv[4].split(","))
+          if len(sys.argv) > 4 and sys.argv[4] != "all" else None)
+
+
+def want(name):
+    return TABLES is None or name in TABLES
 
 os.makedirs(DST, exist_ok=True)
 
@@ -151,6 +160,8 @@ def rotate_embeddings(col, i, dim=64):
 
 
 def write_copies(name, transform, row_group_size=None):
+    if not want(name):
+        return
     t = read(name)
     out = os.path.join(DST, f"{name}.parquet")
     # Row-group sizing: target >= 64 groups per FILE (not per copy).
@@ -197,6 +208,8 @@ for name, key, card in [
     ("documents", "doc_id", CARD["documents"]),
     ("embeddings", "vec_id", CARD["embeddings"]),
 ]:
+    if not want(name):
+        continue
     t = read(name)
     mn = pc.min(t.column(key)).as_py()
     mx = pc.max(t.column(key)).as_py()
@@ -204,6 +217,8 @@ for name, key, card in [
 
 # ---- dimension tables: verbatim ----
 for name in ("region", "nation"):
+    if not want(name):
+        continue
     t = read(name)
     pq.write_table(t, os.path.join(DST, f"{name}.parquet"))
     print(f"{name}: {t.num_rows} rows (verbatim dimension)")
@@ -264,13 +279,14 @@ write_copies("lineitem", lambda t, i: replace(
 # max value stays 560.21+396 < 1000, inside every consumer's /1000
 # normalization. Deterministic: a pure function of (copy, event_id).
 def _events(t, i):
-    eids = np.asarray(
-        offset(t.column("event_id"), CARD["events_id"], i)
-        .combine_chunks(), dtype=np.int64)
+    # one offset pass, reused for both the jitter derivation and the
+    # replacement column (events is the largest table in the scale-up)
+    eid_col = offset(t.column("event_id"), CARD["events_id"], i)
+    eids = np.asarray(eid_col.combine_chunks(), dtype=np.int64)
     jitter = pa.array(((eids * 7919) % 397).astype(np.float64))
     return replace(
         t,
-        event_id=offset(t.column("event_id"), CARD["events_id"], i),
+        event_id=eid_col,
         user_id=offset(t.column("user_id"), CARD["events_user"], i),
         value=pc.add(t.column("value"), jitter),
     )

@@ -12,8 +12,26 @@
 # check_sf10_newops.sh, check_sf10_r10b.sh) and check_sf1.sh.
 set -e
 cd "$(dirname "$0")/.."
-[ -d testdata/sf1 ] || python3 tools/gen_scale.py 10 /root/testdata/sf0.1 testdata/sf1
-[ -d testdata/sf10 ] || python3 tools/gen_scale.py 100 /root/testdata/sf0.1 testdata/sf10
+
+# Fixture staleness is EXPLICIT (ADVICE r14): each fixture dir carries
+# a fingerprint (sha256 of gen_scale.py + its K) written at generation
+# time; a gen_scale.py edit or K change regenerates automatically. A
+# bare [ -d ] test silently benchmarked STALE fixtures whenever the
+# generator changed under a pre-existing dir — the mixed-vintage
+# hazard this script exists to prevent.
+GENFP=$(sha256sum tools/gen_scale.py | cut -d' ' -f1)
+ensure_fixture() { # K dir
+  want="$GENFP K=$1"
+  have=$(cat "$2/.gen_fingerprint" 2>/dev/null || true)
+  if [ "$have" != "$want" ]; then
+    echo "[refresh_decades] (re)generating $2 (fingerprint ${have:-absent} != $want)"
+    rm -rf "$2"
+    python3 tools/gen_scale.py "$1" /root/testdata/sf0.1 "$2"
+    printf '%s' "$want" > "$2/.gen_fingerprint"
+  fi
+}
+ensure_fixture 10 testdata/sf1
+ensure_fixture 100 testdata/sf10
 
 DEDUP=$(grep -v '^#' tools/sf10_dedup_subset.txt | paste -sd, -)
 NEWOPS=q_text_span_corrupt,q_corpus_manifest,q_text_lm_backoff,q_text_index_search,q_text_inverted_index,q_ann_hard_negatives,q_text_lm_backoff3,q_text_wordlist_tags,q_text_unk_rare,q_sample_group_split,q_source_overlap,q_dedup_cdc_chunks,q_ann_random_project,q_text_bpe_fertility,q_text_langid_confusion,q_text_truncate,q_text_chat_template,q_sft_preference_pairs,q_k_orc_roundtrip,q_text_width_fold,q_sample_unimax
