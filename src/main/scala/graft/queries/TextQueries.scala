@@ -830,7 +830,7 @@ object TextQueries {
         """WITH g0 AS (SELECT doc_id,
           |    CASE WHEN length(text) >= 16
           |         THEN list_transform(range(1, length(text) - 14),
-          |                i -> md5(substr(text, i, 16)))
+          |                i -> md5_number_upper(substr(text, i, 16)))
           |         ELSE [] END AS hs
           |  FROM documents),
           |g AS (SELECT doc_id, unnest(hs) AS h,
@@ -852,7 +852,11 @@ object TextQueries {
       doc = "shared-substring near-dup pairs: docs sharing >= 5 " +
         "winnowing fingerprints of 16-char grams (df-capped inverted " +
         "index) — the substring-dedup detection surface (Lee et al. " +
-        "'22 shape)"
+        "'22 shape). Prints are the first 8 md5 bytes as unsigned LE " +
+        "64-bit (= DuckDB md5_number_upper), window-min'd UNSIGNED on " +
+        "both sides — equality/df semantics are order-free, so the " +
+        "truncation is jointly lossless while the fingerprint relation " +
+        "drops to ~1/4 the bytes of the hex form"
     ),
     // ----------------------------------------------------------------
     QueryDef(

@@ -1338,6 +1338,60 @@ object TextAnalysis {
       }
   }
 
+
+  /** [[winnowUdf]] with 64-bit NUMERIC prints: the selected
+    * fingerprint is the first 8 md5 bytes as an unsigned little-endian
+    * 64-bit value (= DuckDB `md5_number_upper(gram)` exactly), chosen
+    * by UNSIGNED window-min. For the pair-detection face the print is
+    * only ever compared for equality and df-capped, so any injective
+    * truncation both engines apply identically is lossless — and an
+    * 8-byte long print cuts the fingerprint relation (30M+ rows at
+    * sf10, the face's dominant cache/shuffle/join payload) to ~1/4 the
+    * bytes of the 32-char hex form. 2^64 print space keeps collisions
+    * negligible at the 10^8-doc design point (and an engine/oracle
+    * collision is shared — both sides still agree row-for-row).
+    */
+  def winnowLongUdf(k: Int, w: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null || text.length < k) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val m = text.length - k + 1
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          md.reset()
+          val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          var l = 0L
+          var b = 7
+          while (b >= 0) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+          hs(i) = l
+          i += 1
+        }
+        if (m < w) Array.empty[Long]
+        else {
+          val sel = new java.util.LinkedHashSet[java.lang.Long]()
+          var st = 0
+          while (st <= m - w) {
+            var best = hs(st)
+            var j = st + 1
+            while (j < st + w) {
+              if (java.lang.Long.compareUnsigned(hs(j), best) < 0) best = hs(j)
+              j += 1
+            }
+            sel.add(best)
+            st += 1
+          }
+          val out = new Array[Long](sel.size)
+          val it = sel.iterator()
+          var o = 0
+          while (it.hasNext) { out(o) = it.next(); o += 1 }
+          out
+        }
+      }
+  }
+
   /** The selected winnowing fingerprint set, one (id, wm) row per
     * selected hash — the shared substrate of the per-doc rollup and
     * the pair detector.
@@ -1386,7 +1440,17 @@ object TextAnalysis {
       maxDf: Long = 1000L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sel = winnowFingerprints(df, idCol, textCol, k, w)
+    // 64-bit numeric prints (winnowLongUdf): the fingerprint relation
+    // is the face's dominant payload (30M+ rows at sf10), and an
+    // 8-byte key moves ~1/4 the bytes of the 32-char hex form through
+    // the df-cap sort, the cache, and the pair self-join. One-pass
+    // plan shape (measured against a groupBy+semi-join df-cap, which
+    // double-materializes the stream and re-times 2.5x WORSE at sf10):
+    // window count per wm, filter, cache the survivors, self-join —
+    // the cached frame keeps the window's hash(wm) partitioning, so
+    // the self-join adds no exchange.
+    val sel = df
+      .select(col(idCol), explode(winnowLongUdf(k, w)(col(textCol))).as("wm"))
     val rare = sel
       .withColumn("df", count(lit(1)).over(Window.partitionBy("wm")))
       .filter(col("df") <= maxDf)
