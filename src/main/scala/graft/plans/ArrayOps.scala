@@ -217,8 +217,134 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** PQ / k-means encoder: per subspace `s`, the argmin code over `k`
+  * codebook entries of the identical-order squared-L2 chain (strict
+  * `<`, so ties go to the smallest code — the Lloyd-assignment
+  * contract every oracle replays). The codebook ships flattened
+  * (`((s·k)+c)·sd + j`) inside the expression — m·k·sd doubles of
+  * plan metadata, broadcast with the task binary — and the whole
+  * encode runs as a primitive loop inside WholeStageCodegen: the
+  * corpus-sized encode pass previously paid a Scala-UDF Seq[Float]
+  * boxing round-trip per row (the dominant cost of pqBuild/ivfBuild
+  * after their Lloyd training went sample-bounded).
+  *
+  * IVF assignment is the m=1 special case (one subspace spanning the
+  * full dimension, k=nLists): element 0 of the result is the list id.
+  */
+case class PqEncodeExpr(
+    child: Expression,
+    flat: Array[Double],
+    m: Int,
+    k: Int,
+    sd: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<float> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vbase = s * sd
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cbase = (s * k + c) * sd
+        var d = 0.0
+        var j = 0
+        while (j < sd) {
+          val t = v.getFloat(vbase + j).toDouble - flat(cbase + j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val cbase = ctx.freshName("cbase")
+      val vbase = ctx.freshName("vbase")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $vbase = $s * $sd;
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $cbase = ($s * $k + $c) * $sd;
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $sd; $j++) {
+         |      double $t = (double) $v.getFloat($vbase + $j) - $cb[$cbase + $j];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object ArrayOps {
+
+  /** Native PQ encode: array<float> → array<int> of `m` codes under
+    * `codebooks(s)(c)(d)`. The codebook snapshot is flattened at call
+    * time, so later mutation of the caller's arrays cannot leak in.
+    */
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val sd = codebooks(0)(0).length
+    val flat = new Array[Double](m * k * sd)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(codebooks(s)(c), 0, flat, (s * k + c) * sd, sd)
+        c += 1
+      }
+      s += 1
+    }
+    toColumn(PqEncodeExpr(toExpr(v), flat, m, k, sd))
+  }
+
+  /** Native k-means assignment (IVF): the m=1 PQ-encode special case —
+    * argmin centroid index over the full dimension, smallest-index
+    * ties.
+    */
+  def kmeans_assign(v: Column, centroids: Array[Array[Double]]): Column =
+    pq_encode(v, Array(centroids)).getItem(0)
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))

@@ -554,10 +554,16 @@ object CurationOpsQueries {
           .orderBy("drop_id"),
       // Replays the SAME two Lloyd iterations as q_ann_topk_ivf's
       // oracle (assignments a2 = assign under once-updated centroids
-      // c1), then within-cluster quantized cosine >= 0.3 and the
+      // c1; mean updates restricted to the hash-ordered training cap
+      // tr, exactly as ivfBuild's bounded Lloyd pass), then
+      // within-cluster quantized cosine >= 0.3 and the
       // smallest-lower-id keeper rule.
       oracle = Some(
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |tr AS (
+          |  SELECT vec_id FROM e
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+          |  LIMIT ${graft.similarity.Pq.DefaultTrainCap}),
           |c0 AS (
           |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
           |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
@@ -575,7 +581,7 @@ object CurationOpsQueries {
           |  FROM (
           |    SELECT li, generate_subscripts(embedding, 1) AS pos,
           |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
-          |    FROM a1)
+          |    FROM a1 JOIN tr USING (vec_id))
           |  GROUP BY li, pos),
           |c1rows AS (
           |  SELECT li,
@@ -645,7 +651,11 @@ object CurationOpsQueries {
       // splits and the SQL replay diverges BY DESIGN, not engine
       // error — see tools/check_sf10_r10b.sh which excludes it).
       oracle = Some(
-        """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+          |tr AS (
+          |  SELECT vec_id FROM e
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+          |  LIMIT ${graft.similarity.Pq.DefaultTrainCap}),
           |c0 AS (
           |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
           |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
@@ -663,7 +673,7 @@ object CurationOpsQueries {
           |  FROM (
           |    SELECT li, generate_subscripts(embedding, 1) AS pos,
           |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
-          |    FROM a1)
+          |    FROM a1 JOIN tr USING (vec_id))
           |  GROUP BY li, pos),
           |c1rows AS (
           |  SELECT li,

@@ -299,9 +299,15 @@ object SimilarityQueries {
       // means are long sums / (2^20·count) (order-free), distances are
       // identical-order double chains, and in-list cosines reuse the
       // ×2^20 recipe. The oracle replays BOTH Lloyd iterations
-      // relationally (init = first 16 vectors by id).
+      // relationally (init = first 16 vectors by id; mean updates see
+      // only the hash-ordered training cap tr, exactly as ivfBuild's
+      // bounded Lloyd pass does).
       oracle = Some(
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |tr AS (
+          |  SELECT vec_id FROM e
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+          |  LIMIT ${graft.similarity.Pq.DefaultTrainCap}),
           |c0 AS (
           |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS c
           |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
@@ -319,7 +325,7 @@ object SimilarityQueries {
           |  FROM (
           |    SELECT li, generate_subscripts(embedding, 1) AS pos,
           |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
-          |    FROM a1)
+          |    FROM a1 JOIN tr USING (vec_id))
           |  GROUP BY li, pos),
           |c1rows AS (
           |  SELECT li,
@@ -343,7 +349,7 @@ object SimilarityQueries {
           |  FROM (
           |    SELECT li, generate_subscripts(embedding, 1) AS pos,
           |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS xq
-          |    FROM a2)
+          |    FROM a2 JOIN tr USING (vec_id))
           |  GROUP BY li, pos),
           |c2rows AS (
           |  SELECT li,
@@ -412,11 +418,16 @@ object SimilarityQueries {
       // Replayable like IVF: codebook init = first 16 vectors'
       // subvectors, assignment = identical-order double distance
       // chains (argmin, smallest-code ties), means = exact long sums /
-      // (2^20·count), ADC tables and candidate sums rebuilt with
-      // ORDER BY-controlled list_sum so addition order matches the
-      // Scala loops exactly.
+      // (2^20·count) over the hash-ordered training cap (tr — DuckDB's
+      // md5 of the id's decimal string matches Spark's byte-for-byte),
+      // ADC tables and candidate sums rebuilt with ORDER BY-controlled
+      // list_sum so addition order matches the Scala loops exactly.
       oracle = Some(
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |tr AS (
+          |  SELECT vec_id FROM e
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+          |  LIMIT ${graft.similarity.Pq.DefaultTrainCap}),
           |c0 AS (
           |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
           |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)),
@@ -433,7 +444,7 @@ object SimilarityQueries {
           |  SELECT a1.s, a1.code, d.d,
           |    sum(CAST(round(CAST(E.embedding[16 * (a1.s - 1) + d.d] AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS mq,
           |    count(*) AS cnt
-          |  FROM a1 JOIN e E USING (vec_id) CROSS JOIN range(1, 17) d(d)
+          |  FROM a1 JOIN tr USING (vec_id) JOIN e E USING (vec_id) CROSS JOIN range(1, 17) d(d)
           |  GROUP BY 1, 2, 3),
           |c1 AS (
           |  SELECT s.s, c.c, d.d,
@@ -573,7 +584,7 @@ object SimilarityQueries {
     val cut = t.indexOf("\nSELECT probe_id, rank, cand_id, dist FROM (")
     require(cut > 0, "q_ann_topk_pq oracle shape changed — update q_ann_topk_ivfpq")
     var body = t.substring(head.length, cut)
-    for ((from, to) <- Seq("a1" -> "qa1", "m1" -> "qm1", "c1" -> "qc1", "c0" -> "qc0"))
+    for ((from, to) <- Seq("a1" -> "qa1", "m1" -> "qm1", "c1" -> "qc1", "c0" -> "qc0", "tr" -> "qtr"))
       body = body.replaceAll("\\b" + from + "\\b", to)
     body
   }
@@ -705,6 +716,10 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
   private def pqOracle(m: Int, k: Int, kNn: Int): String = {
     val sd = 64 / m
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |tr AS (
+       |  SELECT vec_id FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |  LIMIT ${graft.similarity.Pq.DefaultTrainCap}),
        |c0 AS (
        |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
        |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $k)),
@@ -721,7 +736,7 @@ WHERE rank <= $kNn ORDER BY probe_id, rank"""
        |  SELECT a1.s, a1.code, d.d,
        |    sum(CAST(round(CAST(E.embedding[$sd * (a1.s - 1) + d.d] AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS mq,
        |    count(*) AS cnt
-       |  FROM a1 JOIN e E USING (vec_id) CROSS JOIN range(1, ${sd + 1}) d(d)
+       |  FROM a1 JOIN tr USING (vec_id) JOIN e E USING (vec_id) CROSS JOIN range(1, ${sd + 1}) d(d)
        |  GROUP BY 1, 2, 3),
        |c1 AS (
        |  SELECT s.s, c.c, d.d,

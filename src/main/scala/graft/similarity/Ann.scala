@@ -443,14 +443,35 @@ object Ann {
     * bit-reproducible at any parallelism AND replayable by a SQL
     * oracle.
     */
+  /** Training bound for the Lloyd iterations, `trainCap` semantics:
+    * -1 (default) auto-sizes to max(Pq.DefaultTrainCap, 64·nLists) —
+    * the FAISS max_points_per_centroid posture, growing with the list
+    * count so auto-scaled SemDeDup clusterings (nLists ≈ n/2048)
+    * still see ~64 points per centroid while training only ~3% of the
+    * corpus; 0 disables the bound. The sample is the trainCap
+    * smallest rows under the deterministic hash order (md5 of the
+    * id's decimal string, id tiebreak) — seedless, uniform, and
+    * DuckDB-replayable as `ORDER BY md5(CAST(id AS VARCHAR)), id
+    * LIMIT cap` — selected as an id-only TakeOrdered and applied as a
+    * broadcast semi-join, so training stays partition-parallel and
+    * nothing corpus-sized collects. ENCODING (the final assignment
+    * relation) still covers every vector; under the cap the semi-join
+    * passes all rows — bit-identical to unbounded training.
+    */
   def ivfBuild(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nLists: Int = 16,
-      iters: Int = 3
+      iters: Int = 3,
+      trainCap: Int = -1
   ): IvfIndex = {
     require(nLists >= 1 && iters >= 1, "ivfBuild needs nLists >= 1 and iters >= 1")
+    val cap =
+      if (trainCap < 0) math.max(Pq.DefaultTrainCap, 64 * nLists)
+      else trainCap
+    require(cap <= 0 || cap >= nLists,
+      s"ivfBuild needs trainCap >= nLists (every list needs a chance at members), got $cap < $nLists")
     val spark = df.sparkSession
     import spark.implicits._
     var centroids: Array[Array[Double]] = df
@@ -459,14 +480,35 @@ object Ann {
       .select(vecCol)
       .collect()
       .map(r => toDense(r.getSeq[Float](0)))
-    var assignments: DataFrame = null
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf { (v: Seq[Float]) =>
-        nearestCentroids(toDense(v), bc.value, 1).head
+    val trainDf =
+      if (cap <= 0) df
+      else {
+        // hash projected BEFORE the TakeOrdered: sort-order expressions
+        // are re-evaluated per heap comparison, a projected column is
+        // computed once per row
+        val ids = df
+          .select(col(idCol), md5(col(idCol).cast("string")).as("__train_h"))
+          .orderBy(col("__train_h").asc, col(idCol).asc)
+          .limit(cap)
+          .select(col(idCol))
+        df.join(broadcast(ids), Seq(idCol), "left_semi")
       }
-      assignments = df.select(col(idCol), col(vecCol), assignUdf(col(vecCol)).as("list_id"))
-      val sums = assignments
+    var assignments: DataFrame = null
+    for (it <- 0 until iters) {
+      // native codegen assignment (plans.PqEncodeExpr, m=1 special
+      // case): the corpus-sized encode pass runs as a primitive loop
+      // inside WholeStageCodegen — no Seq[Float] UDF boxing per row.
+      // Argmin with strict < over ascending centroid index == the
+      // nearestCentroids (d, c) sort's head — same tie-break.
+      val assign = graft.plans.ArrayOps.kmeans_assign(col(vecCol), centroids)
+      // final assignment relation covers EVERY vector under the last
+      // iteration's pre-update centroids; mean statistics below come
+      // from the bounded training sample only
+      if (it == iters - 1)
+        assignments =
+          df.select(col(idCol), col(vecCol), assign.as("list_id"))
+      val sums = trainDf
+        .select(assign.as("list_id"), col(vecCol))
         .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .withColumn("xq", round(col("x").cast("double") * QuantScale, 0).cast("long"))
         .groupBy("list_id", "pos")
@@ -479,7 +521,7 @@ object Ann {
       }
       centroids = next
     }
-    IvfIndex(centroids, assignments.select(col(idCol), col(vecCol), col("list_id")))
+    IvfIndex(centroids, assignments)
   }
 
   /** IVF search: each probe scans its `nProbe` nearest lists only —

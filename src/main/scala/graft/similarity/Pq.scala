@@ -30,34 +30,35 @@ object Pq {
     dim / m
   }
 
-  /** Nearest code for one subvector: argmin of the identical-order
-    * squared-distance chain, ties to the smallest code.
+  /** Lloyd's mean updates see at most this many vectors by default —
+    * the FAISS `max_points_per_centroid` posture (256 points/centroid
+    * at the default k = 16 codes per subspace). Codebook quality
+    * saturates long before the corpus is exhausted, so training over
+    * the full relation is pure waste at scale: without a bound, every
+    * pqBuild pays a corpus×dim explode + shuffle per iteration —
+    * unrunnable at 10¹¹ vectors. ENCODING (the per-row nearest-code
+    * map) still covers every vector; only the mean statistics are
+    * sampled.
     */
-  private def nearestCode(
-      v: Seq[Float], s: Int, sd: Int, cb: Array[Array[Array[Double]]]): Int = {
-    val base = s * sd
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cb(s).length) {
-      var d = 0.0
-      var j = 0
-      val cv = cb(s)(c)
-      while (j < sd) {
-        val t = v(base + j).toDouble - cv(j)
-        d += t * t
-        j += 1
-      }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
+  val DefaultTrainCap = 4096
 
   /** Train codebooks (init: the `k` smallest-id vectors' subvectors)
     * and encode every vector. Codes are the assignment of the LAST
     * iteration; `codebooks` carries the post-iteration means (the
     * table side of ADC) — mirroring ivfBuild's contract.
+    *
+    * Training is bounded by `trainCap` (≤ 0 disables): the mean
+    * updates scan only the `trainCap` smallest rows under the
+    * deterministic hash order (md5 of the id's decimal string, id
+    * tiebreak) — a uniform, seedless, engine-replayable sample that
+    * DuckDB reproduces verbatim as
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT cap`. The sample is
+    * selected as an id-only TakeOrdered (bounded driver-side heap
+    * merge of per-partition top-caps) and applied as a broadcast
+    * semi-join, so the training scan stays partition-parallel and no
+    * corpus-sized relation ever shuffles or collects. When the corpus
+    * is under the cap the semi-join passes every row — bit-identical
+    * to unbounded training.
     */
   def pqBuild(
       df: DataFrame,
@@ -65,10 +66,12 @@ object Pq {
       vecCol: String,
       m: Int = 4,
       k: Int = 16,
-      iters: Int = 1
+      iters: Int = 1,
+      trainCap: Int = DefaultTrainCap
   ): PqIndex = {
     require(k >= 1 && iters >= 1 && m >= 1, "pqBuild needs m, k, iters >= 1")
-    val spark = df.sparkSession
+    require(trainCap <= 0 || trainCap >= k,
+      s"pqBuild needs trainCap >= k (every code needs a chance at members), got $trainCap < $k")
     val init = df
       .orderBy(col(idCol).asc)
       .limit(k)
@@ -79,21 +82,36 @@ object Pq {
       s"pqBuild needs >= $k vectors to seed the codebooks, got ${init.length}")
     val dim = init.head.length
     val sd = subDim(dim, m)
+    val trainDf =
+      if (trainCap <= 0) df
+      else {
+        // hash projected BEFORE the TakeOrdered: sort-order expressions
+        // are re-evaluated per heap comparison, a projected column is
+        // computed once per row
+        val ids = df
+          .select(col(idCol), md5(col(idCol).cast("string")).as("__train_h"))
+          .orderBy(col("__train_h").asc, col(idCol).asc)
+          .limit(trainCap)
+          .select(col(idCol))
+        df.join(broadcast(ids), Seq(idCol), "left_semi")
+      }
     var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
       Array.tabulate(sd)(j => init(c)(s * sd + j).toDouble)
     }
     var codes: DataFrame = null
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(codebooks)
-      val codesUdf = udf { (v: Seq[Float]) =>
-        val out = new Array[Int](m)
-        var s = 0
-        while (s < m) { out(s) = nearestCode(v, s, sd, bc.value); s += 1 }
-        out
-      }
-      codes = df.select(col(idCol), col(vecCol), codesUdf(col(vecCol)).as("codes"))
+    for (it <- 0 until iters) {
+      // native codegen encoder (plans.PqEncodeExpr): the corpus-sized
+      // encode pass runs as a primitive loop inside WholeStageCodegen
+      // — no Seq[Float] UDF boxing per row
+      val encode = graft.plans.ArrayOps.pq_encode(col(vecCol), codebooks)
+      // final encoding covers EVERY vector under the last iteration's
+      // pre-update codebooks (the ivfBuild contract); mean statistics
+      // below come from the bounded training sample only
+      if (it == iters - 1)
+        codes = df.select(col(idCol), encode.as("codes"))
       // per-(subspace, code, local-dim) integer-exact means
-      val sums = codes
+      val sums = trainDf
+        .select(encode.as("codes"), col(vecCol))
         .select(col("codes"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .withColumn("s", (col("pos") / sd).cast("int"))
         .withColumn("d", (col("pos") % sd).cast("int"))
@@ -109,7 +127,7 @@ object Pq {
       }
       codebooks = next
     }
-    PqIndex(codebooks, codes.select(col(idCol), col("codes")))
+    PqIndex(codebooks, codes)
   }
 
   /** ADC top-k: every probe materializes its m×k distance table once
@@ -142,13 +160,19 @@ object Pq {
     }
   }
 
-  /** Candidate cost under ADC: m table adds in subspace order. */
-  private val distUdf = udf { (table: Seq[Seq[Double]], codes: Seq[Int]) =>
-    var acc = 0.0
-    var s = 0
-    while (s < codes.length) { acc += table(s)(codes(s)); s += 1 }
-    acc
-  }
+  /** Candidate cost under ADC: m table adds in subspace order —
+    * expressed as a chain of native `element_at` lookups (+1: SQL
+    * arrays are 1-based) so the per-(candidate, probe) hot loop stays
+    * inside whole-stage codegen instead of boxing a Seq[Seq[Double]]
+    * per row through a UDF. The `reduce(_ + _)` folds left, so the
+    * double additions run in ascending subspace order — the exact
+    * order the oracle's ORDER BY-controlled list_sum replays.
+    */
+  private def adcDist(table: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+    (0 until m)
+      .map(s => element_at(element_at(table, s + 1), element_at(codes, s + 1) + 1))
+      .reduce(_ + _)
 
   def pqTopK(
       index: PqIndex,
@@ -164,7 +188,7 @@ object Pq {
       .select(col(idCol).as("cand_id"), col("codes"))
       .crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("dist", distUdf(col("t"), col("codes")))
+      .withColumn("dist", adcDist(col("t"), col("codes"), index.codebooks.length))
     Ann.rankTopK(scored, "probe_id", Seq(col("dist").asc, col("cand_id").asc), kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
   }
@@ -294,7 +318,7 @@ object Pq {
     val scored = cands
       .join(broadcast(p), Seq("list_id"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("dist", distUdf(col("t"), col("codes")))
+      .withColumn("dist", adcDist(col("t"), col("codes"), pq.codebooks.length))
     Ann.rankTopK(scored, "probe_id", Seq(col("dist").asc, col("cand_id").asc), kNn)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("dist"))
   }

@@ -30,6 +30,24 @@ object WatchProbe {
     // ---- q_ann_topk_pq ------------------------------------------------
     val e = graft.core.Graft.table(spark, sfDir, "embeddings")
     println(s"[watch] embeddings=${e.count()}")
+    // build-internal stages, isolated (same params as the face);
+    // repeated scans separate JIT/first-touch from steady-state cost
+    for (rep <- 1 to 2) {
+      time(s"  scan: count(*) rep$rep") { e.count() }
+      time(s"  scan: ids only rep$rep") { e.select(col("vec_id")).agg(sum(col("vec_id"))).collect() }
+      time(s"  scan: full vectors rep$rep") { e.select(posexplode(col("embedding"))).agg(count(lit(1))).collect() }
+      time(s"  build stage: init collect (TakeOrdered 16) rep$rep") {
+        e.orderBy(col("vec_id").asc).limit(16).select("embedding").collect()
+      }
+      time(s"  build stage: train-sample ids (md5 TakeOrdered 4096) rep$rep") {
+        // projected-hash form, mirroring pqBuild/ivfBuild
+        e.select(col("vec_id"), md5(col("vec_id").cast("string")).as("__train_h"))
+          .orderBy(col("__train_h").asc, col("vec_id").asc)
+          .limit(graft.similarity.Pq.DefaultTrainCap)
+          .select(col("vec_id")).count()
+      }
+    }
+    println(s"[watch]   scan partitions=${e.rdd.getNumPartitions}")
     val idx = time("pq build (codebooks + codes)") {
       val i = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16)
       i.codes.cache().count()

@@ -42,6 +42,60 @@ class IvfSpec extends SparkTestBase {
     assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
   }
 
+  test("ivfBuild trainCap: centroid updates come from exactly the " +
+    "hash-ordered sample (driver replay), encoding still covers everyone") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cap = 64
+    val nLists = 8
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = nLists, iters = 1, trainCap = cap)
+    val unbounded = Ann.ivfBuild(e, "vec_id", "embedding", nLists = nLists, iters = 1, trainCap = 0)
+    // 64 < 500 rows: the sampled means must actually differ
+    assert(idx.centroids.map(_.toSeq).toSeq != unbounded.centroids.map(_.toSeq).toSeq,
+      "trainCap=64 on a 500-row corpus produced the unbounded centroids — the cap did not bind")
+    // the assignment relation is the full corpus under the (shared)
+    // init centroids at iters=1 — identical regardless of the cap
+    assert(idx.assignments.count() == e.count())
+    assert(idx.assignments.orderBy("vec_id").select("vec_id", "list_id").collect().toSeq ==
+      unbounded.assignments.orderBy("vec_id").select("vec_id", "list_id").collect().toSeq)
+    // driver replay: init = nLists smallest ids of the FULL corpus;
+    // assign each SAMPLE vector to its nearest init centroid (squared
+    // L2, smallest-index ties); means = HALF_UP ×2^20 long sums /
+    // (2^20·count) — the contract the DuckDB oracles replay as tr
+    val init = e.orderBy(col("vec_id").asc).limit(nLists).select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sampleIds = e.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(cap).collect().map(_.getLong(0)).toSet
+    val train = e.filter(col("vec_id").isInCollection(sampleIds))
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(train.length == cap)
+    val dim = init.head.length
+    val sums = Array.fill(nLists, dim)(0L)
+    val cnts = Array.fill(nLists)(0L)
+    train.foreach { v =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < nLists) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j).toDouble - init(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      cnts(best) += 1
+      var j = 0
+      while (j < dim) {
+        val x = v(j).toDouble * Ann.QuantScale
+        sums(best)(j) += (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+        j += 1
+      }
+    }
+    val expect = Array.tabulate(nLists) { c =>
+      if (cnts(c) == 0L) init(c).clone()
+      else Array.tabulate(dim)(j => sums(c)(j).toDouble / (Ann.QuantScale * cnts(c).toDouble))
+    }
+    assert(idx.centroids.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+  }
+
   test("semanticDedup drops lower-id-keeper duplicates within clusters only") {
     import spark.implicits._
     // ids 1,3,5 form cluster A (near e1), 2,4 cluster B (near e2),

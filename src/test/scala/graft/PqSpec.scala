@@ -119,6 +119,64 @@ class PqSpec extends SparkTestBase {
     assert(rr >= adc, s"re-rank recall $rr fell below raw ADC $adc")
   }
 
+  test("pqBuild trainCap: mean updates come from exactly the hash-ordered " +
+    "sample (driver replay), and the cap binds") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cap = 64
+    val m = 4; val k = 16; val sd = 16
+    val idx = Pq.pqBuild(e, "vec_id", "embedding", m = m, k = k, iters = 1, trainCap = cap)
+    val unbounded = Pq.pqBuild(e, "vec_id", "embedding", m = m, k = k, iters = 1, trainCap = 0)
+    def flat(cb: Array[Array[Array[Double]]]) = cb.map(_.map(_.toSeq).toSeq).toSeq
+    // 64 < 500 rows: the sampled means must actually differ
+    assert(flat(idx.codebooks) != flat(unbounded.codebooks),
+      "trainCap=64 on a 500-row corpus produced the unbounded codebooks — the cap did not bind")
+    // encoding still covers every vector, under the same init codebooks
+    assert(idx.codes.count() == e.count())
+    assert(idx.codes.orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq).toSeq ==
+      unbounded.codes.orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq).toSeq)
+    // driver replay: same init (k smallest ids of the FULL corpus),
+    // same assignment loop, means restricted to the md5-ordered first
+    // `cap` ids — the exact contract the DuckDB oracle replays
+    val init = e.orderBy(col("vec_id").asc).limit(k).select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val cb0 = Array.tabulate(m, k)((s, c) => Array.tabulate(sd)(j => init(c)(s * sd + j).toDouble))
+    val sampleIds = e.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(cap).collect().map(_.getLong(0)).toSet
+    assert(sampleIds.size == cap)
+    val train = e.filter(col("vec_id").isInCollection(sampleIds))
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(train.length == cap)
+    val sums = Array.fill(m, k, sd)(0L)
+    val cnts = Array.fill(m, k)(0L)
+    train.foreach { v =>
+      var s = 0
+      while (s < m) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < sd) { val t = v(s * sd + j).toDouble - cb0(s)(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnts(s)(best) += 1
+        var j = 0
+        while (j < sd) {
+          val x = v(s * sd + j).toDouble * Ann.QuantScale
+          sums(s)(best)(j) += (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+          j += 1
+        }
+        s += 1
+      }
+    }
+    val expect = Array.tabulate(m, k) { (s, c) =>
+      if (cnts(s)(c) == 0L) cb0(s)(c).clone()
+      else Array.tabulate(sd)(j => sums(s)(c)(j).toDouble / (Ann.QuantScale * cnts(s)(c).toDouble))
+    }
+    assert(flat(idx.codebooks) == flat(expect))
+  }
+
   test("IVF-PQ with few probes returns a subset-ranked list per probe") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 8L)
