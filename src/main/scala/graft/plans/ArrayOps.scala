@@ -217,6 +217,165 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** ×2^20 round-half-away-from-zero quantizer: array<float> →
+  * array<long> on the exact grid every similarity oracle replays
+  * (`CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)`). The
+  * products are exactly representable doubles, so `x + 0.5` floored
+  * (x ≥ 0) / `x - 0.5` ceiled equals round() in both engines. A
+  * per-row primitive loop inside WholeStageCodegen — this pass runs
+  * corpus-sized in every quantized-cosine dedup path, where the
+  * Scala-UDF form paid a Seq[Float] boxing round-trip per row.
+  */
+case class QuantizeExpr(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_1m needs array<float> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble * 1048576.0d
+      out(i) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $v.getFloat($i) * 1048576.0D;
+         |  $out[$i] = (long) ($x >= 0 ? $x + 0.5D : $x - 0.5D);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_1m"
+}
+
+/** Sign-random-projection LSH bucket ids, one per hash table:
+  * quantize the vector to the ×2^20 HALF_UP grid, dot it against
+  * `bits` integer hyperplanes per table (rows t·bits+i of the shared
+  * plane grid, embedded flattened at `(t·bits+i)·dimCap + j`), and
+  * set bit i of table t's bucket when the EXACT long dot is ≥ 0 — no
+  * float sign decision anywhere, so bucket ids stay engine-portable.
+  * Replaces the Scala-UDF form, which paid per-row Seq[Float] boxing
+  * AND re-derived every plane component by hashing (XXH64 per (i, j)
+  * per row); here the planes are plan metadata computed once.
+  * Vectors longer than `dimCap` fail loudly — widen the cap at the
+  * call site rather than silently truncating the projection.
+  */
+case class SignLshExpr(
+    child: Expression,
+    planes: Array[Long],
+    tables: Int,
+    bits: Int,
+    dimCap: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh needs array<float> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n > dimCap) throw new IllegalArgumentException(
+      s"sign_lsh: vector has $n dims > plane cap $dimCap — raise dimCap")
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val x = v.getFloat(j).toDouble * 1048576.0d
+      q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+      j += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val base = (t * bits + i) * dimCap
+        var s = 0L
+        j = 0
+        while (j < n) { s += q(j) * planes(base + j); j += 1 }
+        if (s >= 0L) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("lshPlanes", planes, "long[]")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n > $dimCap) throw new IllegalArgumentException(
+         |  "sign_lsh: vector has " + $n + " dims > plane cap $dimCap — raise dimCap");
+         |long[] $q = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $x = (double) $v.getFloat($j) * 1048576.0D;
+         |  $q[$j] = (long) ($x >= 0 ? $x + 0.5D : $x - 0.5D);
+         |}
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    int $base = ($t * $bits + $i) * $dimCap;
+         |    long $s = 0L;
+         |    for (int $j = 0; $j < $n; $j++) { $s += $q[$j] * $pl[$base + $j]; }
+         |    if ($s >= 0L) $bucket |= (1L << $i);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh"
+}
+
 /** PQ / k-means encoder: per subspace `s`, the argmin code over `k`
   * codebook entries of the identical-order squared-L2 chain (strict
   * `<`, so ties go to the smallest code — the Lloyd-assignment
@@ -317,6 +476,16 @@ case class PqEncodeExpr(
 
 /** Column-level API + SQL registration for the native expressions. */
 object ArrayOps {
+
+  /** Native ×2^20 quantizer (see [[QuantizeExpr]]). */
+  def quantize_1m(v: Column): Column = toColumn(QuantizeExpr(toExpr(v)))
+
+  /** Native multi-table sign-LSH buckets (see [[SignLshExpr]]);
+    * `planes` is the flattened (tables·bits)×dimCap integer grid.
+    */
+  def sign_lsh_buckets(
+      v: Column, planes: Array[Long], tables: Int, bits: Int, dimCap: Int): Column =
+    toColumn(SignLshExpr(toExpr(v), planes, tables, bits, dimCap))
 
   /** Native PQ encode: array<float> → array<int> of `m` codes under
     * `codebooks(s)(c)(d)`. The codebook snapshot is flattened at call

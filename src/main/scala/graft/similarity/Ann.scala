@@ -272,42 +272,46 @@ object Ann {
     2L * (((h % 1000003L) + 1000003L) % 1000003L) - 1000003L
   }
 
-  /** All `bits` sign projections as ONE compiled per-row loop, in
-    * EXACT integer arithmetic: the vector quantizes to the ×2^20 grid
-    * (the same HALF_UP quantizer as quantizeUdf — round() in every
-    * engine) and each projection is a long dot against the integer
-    * planes. |q| < 2^36 keeps every term below 2^57 and 64-term sums
-    * below 2^63, so bucket ids are engine-portable and oracle-checkable
-    * — no float sign decision anywhere (an FMA-contracting compiler
-    * cannot flip a near-zero projection).
+  /** All sign projections run in EXACT integer arithmetic: the vector
+    * quantizes to the ×2^20 grid (the same HALF_UP quantizer as
+    * quantizeUdf — round() in every engine) and each projection is a
+    * long dot against the integer planes. |q| < 2^36 keeps every term
+    * below 2^57 and 64-term sums below 2^63, so bucket ids are
+    * engine-portable and oracle-checkable — no float sign decision
+    * anywhere (an FMA-contracting compiler cannot flip a near-zero
+    * projection). Planes are deterministic in (row, dim) via
+    * [[planeInt]]; the native expression (plans.SignLshExpr) embeds
+    * them precomputed to `LshDimCap` dims — the UDF form it replaced
+    * re-derived every component by hashing, per row. 256 covers every
+    * vector relation in the engine; the expression fails loudly (no
+    * silent truncation) past the cap.
     */
-  private val bucketUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (bits: Int, v: Seq[Float]) =>
-      val n = v.length
-      val q = new Array[Long](n)
+  private val LshDimCap = 256
+
+  private def lshPlanes(rows: Int): Array[Long] = {
+    val p = new Array[Long](rows * LshDimCap)
+    var i = 0
+    while (i < rows) {
       var j = 0
-      while (j < n) {
-        val x = v(j).toDouble * QuantScale
-        q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
-        j += 1
-      }
-      var bucket = 0L
-      var i = 0
-      while (i < bits) {
-        var s = 0L
-        j = 0
-        while (j < n) { s += q(j) * planeInt(i, j); j += 1 }
-        if (s >= 0L) bucket |= (1L << i)
-        i += 1
-      }
-      bucket
+      while (j < LshDimCap) { p(i * LshDimCap + j) = planeInt(i, j); j += 1 }
+      i += 1
     }
+    p
+  }
+
+  /** All tables' bucket ids as one native codegen pass (see
+    * plans.SignLshExpr): quantize once, `tables`·`bits` exact long
+    * dots, sign bits packed per table.
+    */
+  private def tableBucketsCol(vecCol: Column, bits: Int, tables: Int): Column =
+    graft.plans.ArrayOps.sign_lsh_buckets(
+      vecCol, lshPlanes(tables * bits), tables, bits, LshDimCap)
 
   /** Sign-random-projection bucket id over `bits` hyperplanes
-    * (quantized-exact — see bucketUdf).
+    * (quantized-exact — see [[tableBucketsCol]]).
     */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
-    df.withColumn("bucket", bucketUdf(lit(bits), col(vecCol)))
+    df.withColumn("bucket", tableBucketsCol(col(vecCol), bits, 1).getItem(0))
 
   /** One bucket id PER HASH TABLE: table t projects onto hyperplane
     * rows t·bits .. t·bits+bits−1 of the same planeInt grid, so table
@@ -316,33 +320,6 @@ object Ann {
     * per-table candidates). Same exact-integer sign decisions as
     * bucketUdf.
     */
-  private val tableBucketsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (bits: Int, tables: Int, v: Seq[Float]) =>
-      val n = v.length
-      val q = new Array[Long](n)
-      var j = 0
-      while (j < n) {
-        val x = v(j).toDouble * QuantScale
-        q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
-        j += 1
-      }
-      val out = new Array[Long](tables)
-      var t = 0
-      while (t < tables) {
-        var bucket = 0L
-        var i = 0
-        while (i < bits) {
-          var s = 0L
-          j = 0
-          while (j < n) { s += q(j) * planeInt(t * bits + i, j); j += 1 }
-          if (s >= 0L) bucket |= (1L << i)
-          i += 1
-        }
-        out(t) = bucket
-        t += 1
-      }
-      out
-    }
 
   /** LSH-bucketed top-k: probes only compare against candidates
     * sharing a bucket in ANY of `tables` independent hash tables.
@@ -373,11 +350,11 @@ object Ann {
     require(bits >= 1 && tables >= 1, "topKLsh needs bits >= 1 and tables >= 1")
     val candKeys = df
       .select(col(idCol).as("cand_id"),
-        posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
+        posexplode(tableBucketsCol(col(vecCol), bits, tables))
           .as(Seq("t", "bucket")))
     val probeKeys = probes
       .select(col(idCol).as("probe_id"),
-        posexplode(tableBucketsUdf(lit(bits), lit(tables), col(vecCol)))
+        posexplode(tableBucketsCol(col(vecCol), bits, tables))
           .as(Seq("t", "bucket")))
     // a pair agreeing in several tables scores once; the dedup
     // exchange carries two ids per row, nothing else
@@ -560,19 +537,13 @@ object Ann {
 
   /** Quantize a vector once (round-half-away-from-zero ×2^20 — exactly
     * round() in Spark and DuckDB on these exactly-representable
-    * products).
+    * products). Since r15 a native codegen expression
+    * (plans.QuantizeExpr) rather than a Scala UDF: the pass runs
+    * corpus-sized in every quantized-cosine dedup path, and the UDF's
+    * per-row Seq[Float] boxing was measurable there. Kept name for the
+    * 10+ call sites; applies like the UDF it replaced.
     */
-  val quantizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
-      val out = new Array[Long](v.length)
-      var i = 0
-      while (i < out.length) {
-        val x = v(i).toDouble * QuantScale
-        out(i) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
-        i += 1
-      }
-      out
-    }
+  def quantizeUdf(v: Column): Column = graft.plans.ArrayOps.quantize_1m(v)
 
   /** Dot of two quantized long vectors via the native codegen'd
     * ArrayDotProduct (double accumulation — exact under the QuantScale

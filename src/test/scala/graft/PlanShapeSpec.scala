@@ -248,6 +248,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("corpus-sized similarity passes run native expressions, not Scala UDFs " +
+    "(quantize_1m / pq_encode / sign_lsh in the executed plans)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Graft.table(spark, dir, "embeddings")
+    // sign-LSH bucketer: native, and nothing UDF-shaped in the projection
+    val lshPlan = graft.similarity.Ann
+      .signLshBuckets(e, "vec_id", "embedding", bits = 4)
+      .queryExecution.executedPlan.toString
+    assert(lshPlan.contains("sign_lsh"), lshPlan)
+    assert(!lshPlan.contains("UDF"), lshPlan)
+    // PQ index: the corpus-sized encode relation is the native encoder
+    val idx = graft.similarity.Pq.pqBuild(e, "vec_id", "embedding", m = 4, k = 16)
+    val codesPlan = idx.codes.queryExecution.executedPlan.toString
+    assert(codesPlan.contains("pq_encode"), codesPlan)
+    assert(!codesPlan.contains("UDF"), codesPlan)
+    // quantizer behind every quantized-cosine dedup path
+    val qPlan = e.select(graft.similarity.Ann.quantizeUdf(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(qPlan.contains("quantize_1m"), qPlan)
+    assert(!qPlan.contains("UDF"), qPlan)
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
