@@ -1296,19 +1296,45 @@ object TextAnalysis {
     * shuffles the relational formulation needs (~10×). O(m·w) min
     * scan — w is small by construction.
     */
+  /** Per-gram md5 for the winnowing hot loops (30M+ grams at sf10):
+    * pure-ASCII text — the overwhelmingly common case — encodes to
+    * UTF-8 ONCE and each gram hashes a slice of the shared buffer,
+    * which is byte-identical to hashing `substring(i, i+k).getBytes`
+    * (every char is one byte) while skipping the two per-gram
+    * allocations + copies. Any non-ASCII char falls back to the
+    * substring encode, preserving exact byte semantics for multi-byte
+    * chars AND unpaired surrogates (which String.getBytes replaces —
+    * a slice of the whole-text encoding would differ there).
+    */
+  private def mkGramHasher(text: String, k: Int): Int => Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var ascii = true
+    var p = 0
+    while (ascii && p < text.length) {
+      if (text.charAt(p) >= 0x80) ascii = false
+      p += 1
+    }
+    val asciiBytes = if (ascii) text.getBytes("UTF-8") else null
+    i => {
+      md.reset()
+      if (asciiBytes != null) md.update(asciiBytes, i, k)
+      else md.update(text.substring(i, i + k).getBytes("UTF-8"))
+      md.digest()
+    }
+  }
+
   def winnowUdf(k: Int, w: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = udf {
     (text: String) =>
       if (text == null || text.length < k) Array.empty[String]
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val gramMd5 = mkGramHasher(text, k)
         val m = text.length - k + 1
         val hs = new Array[String](m)
         val hexChars = "0123456789abcdef".toCharArray
         var i = 0
         while (i < m) {
-          md.reset()
-          val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          val d = gramMd5(i)
           val sb = new Array[Char](32)
           var j = 0
           while (j < 16) {
@@ -1356,13 +1382,12 @@ object TextAnalysis {
     (text: String) =>
       if (text == null || text.length < k) Array.empty[Long]
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val gramMd5 = mkGramHasher(text, k)
         val m = text.length - k + 1
         val hs = new Array[Long](m)
         var i = 0
         while (i < m) {
-          md.reset()
-          val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          val d = gramMd5(i)
           var l = 0L
           var b = 7
           while (b >= 0) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }

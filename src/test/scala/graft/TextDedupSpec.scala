@@ -372,6 +372,50 @@ class TextDedupSpec extends SparkTestBase {
     assert(w1.toSet.intersect(w2.toSet).nonEmpty)
   }
 
+  test("winnow gram hashing: ASCII fast path and non-ASCII fallback agree " +
+    "with per-gram substring md5 (multi-byte chars, unpaired surrogates)") {
+    // the r15 gram hasher slices a shared UTF-8 buffer for pure-ASCII
+    // text; any non-ASCII char must route through the substring encode
+    // — pin both paths against an explicit per-gram reference
+    def reference(text: String, k: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to text.length - k).map { i =>
+        md.reset()
+        val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+        var l = 0L
+        var b = 7
+        while (b >= 0) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+        l
+      }
+    }
+    val k = 4; val w = 2
+    val cases = Seq(
+      "plain ascii text only here",       // fast path
+      "café au lait brûlée", // 2-byte UTF-8 chars
+      "emoji 😀 pair",           // proper surrogate pair
+      "bad \ud800 lone high surrogate",    // unpaired — getBytes replaces
+      "mixed ascii then 世界 end"  // 3-byte CJK
+    )
+    for (text <- cases) {
+      val got = spark.createDataset(Seq(text))(org.apache.spark.sql.Encoders.STRING)
+        .toDF("text")
+        .select(TextAnalysis.winnowLongUdf(k, w)($"text").as("fp"))
+        .collect()(0).getSeq[Long](0)
+      // winnowLongUdf selects window minima of the reference hashes
+      // (unsigned order) — recompute the selection from the reference
+      val hs = reference(text, k)
+      val sel = new java.util.LinkedHashSet[java.lang.Long]()
+      for (st <- 0 to hs.length - w) {
+        var best = hs(st)
+        for (j <- st + 1 until st + w)
+          if (java.lang.Long.compareUnsigned(hs(j), best) < 0) best = hs(j)
+        sel.add(best)
+      }
+      assert(got.toSeq == sel.toArray(new Array[java.lang.Long](0)).toSeq.map(_.longValue),
+        s"gram-hash divergence on: $text")
+    }
+  }
+
   test("langId picks the dominant stopword profile") {
     val d = Seq(
       (1L, "the cat and the dog of the house"),
