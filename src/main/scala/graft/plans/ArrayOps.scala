@@ -376,6 +376,91 @@ case class SignLshExpr(
   override def prettyName: String = "sign_lsh"
 }
 
+/** Johnson–Lindenstrauss integer projection (the randomProject core):
+  * y_i = Σ_j q(x_j)·planes[i·dimCap + j] over the ×2^20 HALF_UP
+  * quantized vector — [[SignLshExpr]] WITHOUT the drop to sign bits,
+  * sharing its embedded-plane/exact-integer discipline. Same
+  * bounds: |term| < 2^41, 64-dim sums < 2^47 — exact longs on any
+  * engine.
+  */
+case class JlProjectExpr(
+    child: Expression,
+    planes: Array[Long],
+    outDims: Int,
+    dimCap: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jl_project needs array<float> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n > dimCap) throw new IllegalArgumentException(
+      s"jl_project: vector has $n dims > plane cap $dimCap — raise dimCap")
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val x = v.getFloat(j).toDouble * 1048576.0d
+      q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
+      j += 1
+    }
+    val out = new Array[Long](outDims)
+    var i = 0
+    while (i < outDims) {
+      val base = i * dimCap
+      var s = 0L
+      j = 0
+      while (j < n) { s += q(j) * planes(base + j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("jlPlanes", planes, "long[]")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n > $dimCap) throw new IllegalArgumentException(
+         |  "jl_project: vector has " + $n + " dims > plane cap $dimCap — raise dimCap");
+         |long[] $q = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $x = (double) $v.getFloat($j) * 1048576.0D;
+         |  $q[$j] = (long) ($x >= 0 ? $x + 0.5D : $x - 0.5D);
+         |}
+         |long[] $out = new long[$outDims];
+         |for (int $i = 0; $i < $outDims; $i++) {
+         |  int $base = $i * $dimCap;
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $n; $j++) { $s += $q[$j] * $pl[$base + $j]; }
+         |  $out[$i] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "jl_project"
+}
+
 /** PQ / k-means encoder: per subspace `s`, the argmin code over `k`
   * codebook entries of the identical-order squared-L2 chain (strict
   * `<`, so ties go to the smallest code — the Lloyd-assignment
@@ -486,6 +571,11 @@ object ArrayOps {
   def sign_lsh_buckets(
       v: Column, planes: Array[Long], tables: Int, bits: Int, dimCap: Int): Column =
     toColumn(SignLshExpr(toExpr(v), planes, tables, bits, dimCap))
+
+  /** Native JL integer projection (see [[JlProjectExpr]]). */
+  def jl_project(
+      v: Column, planes: Array[Long], outDims: Int, dimCap: Int): Column =
+    toColumn(JlProjectExpr(toExpr(v), planes, outDims, dimCap))
 
   /** Native PQ encode: array<float> → array<int> of `m` codes under
     * `codebooks(s)(c)(d)`. The codebook snapshot is flattened at call

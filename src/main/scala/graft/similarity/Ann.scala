@@ -148,26 +148,15 @@ object Ann {
       outDims: Int
   ): DataFrame = {
     require(outDims >= 1 && outDims <= 256, "outDims in [1,256]")
-    val projUdf = udf { (v: Seq[Float]) =>
-      if (v == null) Seq.empty[Long]
-      else {
-        // the exact quantizeUdf grid (round-half-away-from-zero ×2^20)
-        val q = new Array[Long](v.length)
-        var j = 0
-        while (j < v.length) {
-          val x = v(j).toDouble * QuantScale
-          q(j) = (if (x >= 0) x + 0.5d else x - 0.5d).toLong
-          j += 1
-        }
-        (0 until outDims).map { i =>
-          var s = 0L
-          var k = 0
-          while (k < q.length) { s += q(k) * planeInt(i, k); k += 1 }
-          s
-        }
-      }
-    }
-    df.select(col(idCol), projUdf(col(vecCol)).as("proj"))
+    // native codegen projection (plans.JlProjectExpr) on the exact
+    // quantizeUdf grid; null vectors keep the UDF form's empty-array
+    // contract (the expression itself is null-intolerant)
+    val proj = graft.plans.ArrayOps
+      .jl_project(col(vecCol), lshPlanes(outDims), outDims, LshDimCap)
+    df.select(
+      col(idCol),
+      when(col(vecCol).isNull, array().cast("array<long>"))
+        .otherwise(proj).as("proj"))
   }
 
   /** ANCE-style hard-negative mining (Xiong et al. '21, "Approximate
