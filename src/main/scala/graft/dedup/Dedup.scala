@@ -1190,22 +1190,45 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       minContainment: Double,
       maxDf: Long = 1000L
   ): DataFrame = {
-    val t = minContainment
-    def sh(df: DataFrame) = df
+    val hist = prepareContainmentHistory(histDf, idCol, textCol, n, maxDf)
+    val out =
+      containmentPairsAgainstPrepared(newDf, textCol, minContainment, hist)
+    hist.unpersist()
+    out
+  }
+
+  /** The history (containing) side of [[containmentPairsAgainst]],
+    * precomputed and cached so a STREAMING ingest can pay the standing
+    * corpus's shingle pass, posting explode, and hot-set aggregation
+    * ONCE per stream instead of once per micro-batch — the history
+    * side is a pure function of (histDf, n, maxDf), independent of
+    * both the probe batch and the containment threshold (t only
+    * shapes the probe-side prefix). Caller owns the caches: call
+    * [[ContainmentHistory.unpersist]] when the stream ends.
+    */
+  final class ContainmentHistory private[dedup] (
+      private[dedup] val histDocs: DataFrame, // (idCol, xs), cached
+      private[dedup] val prb: DataFrame, // hot-pruned full postings
+      private[dedup] val hot: Option[DataFrame],
+      private[dedup] val idCol: String,
+      private[dedup] val n: Int) {
+    def unpersist(): Unit = {
+      hot.foreach(_.unpersist())
+      histDocs.unpersist(): Unit
+    }
+  }
+
+  def prepareContainmentHistory(
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Long = 1000L
+  ): ContainmentHistory = {
+    val histDocs = histDf
       .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .cache()
-    val newDocs = sh(newDf)
-    val histDocs = sh(histDf)
-    val prefixUdf = udf { (xs: Seq[Long]) =>
-      val s = xs.length
-      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
-      xs.take(s - minOverlap + 1)
-    }
-    // probe: prefix postings of the NEW (contained-candidate) side
-    val pa0 = newDocs.withColumn("sz", size(col("xs")).cast("long"))
-      .select(col(idCol).as("a"), col("sz").as("sa"),
-        posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
     // index: EVERY posting of the HISTORY (containing) side
     val pb0 = histDocs.withColumn("sz", size(col("xs")).cast("long"))
       .select(col(idCol).as("b"), col("sz").as("sb"),
@@ -1218,13 +1241,47 @@ object Dedup extends SpanRemovalOps with SimHashOps {
           .filter(col("df") > maxDf)
           .select("shingle")
           .cache())
-    val (pra, prb) = hot match {
-      case None => (pa0, pb0)
+    val prb = hot match {
+      case None => pb0
       case Some(h) =>
-        (pa0.join(h, Seq("shingle"), "left_anti"),
-          pb0.join(h.select(col("shingle").as("shingle_b")),
-            Seq("shingle_b"), "left_anti"))
+        pb0.join(h.select(col("shingle").as("shingle_b")),
+          Seq("shingle_b"), "left_anti")
     }
+    new ContainmentHistory(histDocs, prb, hot, idCol, n)
+  }
+
+  /** [[containmentPairsAgainst]] with the history side supplied by
+    * [[prepareContainmentHistory]] — identical pair output (the plan
+    * below is the batch form's verbatim, reading the prepared
+    * relations instead of rebuilding them).
+    */
+  def containmentPairsAgainstPrepared(
+      newDf: DataFrame,
+      textCol: String,
+      minContainment: Double,
+      hist: ContainmentHistory
+  ): DataFrame = {
+    val t = minContainment
+    val idCol = hist.idCol
+    val newDocs = newDf
+      .select(col(idCol), shingleHashesUdf(hist.n)(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .cache()
+    val prefixUdf = udf { (xs: Seq[Long]) =>
+      val s = xs.length
+      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
+      xs.take(s - minOverlap + 1)
+    }
+    // probe: prefix postings of the NEW (contained-candidate) side
+    val pa0 = newDocs.withColumn("sz", size(col("xs")).cast("long"))
+      .select(col(idCol).as("a"), col("sz").as("sa"),
+        posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
+    val pra = hist.hot match {
+      case None    => pa0
+      case Some(h) => pa0.join(h, Seq("shingle"), "left_anti")
+    }
+    val prb = hist.prb
+    val histDocs = hist.histDocs
     // identical length + per-posting positional prunes as
     // [[containmentPairs]] (the cross shape changes nothing in the
     // bound: a still needs ceil(t·sa) common elements inside b)
@@ -1249,9 +1306,7 @@ object Dedup extends SpanRemovalOps with SimHashOps {
         .select(col("a").as("new_id"), col("b").as("hist_id"),
           col("n_common"), col("n_a"), col("n_b"), col("containment"))
     }
-    hot.foreach(_.unpersist())
     newDocs.unpersist()
-    histDocs.unpersist()
     out
   }
 

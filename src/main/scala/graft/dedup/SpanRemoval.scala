@@ -121,17 +121,40 @@ private[dedup] trait SpanRemovalOps { self: Dedup.type =>
       textCol: String,
       windowTokens: Int = 50,
       batchInternal: Boolean = true
+  ): DataFrame =
+    removeDuplicateSpansAgainstIndex(newDf,
+      historySpanIndex(histDf, idCol, textCol, windowTokens),
+      idCol, textCol, windowTokens, batchInternal)
+
+  /** The history side of [[removeDuplicateSpansAgainst]] — the
+    * standing corpus's DISTINCT window digests — precomputed so a
+    * STREAMING ingest ([[graft.streaming.Incremental.spanScrubStream]])
+    * can build (and cache) it once per stream instead of re-scanning
+    * the history per micro-batch. Pure function of
+    * (histDf, windowTokens); caller owns any persistence.
+    */
+  def historySpanIndex(
+      histDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int
+  ): DataFrame =
+    spanWindows(histDf, idCol, textCol, windowTokens)
+      .select("__digest").distinct()
+
+  /** [[removeDuplicateSpansAgainst]] with the history digest index
+    * supplied by [[historySpanIndex]] — identical output rows.
+    */
+  def removeDuplicateSpansAgainstIndex(
+      newDf: DataFrame,
+      histIdx: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      batchInternal: Boolean = true
   ): DataFrame = {
     require(windowTokens >= 1, "windowTokens >= 1")
-    def windows(df: DataFrame) = df
-      .select(col(idCol),
-        posexplode(
-          graft.text.CorpusAudit.gramsUdf(windowTokens)(col(textCol)))
-          .as(Seq("pos", "__win")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        unhex(md5(col("__win"))).as("__digest"))
-    val histIdx = windows(histDf).select("__digest").distinct()
-    val newWins = windows(newDf)
+    val newWins = spanWindows(newDf, idCol, textCol, windowTokens)
     // window known to history (semi-join on 16-byte digests)
     val inHist = newWins
       .join(histIdx, Seq("__digest"), "left_semi")
@@ -156,6 +179,21 @@ private[dedup] trait SpanRemovalOps { self: Dedup.type =>
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
     spanRebuild(newDf, drops, idCol, textCol, windowTokens)
   }
+
+  /** (id, pos, md5-digest) of every `windowTokens`-token window —
+    * the shared projection of the against/index span faces. */
+  private def spanWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int
+  ): DataFrame = df
+    .select(col(idCol),
+      posexplode(
+        graft.text.CorpusAudit.gramsUdf(windowTokens)(col(textCol)))
+        .as(Seq("pos", "__win")))
+    .select(col(idCol), col("pos").cast("long").as("pos"),
+      unhex(md5(col("__win"))).as("__digest"))
 
   /** In-row span scrub for [[removeDuplicateSpans]]: union the dropped
     * windows' [pos, pos+w) token ranges, emit surviving tokens joined

@@ -284,9 +284,14 @@ object CurationOpsQueries {
           org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
           .head()
         val half = if (halfRow.isNullAt(0)) 0.0 else halfRow.getDouble(0)
-        newDocs.filter(col("doc_id") <= half)
+        // one FILE per drop: maxFilesPerTrigger=1 batches per input
+        // FILE, so a multi-split scan writing N part-files per drop
+        // meant 2N micro-batches (each a checkpoint cycle + a history
+        // window pass), not the documented two. coalesce(1) pins the
+        // two-batch shape; output is batching-invariant (parity spec).
+        newDocs.filter(col("doc_id") <= half).coalesce(1)
           .write.parquet(inDir.resolve("a").toString)
-        newDocs.filter(col("doc_id") > half)
+        newDocs.filter(col("doc_id") > half).coalesce(1)
           .write.parquet(inDir.resolve("b").toString)
         graft.streaming.Incremental.spanScrubStream(
           s.readStream.schema(newDocs.schema)

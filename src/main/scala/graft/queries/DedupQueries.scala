@@ -512,9 +512,17 @@ object DedupQueries {
           org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
           .head()
         val half = if (halfRow.isNullAt(0)) 0.0 else halfRow.getDouble(0)
-        newDocs.filter(col("doc_id") <= half)
+        // one FILE per drop: under maxFilesPerTrigger=1 the batch
+        // count is the input FILE count, so a multi-split scan writing
+        // N part-files per drop silently turned "two drops → two
+        // micro-batches" into 2N batches, each paying a checkpoint
+        // WAL/commit cycle and a history-side operator pass (measured
+        // 4 batches at sf0.1). coalesce(1) pins the documented
+        // two-batch shape; each drop is one crawl delivery, and the
+        // survivors are batching-invariant either way (parity spec).
+        newDocs.filter(col("doc_id") <= half).coalesce(1)
           .write.parquet(inDir.resolve("a").toString)
-        newDocs.filter(col("doc_id") > half)
+        newDocs.filter(col("doc_id") > half).coalesce(1)
           .write.parquet(inDir.resolve("b").toString)
         graft.streaming.Incremental.containmentFilterStream(
           s.readStream.schema(newDocs.schema)

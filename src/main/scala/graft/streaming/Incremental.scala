@@ -414,8 +414,17 @@ object Incremental {
       checkpointDir: String,
       n: Int = 3,
       minContainment: Double = 0.8,
-      maxDf: Long = 1000L): StreamingQuery =
-    docs.writeStream
+      maxDf: Long = 1000L): StreamingQuery = {
+    // The history (containing) side — shingle pass, posting explode,
+    // hot-set aggregation — is a pure function of (history, n, maxDf):
+    // build it ONCE per stream, cached, instead of once per micro-batch
+    // (each batch previously re-ran the standing corpus's shingle UDF
+    // and posting build — the dominant per-batch cost, and at 100 TB a
+    // full corpus pass per ingest drop). Released when the stream
+    // terminates, via the self-removing listener below.
+    val hist = graft.dedup.Dedup.prepareContainmentHistory(
+      history, idCol, textCol, n, maxDf)
+    val query = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -423,8 +432,8 @@ object Incremental {
         // inline containmentDedupAgainst, holding the pair frame so
         // its cache can be released after the write — a long-running
         // ingest would otherwise pin one pair-list cache per batch
-        val pairs = graft.dedup.Dedup.containmentPairsAgainst(
-          batch, history, idCol, textCol, n, minContainment, maxDf)
+        val pairs = graft.dedup.Dedup.containmentPairsAgainstPrepared(
+          batch, textCol, minContainment, hist)
         val doomed = pairs.select(col("new_id").as(idCol)).distinct()
         batch.join(doomed, Seq(idCol), "left_anti")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -433,6 +442,30 @@ object Incremental {
         ()
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, query)(hist.unpersist())
+    query
+  }
+
+  /** Release stream-lifetime caches when `query` terminates: a
+    * self-removing listener keyed on the query id (the listener bus is
+    * async, so the release lands shortly after awaitTermination —
+    * harmless, since by then the sink holds the batch outputs).
+    */
+  private def unpersistOnTermination(
+      spark: SparkSession,
+      query: StreamingQuery)(release: => Unit): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          release
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+  }
 
   /** Streaming ExactSubstr span scrub — the ingest-time face of
     * [[graft.dedup.Dedup.removeDuplicateSpansAgainst]]: each
@@ -454,20 +487,32 @@ object Incremental {
       textCol: String,
       outPath: String,
       checkpointDir: String,
-      windowTokens: Int = 50): StreamingQuery =
-    docs.writeStream
+      windowTokens: Int = 50): StreamingQuery = {
+    // The standing corpus's distinct window-digest index is a pure
+    // function of (history, windowTokens): build and cache it once per
+    // stream — each micro-batch previously re-windowed the full
+    // history (the scaladoc's "persisted window index a refresh loop
+    // maintains" posture, now actually held across batches). Released
+    // on stream termination.
+    val histIdx = graft.dedup.Dedup
+      .historySpanIndex(history, idCol, textCol, windowTokens)
+      .cache()
+    val query = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.dedup.Dedup
-          .removeDuplicateSpansAgainst(batch, history, idCol, textCol,
-            windowTokens, batchInternal = false)
+          .removeDuplicateSpansAgainstIndex(batch, histIdx, idCol,
+            textCol, windowTokens, batchInternal = false)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$outPath/batch=$batchId")
         ()
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, query)(histIdx.unpersist(): Unit)
+    query
+  }
 
   /** Streaming face of the native bottom-k sampler
     * ([[graft.plans.BottomKIds]]): per-group k-element state of the

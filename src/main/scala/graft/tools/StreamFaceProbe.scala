@@ -56,9 +56,10 @@ object StreamFaceProbe {
       val inDir = root.resolve("in")
       val half = newDocs
         .agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
-      newDocs.filter(col("doc_id") <= half)
+      // mirrors the faces: one file per drop = one micro-batch per drop
+      newDocs.filter(col("doc_id") <= half).coalesce(1)
         .write.parquet(inDir.resolve("a").toString)
-      newDocs.filter(col("doc_id") > half)
+      newDocs.filter(col("doc_id") > half).coalesce(1)
         .write.parquet(inDir.resolve("b").toString)
       inDir.toString
     }
