@@ -567,6 +567,26 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       .select("id_a", "id_b", "len_a", "len_b", "dist")
   }
 
+  /** First `|xs| − max(1, ceil(t·|xs| − 1e-9)) + 1` elements of the
+    * sorted shingle array — the prefix-filter index window (Bayardo
+    * '07 / Xiao '08; a J ≥ t or C ≥ t pair must share a shingle inside
+    * it). A pure codegen slice: the former UDF formulation re-boxed
+    * every prefix as a Seq[Long] per row on three corpus-sized paths
+    * (jaccard-prefix, containment, containment-against). Arithmetic is
+    * bit-identical to the UDF's (`ceil(double)` / `greatest` are the
+    * same IEEE ops; the 1e-9 slack can only lengthen a prefix), and
+    * the greatest(0, ·) guard keeps slice total (take(k≤0) = empty).
+    */
+  private def prefixSlice(
+      xs: org.apache.spark.sql.Column,
+      t: Double): org.apache.spark.sql.Column = {
+    val s = size(xs)
+    val minOverlap = greatest(
+      lit(1L), ceil(lit(t) * s.cast("double") - lit(1e-9)))
+    slice(xs, lit(1),
+      greatest(lit(0L), s.cast("long") - minOverlap + lit(1L)).cast("int"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). The
     * exploded relation is the common substrate for Jaccard and MinHash.
     * Generation is one compiled loop per doc
@@ -738,17 +758,12 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .cache()
-    val prefixUdf = udf { (xs: Seq[Long]) =>
-      val s = xs.length
-      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
-      xs.take(s - minOverlap + 1)
-    }
     // prefix tokens carry their 0-based POSITION and the doc's set
     // size — the two integers the PPJoin filters below run on
     val pre = docs
       .withColumn("sz", size(col("xs")).cast("long"))
       .select(col(idCol), col("sz"),
-        posexplode(prefixUdf(col("xs"))).as(Seq("pos", "shingle")))
+        posexplode(prefixSlice(col("xs"), t)).as(Seq("pos", "shingle")))
     val rare =
       if (maxDf == Long.MaxValue) pre
       else
@@ -1085,15 +1100,11 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .cache()
-    val prefixUdf = udf { (xs: Seq[Long]) =>
-      val s = xs.length
-      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
-      xs.take(s - minOverlap + 1)
-    }
     val withSz = docs.withColumn("sz", size(col("xs")).cast("long"))
     // probe side: prefix postings of the CONTAINED candidate a
+    // (codegen slice — see [[prefixSlice]])
     val pa0 = withSz.select(col(idCol).as("a"), col("sz").as("sa"),
-      posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
+      posexplode(prefixSlice(col("xs"), t)).as(Seq("pa", "shingle")))
     // index side: EVERY posting of the containing candidate b
     val pb0 = withSz.select(col(idCol).as("b"), col("sz").as("sb"),
       posexplode(col("xs")).as(Seq("pb", "shingle_b")))
@@ -1267,15 +1278,11 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       .select(col(idCol), shingleHashesUdf(hist.n)(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .cache()
-    val prefixUdf = udf { (xs: Seq[Long]) =>
-      val s = xs.length
-      val minOverlap = math.max(1, math.ceil(t * s - 1e-9).toInt)
-      xs.take(s - minOverlap + 1)
-    }
     // probe: prefix postings of the NEW (contained-candidate) side
+    // (codegen slice — see [[prefixSlice]])
     val pa0 = newDocs.withColumn("sz", size(col("xs")).cast("long"))
       .select(col(idCol).as("a"), col("sz").as("sa"),
-        posexplode(prefixUdf(col("xs"))).as(Seq("pa", "shingle")))
+        posexplode(prefixSlice(col("xs"), t)).as(Seq("pa", "shingle")))
     val pra = hist.hot match {
       case None    => pa0
       case Some(h) => pa0.join(h, Seq("shingle"), "left_anti")

@@ -29,6 +29,68 @@ object FunnelStageProbe {
       r
     }
     val input = graft.core.Graft.table(spark, sfDir, "documents")
+    // `real` mode mirrors q_text_curation_e2e's ACTUAL config (LSH
+    // near-dup + 32-word window dedup) instead of the audit-path
+    // jaccardClusters the default mode times.
+    if (args.length > 1 && args(1) == "real") {
+      val rcfg = CurationPipeline.Config(paragraphDedupWords = Some(32))
+      val gated = t("gate_signals_filter") {
+        val g = TextAnalysis.withGateSignals(input, "text")
+          .filter(col("lang_pred").isin(rcfg.allowedLangs: _*) &&
+            col("quality") >= rcfg.minQuality &&
+            col("n_tok") >= rcfg.minTokens).cache()
+        g.count(); g
+      }
+      val exactDeduped = t("exact_dedup") {
+        val keep = gated.select(col("doc_id"), md5(col("text")).as("__dg"))
+          .groupBy(col("__dg")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val e = gated.join(keep, Seq("doc_id"), "left_semi").cache()
+        e.count(); e
+      }
+      val paraDeduped = t("window_dedup_32") {
+        val p = graft.dedup.Dedup
+          .windowDedupKeep(exactDeduped, "doc_id", "text", 32)
+          .filter(col("__fo_kept") > 0L)
+          .withColumn("text", col("__fo_clean"))
+          .drop("__fo_clean", "__fo_kept").cache()
+        p.count(); p
+      }
+      val clusters = t("neardup_lsh_clusters") {
+        val c = graft.dedup.Dedup.lshClusters(
+          paraDeduped, "doc_id", "text", rcfg.nearDupN, rcfg.nearDupJaccard)
+        c.count(); c
+      }
+      val nearDeduped = t("neardup_antijoin") {
+        val n = paraDeduped.join(
+          clusters.filter(!col("is_canonical")).select("doc_id"),
+          Seq("doc_id"), "left_anti").cache()
+        n.count(); n
+      }
+      val clean = t("pii_redact") {
+        val c = nearDeduped
+          .withColumn("clean_text", TextAnalysis.redactPii(col("text"))).cache()
+        c.count(); c
+      }
+      val chunks = t("chunks") {
+        TextAnalysis.chunkByTokens(
+          clean.select(col("doc_id"), col("clean_text")),
+          "doc_id", "clean_text", rcfg.chunkTokens, rcfg.chunkOverlap)
+      }
+      t("chunk_stats_agg") {
+        chunks.agg(count(lit(1)), sum(col("n_tok"))).collect(): Unit
+      }
+      val packing = t("packing") {
+        TextAnalysis.packSequences(
+          clean.select(col("doc_id"), col("clean_text")),
+          "doc_id", "clean_text", rcfg.seqLen)
+      }
+      t("pack_stats_agg") {
+        packing.agg(max(col("end_off")), max(col("last_seq"))).collect(): Unit
+      }
+      spark.stop()
+      return
+    }
     val gated = t("gate_signals_filter") {
       val g = TextAnalysis.withGateSignals(input, "text")
         .filter(col("lang_pred").isin(cfg.allowedLangs: _*) &&
