@@ -443,28 +443,69 @@ object Incremental {
       }
       .start()
     unpersistOnTermination(docs.sparkSession, query)(hist.unpersist())
-    query
   }
 
-  /** Release stream-lifetime caches when `query` terminates: a
-    * self-removing listener keyed on the query id (the listener bus is
-    * async, so the release lands shortly after awaitTermination —
-    * harmless, since by then the sink holds the batch outputs).
+  /** Release stream-lifetime caches when `query` terminates. Two
+    * complementary paths, both draining one idempotent release guard:
+    * a self-removing listener (covers callers that poll `isActive` or
+    * abandon the handle — the listener bus is async, so this path
+    * lands shortly after termination), and a delegating wrapper whose
+    * `awaitTermination`/`stop` release SYNCHRONOUSLY on return — the
+    * drain-then-assert pattern (RepeatGuardSpec) and any
+    * `awaitTermination(); <reuse session>` caller must observe the
+    * cache gone, not racing the bus.
     */
   private def unpersistOnTermination(
       spark: SparkSession,
-      query: StreamingQuery)(release: => Unit): Unit = {
+      query: StreamingQuery)(release: => Unit): StreamingQuery = {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseOnce(): Unit = if (released.compareAndSet(false, true)) release
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          release
+          releaseOnce()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
+    new StreamingQuery {
+      override def name: String = query.name
+      override def id: java.util.UUID = query.id
+      override def runId: java.util.UUID = query.runId
+      override def sparkSession: org.apache.spark.sql.SparkSession =
+        query.sparkSession
+      override def isActive: Boolean = query.isActive
+      override def exception
+          : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+        query.exception
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+        query.status
+      override def recentProgress
+          : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+        query.recentProgress
+      override def lastProgress
+          : org.apache.spark.sql.streaming.StreamingQueryProgress =
+        query.lastProgress
+      override def awaitTermination(): Unit = {
+        try query.awaitTermination()
+        finally releaseOnce()
+      }
+      override def awaitTermination(timeoutMs: Long): Boolean = {
+        val terminated = query.awaitTermination(timeoutMs)
+        if (terminated) releaseOnce()
+        terminated
+      }
+      override def processAllAvailable(): Unit = query.processAllAvailable()
+      override def stop(): Unit = {
+        try query.stop()
+        finally releaseOnce()
+      }
+      override def explain(): Unit = query.explain()
+      override def explain(extended: Boolean): Unit = query.explain(extended)
+    }
   }
 
   /** Streaming ExactSubstr span scrub — the ingest-time face of
@@ -511,7 +552,6 @@ object Incremental {
       }
       .start()
     unpersistOnTermination(docs.sparkSession, query)(histIdx.unpersist(): Unit)
-    query
   }
 
   /** Streaming face of the native bottom-k sampler
