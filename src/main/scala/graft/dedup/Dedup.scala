@@ -652,12 +652,15 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       }
   }
 
-  /** Exact n-gram Jaccard similar pairs (a<b, J ≥ minJaccard) via
-    * shingle-inverted-index self-join: common = |A∩B| from the join,
-    * |A|,|B| from per-doc counts, J = common/(|A|+|B|−common). The join
-    * key is the shingle → co-partitioned, no cross product. Skew guard:
-    * shingles shared by more than `maxDf` docs are dropped (stopword
-    * shingles explode quadratically and carry no dedup signal).
+  /** Exact n-gram Jaccard similar pairs (a<b, J ≥ minJaccard) via a
+    * shingle inverted index: postings group per shingle (ONE exchange),
+    * co-occurring pairs are emitted inside the group's stage
+    * ([[graft.plans.PostingPairsExpr]]), and common = |A∩B| falls out
+    * of the (a,b) count; |A|,|B| ride along as per-doc counts,
+    * J = common/(|A|+|B|−common). No cross product, no self-join.
+    * Skew guard: shingles shared by more than `maxDf` docs are dropped
+    * (stopword shingles explode quadratically and carry no dedup
+    * signal) — a free `size(group) ≤ maxDf` filter on the built group.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -668,29 +671,41 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       maxDf: Long = 1000L
   ): DataFrame = {
     // per-doc distinct-shingle count rides along through the explode, so
-    // |A| and |B| come out of the self-join itself — no sizes join. The
-    // exploded relation IS cached: both self-join sides read it, and
-    // measured recompute (explode + skew window twice) costs ~8× the
-    // cached read; the cache is dropped before returning.
+    // |A| and |B| come out of the group itself — no sizes join.
+    //
+    // ONE-EXCHANGE SHAPE (round 15): the postings shuffle ONCE into a
+    // per-shingle group and every co-occurring (a<b) pair is emitted by
+    // the native [[graft.plans.PostingPairsExpr]] inside the group's
+    // stage, feeding the (a,b) partial aggregation directly. The prior
+    // formulation cached the exploded postings and self-joined them on
+    // shingle — cache fill + two reads + the join machinery; measured
+    // at sf0.1 (NgramNormAB, min-of-3 interleaved): join form 2.19 s,
+    // emission form ≤1.52 s even with a boxed prototype emitter.
+    // Per-group memory is the same d-sized posting group the
+    // self-join's merge buffer held; the d² pair rows materialize as
+    // one array instead of streaming — bounded by maxDf² where the cap
+    // is set, SF-bounded on the uncapped truth face by contract.
+    //
+    // The skew guard is now FREE: df ≤ maxDf is `size(ps) ≤ maxDf` on
+    // the built group — the prior form paid a dedicated count-over-
+    // window (a second pass over the postings) for it.
     val ex = df
       .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .select(col(idCol), size(col("xs")).cast("long").as("n_sh"),
         explode(col("xs")).as("shingle"))
-    // skew guard costs a shuffle on shingle — which then doubles as the
-    // self-join's exchange (co-partitioned); skip it entirely when off
-    val rare = (
-      if (maxDf == Long.MaxValue) ex
-      else
-        ex.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("df") <= maxDf)
-          .drop("df")
-    ).cache()
-    val a = rare.select(col(idCol).as("a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = rare.select(col(idCol).as("b"), col("n_sh").as("n_b"), col("shingle"))
-    val pairs = a
-      .join(b, Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b", "n_a", "n_b")
+    // sort_array orders struct(id, n_sh) by id ascending (ids are
+    // unique within a shingle group — xs is distinct per doc), so the
+    // emitted pairs satisfy a < b by construction, exactly as the
+    // join's a < b filter did.
+    val groups = ex
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col(idCol), col("n_sh")))).as("ps"))
+      .filter(size(col("ps")) >= 2 &&
+        (if (maxDf == Long.MaxValue) lit(true) else size(col("ps")) <= maxDf))
+    val pairs = groups
+      .select(explode(graft.plans.ArrayOps.posting_pairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn(
         "jaccard",
@@ -699,11 +714,11 @@ object Dedup extends SpanRemovalOps with SimHashOps {
       )
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
-    // materialize the (small) pair set, then drop the shingle cache —
-    // it must not outlive the call in a long-lived session
+    // materialize the (small) pair set — callers (clusterize's CC
+    // iterations, the recall-audit twins) re-read it and own the
+    // unpersist, as before
     val out = pairs.cache()
     out.count()
-    rare.unpersist()
     out
   }
 
@@ -720,7 +735,7 @@ object Dedup extends SpanRemovalOps with SimHashOps {
     *
     * Pick this path for high thresholds (t >= ~0.5, the dedup regime);
     * at low thresholds the prefix is nearly the whole set and
-    * [[ngramJaccardPairs]]'s count-from-the-join shape wins (it never
+    * [[ngramJaccardPairs]]'s count-from-the-group shape wins (it never
     * rejoins the full arrays).
     *
     * `maxDf` here caps candidate-generation postings only — verified

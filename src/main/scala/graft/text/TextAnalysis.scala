@@ -279,6 +279,16 @@ object TextAnalysis {
     * group).
     */
   def normalizedText(text: Column): Column =
+    graft.plans.ArrayOps.normalize_text(text)
+
+  /** The original built-in composition of [[normalizedText]] — kept as
+    * the semantic reference the native single-pass expression
+    * ([[graft.plans.NormalizeTextExpr]]) is spec-pinned against
+    * (NormalizeTextSpec): two regex passes + lower + trim cost ~2× the
+    * one compiled byte loop on the corpus-sized normalized-dedup key
+    * paths.
+    */
+  private[graft] def normalizedTextComposed(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
 
