@@ -533,6 +533,59 @@ object TextAnalysis {
       }
   }
 
+  /** ALL word n-gram hashes of one document, one per position
+    * (duplicates kept — the counting twin of
+    * [[graft.dedup.Dedup.shingleHashesUdf]], which dedupes and sorts
+    * for set arithmetic). FNV-1a 64-bit over the window's chars with
+    * ' ' separators — identical value layout to hashing the
+    * ngramsUdf-built string, so a model side hashed with [[fnvUdf]]
+    * over its gram STRINGS joins exactly. Collisions (~n²/2^64) can
+    * only alias two grams — the same vanishing perturbation class the
+    * shingle-hash paths carry.
+    */
+  private[graft] def gramHashesUdf(
+      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val m = toks.length - n + 1
+          val out = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < n) {
+              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+              val t = toks(i + j)
+              var k = 0
+              while (k < t.length) {
+                h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1
+              }
+              j += 1
+            }
+            out(i) = h
+            i += 1
+          }
+          out
+        }
+      }
+  }
+
+  /** FNV-1a 64-bit of a string's chars — the model-side twin of
+    * [[gramHashesUdf]] (hash the (bigram, c2) relation's gram strings
+    * once, model-sized, so the corpus-side join runs on 8-byte keys).
+    */
+  private[graft] val fnvUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < s.length) { h ^= s.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+      h
+    }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set — the standard guard against
     * test-set leakage into training data. The benchmark side is tiny
@@ -679,12 +732,20 @@ object TextAnalysis {
   ): DataFrame = {
     val total =
       model.agg(sum(col("c2"))).collect()(0).getLong(0).max(1L).toDouble
-    val m = if (broadcastModel) broadcast(model) else model
+    // the join runs on 64-bit FNV gram hashes, not gram strings: the
+    // corpus side never BUILDS a string per bigram position (measured
+    // half the tally at sf0.1 — LmBucketsAB: 0.85 → 0.41 s), join keys
+    // are 8 bytes, and the model side hashes once (model-sized). Hash
+    // layout matches hashing the ngramsUdf string (gramHashesUdf doc);
+    // an aliasing collision (~n²/2^64) is the same vanishing
+    // perturbation class every shingle-hash path carries.
+    val hashedModel = model.select(fnvUdf(col("bigram")).as("__gh"), col("c2"))
+    val m = if (broadcastModel) broadcast(hashedModel) else hashedModel
     val perDoc = docs
       .select(
         col(idCol),
-        explode(ngramsUdf(2, distinct = false)(col(textCol))).as("bigram"))
-      .join(m, Seq("bigram"), "left")
+        explode(gramHashesUdf(2)(col(textCol))).as("__gh"))
+      .join(m, Seq("__gh"), "left")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),

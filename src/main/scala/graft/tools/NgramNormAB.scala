@@ -111,6 +111,35 @@ object NgramNormAB {
       pairs.agg(count(lit(1))).collect()
     }
 
+    // capped operating point of the e2e funnels (j=0.8, maxDf=1000):
+    // the old form paid a count-over-window df pass the new form gets
+    // free from size(group)
+    t("ngram capped: new emission form") {
+      val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 1000L)
+      out.unpersist()
+    }
+    t("ngram capped: old join+window form") {
+      import org.apache.spark.sql.expressions.Window
+      val ex0 = docs
+        .select(col("doc_id"), Dedup.shingleHashesUdf(3)(col("text")).as("xs"))
+        .select(col("doc_id"), size(col("xs")).cast("long").as("n_sh"),
+          explode(col("xs")).as("shingle"))
+      val rare = ex0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= 1000L).drop("df").cache()
+      val a = rare.select(col("doc_id").as("a"), col("n_sh").as("n_a"), col("shingle"))
+      val b = rare.select(col("doc_id").as("b"), col("n_sh").as("n_b"), col("shingle"))
+      val pairs = a.join(b, Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+      pairs.agg(count(lit(1))).collect()
+      rare.unpersist(blocking = true)
+    }
+
     // ---------- 2. normalizedText ----------
     val normBuiltin = graft.text.TextAnalysis.normalizedText(col("text"))
     t("norm: builtin two-regex-pass (md5 agg)") {
