@@ -458,8 +458,16 @@ object Incremental {
   private def unpersistOnTermination(
       spark: SparkSession,
       query: StreamingQuery)(release: => Unit): StreamingQuery = {
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def releaseOnce(): Unit = if (released.compareAndSet(false, true)) release
+    // monitor, not CAS: when the listener thread wins the race but is
+    // still MID-release, the synchronous caller must WAIT for the
+    // release to finish before returning (a first-wins CAS would no-op
+    // the sync path exactly while the async one is in flight — the
+    // drain-then-assert caller would still observe the cache)
+    val lock = new Object
+    var released = false
+    def releaseOnce(): Unit = lock.synchronized {
+      if (!released) { released = true; release }
+    }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
