@@ -603,64 +603,37 @@ object Dedup extends SpanRemovalOps with SimHashOps {
         graft.text.CorpusAudit.gramsUdf(n)(col(textCol)))).as("shingle"))
 
   /** Distinct hashed word n-gram shingles of one document as a sorted
-    * primitive array — ONE compiled loop per row. This replaces the
-    * transform/slice/concat_ws HOF pipeline on the hot dedup paths:
-    * higher-order-function lambdas are interpreted expression trees in
-    * Spark (no whole-stage codegen), measured ~10× slower than this
-    * loop, and string shingles would then shuffle ~20-byte keys where
-    * the hash shuffles 8. FNV-1a 64-bit over the window's chars with
-    * ' ' separators — identical value layout to hashing the
-    * concat_ws(" ", window) string. Collisions (~n²/2^64) can only
-    * merge two shingles, which the downstream exact set-arithmetic
-    * absorbs as a vanishingly small Jaccard perturbation.
+    * primitive array. Since round 16 this is the NATIVE codegen
+    * expression [[graft.plans.GramHashesExpr]] (name kept — call sites
+    * apply it as before): the former Scala UDF paid the UDF
+    * String-boxing seam, an Array[Long] → Catalyst converter per row,
+    * and a broken whole-stage-codegen span on the engine's single
+    * most-traversed per-row pass (every minhash / ngram-pair /
+    * containment corpus path). FNV-1a 64-bit over the window's UTF-16
+    * chars with ' ' separators — the hash LAYOUT is bit-identical to
+    * the UDF's (the expression takes a raw-byte fast path on ASCII
+    * text, provably equal, and replays the exact char loop otherwise),
+    * so every downstream hash join and oracle replay is unchanged.
+    * Collisions (~n²/2^64) can only merge two shingles, which the
+    * downstream exact set-arithmetic absorbs as a vanishingly small
+    * Jaccard perturbation.
     */
   private[graft] def shingleHashesUdf(
-      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = udf {
-    (text: String) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.split(" ", -1)
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val m = toks.length - n + 1
-          val out = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < n) {
-              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-              val t = toks(i + j)
-              var k = 0
-              while (k < t.length) {
-                h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1
-              }
-              j += 1
-            }
-            out(i) = h
-            i += 1
-          }
-          java.util.Arrays.sort(out)
-          var w = 0
-          var r = 0
-          while (r < out.length) {
-            if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
-            r += 1
-          }
-          java.util.Arrays.copyOf(out, w)
-        }
-      }
-  }
+      n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => graft.plans.GramHash.shingle_hashes(c, n)
 
   /** Exact n-gram Jaccard similar pairs (a<b, J ≥ minJaccard) via a
-    * shingle inverted index: postings group per shingle (ONE exchange),
-    * co-occurring pairs are emitted inside the group's stage
-    * ([[graft.plans.PostingPairsExpr]]), and common = |A∩B| falls out
-    * of the (a,b) count; |A|,|B| ride along as per-doc counts,
+    * shingle inverted index: postings shuffle ONCE into shingle-
+    * clustered, (shingle, id)-sorted runs and every co-occurring pair
+    * is emitted in-stage by the streaming
+    * [[graft.plans.PostingPairsExec]]; common = |A∩B| falls out of the
+    * (a,b) count; |A|,|B| ride along as per-doc counts,
     * J = common/(|A|+|B|−common). No cross product, no self-join.
     * Skew guard: shingles shared by more than `maxDf` docs are dropped
     * (stopword shingles explode quadratically and carry no dedup
-    * signal) — a free `size(group) ≤ maxDf` filter on the built group.
+    * signal) — the exec skips overflowing groups as it streams.
+    * Null ids are dropped up front (the pre-r15 join's a<b filter
+    * dropped them silently; the exec's id buffer requires non-null).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -673,39 +646,26 @@ object Dedup extends SpanRemovalOps with SimHashOps {
     // per-doc distinct-shingle count rides along through the explode, so
     // |A| and |B| come out of the group itself — no sizes join.
     //
-    // ONE-EXCHANGE SHAPE (round 15): the postings shuffle ONCE into a
-    // per-shingle group and every co-occurring (a<b) pair is emitted by
-    // the native [[graft.plans.PostingPairsExpr]] inside the group's
-    // stage, feeding the (a,b) partial aggregation directly. The prior
-    // formulation cached the exploded postings and self-joined them on
-    // shingle — cache fill + two reads + the join machinery; measured
-    // at sf0.1 (NgramNormAB, min-of-3 interleaved): join form 2.19 s,
-    // emission form ≤1.52 s even with a boxed prototype emitter.
-    // Per-group memory is the same d-sized posting group the
-    // self-join's merge buffer held; the d² pair rows materialize as
-    // one array instead of streaming — bounded by maxDf² where the cap
-    // is set, SF-bounded on the uncapped truth face by contract.
-    //
-    // The skew guard is now FREE: df ≤ maxDf is `size(ps) ≤ maxDf` on
-    // the built group — the prior form paid a dedicated count-over-
-    // window (a second pass over the postings) for it.
+    // ONE-EXCHANGE STREAMING SHAPE (round 16): the round-15 form built
+    // each shingle group as ONE collect_list array and materialized all
+    // d(d−1)/2 pair structs through PostingPairsExpr — ObjectHashAggregate
+    // falls back to sort-based aggregation past 128 map keys (so the
+    // capped funnel point paid a sort anyway AND the array build), and
+    // an uncapped hot shingle threw past d ≈ 92k where the pre-r15
+    // self-join streamed. PostingPairsExec keeps the one-exchange shape
+    // (Catalyst inserts the shingle exchange + (shingle, id) sort) but
+    // buffers only the d-sized (id, n) postings of the current group
+    // and emits pairs lazily — no d² array, overflowing groups skipped
+    // at maxDf+1 buffered entries. Ascending id order in the sorted run
+    // gives a < b by construction, exactly as the join's filter did.
     val ex = df
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), shingleHashesUdf(n)(col(textCol)).as("xs"))
       .select(col(idCol), size(col("xs")).cast("long").as("n_sh"),
         explode(col("xs")).as("shingle"))
-    // sort_array orders struct(id, n_sh) by id ascending (ids are
-    // unique within a shingle group — xs is distinct per doc), so the
-    // emitted pairs satisfy a < b by construction, exactly as the
-    // join's a < b filter did.
-    val groups = ex
-      .groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col(idCol), col("n_sh")))).as("ps"))
-      .filter(size(col("ps")) >= 2 &&
-        (if (maxDf == Long.MaxValue) lit(true) else size(col("ps")) <= maxDf))
-    val pairs = groups
-      .select(explode(graft.plans.ArrayOps.posting_pairs(col("ps"))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    val pairs = graft.plans.PostingPairs
+      .pairs(ex, col("shingle"), col(idCol), col("n_sh"), maxDf)
+      .groupBy("a", "b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
       .withColumn(
         "jaccard",

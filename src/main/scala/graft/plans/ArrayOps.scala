@@ -559,104 +559,6 @@ case class PqEncodeExpr(
   override def prettyName: String = "pq_encode"
 }
 
-/** All ordered pairs of a SORTED posting list: array<struct<id, n>>
-  * (ascending by id, one entry per doc) → array<struct<a, b, n_a,
-  * n_b>> with a < b by construction. This is the emission core of the
-  * one-exchange inverted-index pair join
-  * ([[graft.dedup.Dedup.ngramJaccardPairs]]): instead of shuffling the
-  * posting list TWICE into a self-join, the postings shuffle once into
-  * a per-shingle group and every co-occurring pair is emitted inside
-  * the group's stage. Memory per group is d(d−1)/2 emitted structs —
-  * the same d-sized group the self-join's merge buffer would hold,
-  * with the d² rows materialized as one array instead of streamed;
-  * the posting-cap (`maxDf`) bounds d wherever hot-shingle skew is a
-  * concern. Groups above ~92k postings would overflow the array
-  * length and FAIL LOUDLY — far past any sane df cap, and the
-  * uncapped truth face is SF-bounded by contract.
-  */
-case class PostingPairsExpr(child: Expression) extends UnaryExpression {
-
-  private def idType: DataType = child.dataType match {
-    case ArrayType(StructType(fs), _) if fs.length == 2 => fs(0).dataType
-    case _ => NullType
-  }
-
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("a", idType, nullable = false),
-      StructField("b", idType, nullable = false),
-      StructField("n_a", LongType, nullable = false),
-      StructField("n_b", LongType, nullable = false))),
-    containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fs), _)
-        if fs.length == 2 &&
-          (fs(0).dataType == LongType || fs(0).dataType == StringType) &&
-          fs(1).dataType == LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"posting_pairs needs array<struct<long|string,long>> input, " +
-        s"got ${other.simpleString}")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    PostingPairsExpr.evalPairs(
-      input.asInstanceOf[ArrayData], idType == StringType)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val arrCls = classOf[ArrayData].getName
-      s"${ev.value} = graft.plans.PostingPairsExpr.evalPairs(" +
-        s"($arrCls) $c, ${idType == StringType});"
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "posting_pairs"
-}
-
-object PostingPairsExpr {
-  /** Called from generated code. The posting struct rows may be views
-    * into a reused aggregation buffer, so ids are copied out (string
-    * ids via UTF8String.copy) before emission.
-    */
-  def evalPairs(ps: ArrayData, idIsString: Boolean): ArrayData = {
-    val d = ps.numElements()
-    val total = d.toLong * (d - 1) / 2
-    if (total > Int.MaxValue) throw new IllegalArgumentException(
-      s"posting_pairs: $d postings emit $total pairs > Int.MaxValue — " +
-        "cap the posting df upstream")
-    val ids = new Array[Any](d)
-    val ns = new Array[Long](d)
-    var i = 0
-    while (i < d) {
-      val row = ps.getStruct(i, 2)
-      ids(i) =
-        if (idIsString) row.getUTF8String(0).copy()
-        else java.lang.Long.valueOf(row.getLong(0))
-      ns(i) = row.getLong(1)
-      i += 1
-    }
-    val out = new Array[Any](total.toInt)
-    var k = 0
-    i = 0
-    while (i < d) {
-      var j = i + 1
-      while (j < d) {
-        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](ids(i), ids(j), ns(i), ns(j)))
-        k += 1
-        j += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-}
-
 /** Single-pass text normalizer — the
   * [[graft.text.TextAnalysis.normalizedText]] contract (lowercase,
   * strip the four ASCII punctuation ranges, collapse whitespace runs
@@ -751,9 +653,6 @@ object ArrayOps {
 
   /** Native one-pass normalizer (see [[NormalizeTextExpr]]). */
   def normalize_text(c: Column): Column = toColumn(NormalizeTextExpr(toExpr(c)))
-
-  /** Native posting-pair emission (see [[PostingPairsExpr]]). */
-  def posting_pairs(ps: Column): Column = toColumn(PostingPairsExpr(toExpr(ps)))
 
   /** Native ×2^20 quantizer (see [[QuantizeExpr]]). */
   def quantize_1m(v: Column): Column = toColumn(QuantizeExpr(toExpr(v)))

@@ -65,36 +65,85 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    // Partial-phase key budget (§5 — bound per-task state): at high key
+    // cardinality the map-side pass would otherwise buffer k rows for
+    // EVERY distinct key the task sees, with no spill path. Past the
+    // budget the least-recently-seen key's heap is EVICTED TO OUTPUT —
+    // partial output may be lossy upward (extra rows per key), the
+    // final instance above the exchange re-merges, so results are
+    // unchanged while task memory stays ≤ budget·(k+1) rows. The final
+    // instance never evicts: its per-partition key set IS the result.
+    val keyBudget =
+      if (partial)
+        conf.getConfString("spark.graft.topk.partialKeyBudget", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
       // max-heap on the sort order: the root is the WORST retained row,
       // evicted when a better one arrives
       val heapOrd: Ordering[InternalRow] = rowOrd.reverse
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapOrd)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < limit) {
-          heap.add(row.copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      val out = Iterator.newBuilder[InternalRow]
-      heaps.forEach { (_, heap) =>
+      // access-order map = LRU: hot keys stay resident, one-off keys
+      // age out first, so eviction churn on skewed streams is minimal
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]](
+        16, 0.75f, true)
+
+      def drainHeap(heap: java.util.PriorityQueue[InternalRow]): Array[InternalRow] = {
         val arr = new Array[InternalRow](heap.size())
         var i = arr.length - 1
         while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // heap drains worst-first
-        arr.foreach(out += _)
+        arr
       }
-      out.result()
+
+      new Iterator[InternalRow] {
+        private var pending: Array[InternalRow] = null
+        private var pi = 0
+        private var drained: java.util.Iterator[java.util.PriorityQueue[InternalRow]] = null
+
+        private def fill(): Unit = {
+          while ((pending == null || pi >= pending.length) && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapOrd)
+              heaps.put(key.copy(), heap)
+              if (heaps.size() > keyBudget) {
+                val eldest = heaps.entrySet().iterator()
+                val e = eldest.next()
+                pending = drainHeap(e.getValue)
+                pi = 0
+                eldest.remove()
+              }
+            }
+            if (heap.size() < limit) {
+              heap.add(row.copy())
+            } else if (rowOrd.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          if ((pending == null || pi >= pending.length) && !iter.hasNext && drained == null)
+            drained = heaps.values().iterator()
+          while ((pending == null || pi >= pending.length) &&
+            drained != null && drained.hasNext) {
+            pending = drainHeap(drained.next())
+            pi = 0
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (pending != null && pi < pending.length) true
+          else { fill(); pending != null && pi < pending.length }
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("topk exhausted")
+          val r = pending(pi)
+          pi += 1
+          r
+        }
+      }
     }
   }
 

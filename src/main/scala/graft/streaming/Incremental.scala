@@ -513,6 +513,18 @@ object Incremental {
       }
       override def explain(): Unit = query.explain()
       override def explain(extended: Boolean): Unit = query.explain(extended)
+      // Identity delegates to the wrapped query: callers comparing the
+      // returned handle against spark.streams.get(id)/active (different
+      // object, same query) must see equality. NOTE the synchronous
+      // release guarantee holds only through THIS handle's
+      // awaitTermination/stop — draining via
+      // StreamingQueryManager.awaitAnyTermination or the manager's
+      // handle still releases, but through the async listener path.
+      override def equals(other: Any): Boolean = other match {
+        case sq: StreamingQuery => sq.id == query.id && sq.runId == query.runId
+        case _ => false
+      }
+      override def hashCode(): Int = query.id.hashCode()
     }
   }
 

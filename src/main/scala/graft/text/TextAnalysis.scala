@@ -544,47 +544,18 @@ object TextAnalysis {
     * shingle-hash paths carry.
     */
   private[graft] def gramHashesUdf(
-      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = udf {
-    (text: String) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.split(" ", -1)
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val m = toks.length - n + 1
-          val out = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < n) {
-              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-              val t = toks(i + j)
-              var k = 0
-              while (k < t.length) {
-                h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1
-              }
-              j += 1
-            }
-            out(i) = h
-            i += 1
-          }
-          out
-        }
-      }
-  }
+      n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => graft.plans.GramHash.gram_hashes(c, n)
 
   /** FNV-1a 64-bit of a string's chars — the model-side twin of
     * [[gramHashesUdf]] (hash the (bigram, c2) relation's gram strings
     * once, model-sized, so the corpus-side join runs on 8-byte keys).
+    * Since round 16 a native codegen expression
+    * ([[graft.plans.FnvHashExpr]] — name kept, applies as before);
+    * values bit-identical to the former UDF's char loop.
     */
-  private[graft] val fnvUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      var h = 0xcbf29ce484222325L
-      var k = 0
-      while (k < s.length) { h ^= s.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
-      h
-    }
+  private[graft] val fnvUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => graft.plans.GramHash.fnv64(c)
 
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set — the standard guard against
@@ -711,9 +682,12 @@ object TextAnalysis {
     * model explains it, keep the well-explained ones. CCNet ranks by
     * KenLM 5-gram perplexity; the engine ships the relational core
     * against a bigram counts model — the per-document hit/OOV tally
-    * is integer-exact and the keep decision cross-multiplies
-    * (n_hits·1000 ≥ n_bigrams·minHitPermille), so no float reaches
-    * the gate. A float mean log-probability over hit bigrams rides
+    * is integer-exact up to ~n²/2^64 FNV hash aliasing (the join runs
+    * on 64-bit gram hashes; a collision between two distinct model
+    * bigrams would inflate the tally — the same vanishing perturbation
+    * class every shingle-hash path carries) and the keep decision
+    * cross-multiplies (n_hits·1000 ≥ n_bigrams·minHitPermille), so no
+    * float reaches the gate. A float mean log-probability over hit bigrams rides
     * along for perplexity-style ranking; any (bigram, c2) relation —
     * e.g. a dumped KenLM vocabulary — plugs in unchanged.
     *
@@ -730,8 +704,6 @@ object TextAnalysis {
       minHitPermille: Int = 500,
       broadcastModel: Boolean = true
   ): DataFrame = {
-    val total =
-      model.agg(sum(col("c2"))).collect()(0).getLong(0).max(1L).toDouble
     // the join runs on 64-bit FNV gram hashes, not gram strings: the
     // corpus side never BUILDS a string per bigram position (measured
     // half the tally at sf0.1 — LmBucketsAB: 0.85 → 0.41 s), join keys
@@ -740,7 +712,27 @@ object TextAnalysis {
     // an aliasing collision (~n²/2^64) is the same vanishing
     // perturbation class every shingle-hash path carries.
     val hashedModel = model.select(fnvUdf(col("bigram")).as("__gh"), col("c2"))
-    val m = if (broadcastModel) broadcast(hashedModel) else hashedModel
+    // ONE model scan (round 16): the normalizing total used to be a
+    // separate scalar aggregate over the model subtree, so the model
+    // evaluated twice per call. When the model broadcasts (the default)
+    // the hashed rows are collected ONCE — exactly the rows the
+    // broadcast exchange would pull to the driver anyway — the total
+    // sums locally from them, and the join builds its broadcast from
+    // the local relation. The shuffle-join posture (huge models) keeps
+    // the two-pass form: collecting would defeat its purpose.
+    val (m, total) =
+      if (broadcastModel) {
+        val rows = hashedModel.collect()
+        var t = 0L
+        rows.foreach(r => if (!r.isNullAt(1)) t += r.getLong(1))
+        val local = docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), hashedModel.schema)
+        (broadcast(local), t.max(1L).toDouble)
+      } else {
+        val t =
+          model.agg(sum(col("c2"))).collect()(0).getLong(0).max(1L).toDouble
+        (hashedModel, t)
+      }
     val perDoc = docs
       .select(
         col(idCol),

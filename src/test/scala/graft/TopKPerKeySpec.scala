@@ -108,4 +108,36 @@ class TopKPerKeySpec extends SparkTestBase {
       orders, Seq(col("o_custkey")), Seq(col("o_orderkey").asc), k = 1000000)
     assert(got.count() == n)
   }
+
+  test("partial-phase key budget: a tiny budget evicts heaps to output " +
+    "(lossy upward) yet the final result is unchanged — task memory is " +
+    "bounded at high key cardinality") {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val key = "spark.graft.topk.partialKeyBudget"
+    spark.conf.set(key, "2") // orders has ~1.5k custkeys per task — constant churn
+    try {
+      val got = TopKPerKey
+        .topKPerKey(
+          orders,
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 2)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      assert(got == expected)
+    } finally spark.conf.unset(key)
+  }
 }
