@@ -1378,32 +1378,18 @@ object Dedup extends SpanRemovalOps with SimHashOps {
     * Jaccard. bands*rowsPerBand hash functions total. Returns verified
     * pairs (a<b, jaccard ≥ minJaccard).
     */
-  /** One compiled loop computing the full MinHash signature of a
-    * hashed-shingle set (shared by the batch LSH join and the
-    * streaming bucket-state face).
+  /** Full MinHash signature of a hashed-shingle set (shared by the
+    * batch LSH join and the streaming bucket-state face). Since round
+    * 16 a NATIVE codegen expression ([[graft.plans.MinHashSigExpr]] —
+    * name kept, applies as before): the UDF seam converted the 8-byte
+    * hash array to a boxed Seq[Long] per corpus row and back.
+    * Signature values bit-identical (same Long modular arithmetic).
     */
   private[graft] def minHashSigUdf(numHashes: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val coeffs = (0 until numHashes).map(perm)
-    val p = MinHashP
-    udf { (xs: Seq[Long]) =>
-      val out = new Array[Long](coeffs.length)
-      var i = 0
-      while (i < coeffs.length) {
-        val (a, b) = coeffs(i)
-        var best = Long.MaxValue
-        val it = xs.iterator
-        while (it.hasNext) {
-          val x = it.next()
-          val m = x % p; val xm = if (m < 0) m + p else m
-          val h = (xm * a + b) % p
-          if (h < best) best = h
-        }
-        out(i) = best
-        i += 1
-      }
-      out
-    }
+    c => graft.plans.GramHash.minhash_sig(
+      c, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, MinHashP)
   }
 
   /** Band keys of a signature column named `sig`: one (band, xxhash64

@@ -82,6 +82,19 @@ object Sinks {
     * as a column so readers can restore the global training order
     * within a shard.
     *
+    * File-count posture (guide §6): a bare partitionBy write emits one
+    * file per (task, shard) pair — T tasks × S shards small files once
+    * the corpus grows (every write task holds rows of many shards).
+    * When the shard count crosses
+    * `spark.graft.shards.clusterWriteMinShards` (default 4× the
+    * session's default parallelism) the write is first CLUSTERED by
+    * shard (`repartition(col("shard"))`) so each shard lands as one
+    * ~tokensPerShard-sized file regardless of task layout; below the
+    * threshold the direct path stands (AQE coalescing already yields
+    * one file per shard at small scale, and the extra exchange would
+    * only cost). The shard count is a cached-read aggregate —
+    * packSequences returns its packing materialized.
+    *
     * Returns the per-shard summary (shard, n_docs, n_tokens,
     * min_start, max_end) — integer-exact and oracle-checkable against
     * the prefix-sum replay.
@@ -96,9 +109,10 @@ object Sinks {
       .packSequences(df.select(col(idCol), col(textCol)), idCol, textCol,
         seqLen = tokensPerShard)
       .withColumn("shard", col("first_seq"))
-    df.join(
+    val joined = df.join(
       packed.select(col(idCol), col("shard"), col("start_off"), col("end_off")),
       Seq(idCol))
+    clusterIfManyShards(joined, packed)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     packed
       .groupBy(col("shard"))
@@ -180,9 +194,12 @@ object Sinks {
       .withColumn("start_off", col("start_off") + base)
       .withColumn("end_off", col("end_off") + base)
       .withColumn("shard", expr(s"start_off div $tokensPerShard"))
-    df.join(
+    val joined = df.join(
       packed.select(col(idCol), col("shard"), col("start_off"), col("end_off")),
       Seq(idCol))
+    // same §6 posture as the batch writer; a micro-batch rarely crosses
+    // the threshold, but a bulk backfill through this face would
+    clusterIfManyShards(joined, packed)
       .write.mode("append").partitionBy("shard").parquet(path)
     if (batchId >= 0L) recordShardBatch(fs, root, batchId, batchTag)
     packed
@@ -192,6 +209,23 @@ object Sinks {
         sum(col("n_tok")).as("n_tokens"),
         min(col("start_off")).as("min_start"),
         max(col("end_off")).as("max_end"))
+  }
+
+  /** Cluster a shard-carrying relation by shard before its partitionBy
+    * write when the shard count crosses the threshold (guide §6 — see
+    * [[writeTrainingShards]]); `packed` is the materialized packing, so
+    * the distinct-shard count is a cached read, not a corpus pass.
+    */
+  private def clusterIfManyShards(
+      joined: DataFrame, packed: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    val minShards = spark.conf
+      .getOption("spark.graft.shards.clusterWriteMinShards")
+      .map(_.toLong)
+      .getOrElse(4L * spark.sparkContext.defaultParallelism)
+    val nShards = packed
+      .agg(countDistinct(col("shard"))).first().getLong(0)
+    if (nShards >= minShards) joined.repartition(col("shard")) else joined
   }
 
   /** Last (batchTag, batchId) applied to the shard corpus at `root`,

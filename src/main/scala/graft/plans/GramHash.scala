@@ -216,6 +216,70 @@ object FnvHashExpr {
   }
 }
 
+/** Full MinHash signature of a hashed-shingle set as ONE compiled
+  * primitive loop — replaces `Dedup.minHashSigUdf`, whose Scala-UDF
+  * seam converted the 8-byte hash array to a boxed Seq[Long] per
+  * corpus row (and back) on every minhash/LSH path. Arithmetic is the
+  * UDF's exactly: per permutation i, h = ((((x % p)+p if <0) · aᵢ) +
+  * bᵢ) % p minimized over the set (p = 2³¹−1; aᵢ ≤ ~1.3e7 keeps
+  * xm·aᵢ ≪ 2⁶³, no overflow). An empty set yields Long.MaxValue per
+  * slot, as the UDF did.
+  */
+case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<long> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.evalSig(input.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+      s"${ev.value} = graft.plans.MinHashSigExpr.evalSig($c, $aRef, $bRef, ${p}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSigExpr {
+  /** Called from generated code. */
+  def evalSig(xs: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val n = xs.numElements()
+    val k = as.length
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = as(i)
+      val b = bs(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val x = xs.getLong(j)
+        val m = x % p
+        val xm = if (m < 0) m + p else m
+        val h = (xm * a + b) % p
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Column-level API for the gram/fnv hash expressions. */
 object GramHash {
 
@@ -229,4 +293,8 @@ object GramHash {
 
   /** FNV-1a 64-bit of a string. */
   def fnv64(c: Column): Column = toColumn(FnvHashExpr(toExpr(c)))
+
+  /** Full MinHash signature of a hashed-shingle array. */
+  def minhash_sig(c: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    toColumn(MinHashSigExpr(toExpr(c), as, bs, p))
 }

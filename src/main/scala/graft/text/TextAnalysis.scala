@@ -571,13 +571,23 @@ object TextAnalysis {
       textCol: String,
       n: Int
   ): DataFrame = {
+    // the match runs on 64-bit FNV gram hashes (round 16 — the LM-tally
+    // layout): the corpus side never BUILDS a gram string per position,
+    // broadcast probe keys are 8 bytes, and the eval-suite side hashes
+    // its distinct gram strings once (suite-sized). shingleHashesUdf =
+    // distinct sorted FNV hashes, value-identical to fnv64 of the
+    // ngramsUdf strings; an aliasing collision (~n²/2^64) is the same
+    // vanishing perturbation class every shingle-hash path carries.
+    // The REPORT face keeps strings — the shared gram is its OUTPUT.
     val grams = ngramsUdf(n, distinct = true)
     val benchGrams = benchmark
       .select(explode(grams(col(textCol))).as("gram"))
+      .select(fnvUdf(col("gram")).as("__gh"))
       .distinct()
     val hits = corpus
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col(idCol),
+        explode(graft.dedup.Dedup.shingleHashesUdf(n)(col(textCol))).as("__gh"))
+      .join(broadcast(benchGrams), Seq("__gh"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
     corpus

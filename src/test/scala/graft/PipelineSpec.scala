@@ -339,6 +339,34 @@ class IoSpec extends SparkTestBase {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("shard=")))
   }
 
+  test("shard write clusters by shard past the threshold: ONE file per " +
+    "shard without AQE luck (guide §6 file-count posture)") {
+    // 60 docs × 8 tokens at tokensPerShard=16 → 30 shards; the input is
+    // spread over 4 tasks so a DIRECT partitionBy write would emit up
+    // to 4 files per shard — the clustered write must land each shard
+    // as exactly one file
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(8)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+    val path = Files.createTempDirectory("graftshardcluster").toString + "/out"
+    val key = "spark.graft.shards.clusterWriteMinShards"
+    spark.conf.set(key, "4")
+    try {
+      val summary = Sinks
+        .writeTrainingShards(docs, "doc_id", "text", path, tokensPerShard = 16L)
+        .collect()
+      assert(summary.length == 30)
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("shard="))
+      assert(dirs.length == 30, dirs.length)
+      dirs.foreach { d =>
+        val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+        assert(parts.length == 1,
+          s"${d.getName}: ${parts.length} files — shard not clustered")
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("appendTrainingShards out of order still packs contiguously") {
     // in-order delivery reproduces the batch sink bit-for-bit
     // (StreamBatchParitySpec); OUT-of-order delivery must still yield

@@ -270,6 +270,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!qPlan.contains("UDF"), qPlan)
   }
 
+  test("unpartitioned windows are enumerated and pinned: every " +
+    "WindowExec with no partitionSpec in every registered query's plan " +
+    "sits above a LIMIT/top-k bound or is on the adjudicated " +
+    "dimension-sized allowlist (a pre-limit unpartitioned window is a " +
+    "single-reducer sort at 100 TB)") {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // query → why its unpartitioned window is safe at scale (each
+    // window's INPUT is dimension-sized or k-bounded by construction).
+    // Full r16 enumeration (graft.tools.WinAudit one-off): the ONLY
+    // unpartitioned windows across all 202 registered plans are
+    // q_text_bpe_pairs / q_text_index_search ×3 / q_text_zipf — all
+    // k-bounded above a limit/top-k (boundedBelow passes) — and the
+    // three below.
+    val pinned: Map[String, String] = Map(
+      // apportionment windows rank the (source, n_tok) AGGREGATE — the
+      // relation is #sources rows (dimension-sized) by construction;
+      // the corpus never reaches these windows (temperaturePlan doc)
+      "q_sample_temperature" ->
+        "largest-remainder apportionment over the per-source aggregate"
+    )
+    def boundedBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case _: GlobalLimitExec => ()
+      case _: LocalLimitExec => ()
+      case _: CollectLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: WindowGroupLimitExec => ()
+    }.isDefined
+    // AQE off for the audit: the adaptive wrapper is a leaf that hides
+    // the tree, and the NON-adaptive sparkPlan leaves subquery plans
+    // logical (collectWithSubqueries would CCE on them)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders =
+      try {
+        (for {
+          q <- Registry.all
+          plan = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan
+          w <- plan.collectWithSubqueries {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          if !boundedBelow(w.child) && !pinned.contains(q.name)
+        } yield q.name).distinct.sorted
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(offenders.isEmpty,
+      s"un-adjudicated pre-limit unpartitioned WindowExec in: $offenders")
+  }
+
   test("no oracle query plans a CartesianProduct") {
     for (q <- Registry.all if q.oracle.isDefined) {
       val p = Registry.byName(q.name).fn(spark, dir).queryExecution.executedPlan.toString
